@@ -1,13 +1,37 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Queries are registered as [[Q]] values by the operator modules and
+  * assembled here; every entry with an oracle is hash-compared against
+  * DuckDB by the driver (Verify), and timed per-round (Bench).
+  */
 object SparkEntry {
+
+  /** Full registry, in stable declaration order. */
+  val registry: Seq[Q] =
+    core.Relational.all ++
+    ext.EventsOps.all ++
+    ext.TextAnalysis.all ++
+    ext.Dedup.all ++
+    ext.Similarity.all ++
+    ext.Multimodal.all ++
+    parity.ParityQueries.all
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("rel_revenue_by_nation")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    ListMap(registry.map(q => q.name -> q.run): _*)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    ListMap(registry.collect { case Q(n, _, Some(sql)) => n -> sql }: _*)
 }

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Readers for the driver-generated parquet testdata (`TESTDATA.md`):
+  * one file per table under an sf dir. Filters/projections applied by
+  * callers are pushed into the parquet scan by Catalyst.
+  */
+object Tables {
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = apply(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = apply(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
+  /** `events.parquet` stores TIMESTAMP(NANOS), which the vectorized
+    * parquet reader rejects; read nanos as long and convert exactly to
+    * a microsecond timestamp with integer division (the data has zero
+    * sub-microsecond remainder — and DuckDB's reader performs the same
+    * ns→us narrowing, so oracle comparisons stay bit-exact).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    // Left enabled: the conf is consulted again at execution time, and
+    // no other testdata table carries nanos timestamps.
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    apply(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+}
+
+/** One engine query: the Spark plan builder plus (when SQL-expressible)
+  * the ANSI-SQL oracle the driver runs in DuckDB over the same tables.
+  *
+  * Oracle-parity rules used throughout (see SURVEY.md §5):
+  *   - every computed column aliased identically on both sides;
+  *   - floating aggregates computed as SUM(CAST(expr AS DECIMAL(p,s)))
+  *     then CAST AS DOUBLE — decimal addition is associative, so the
+  *     result is bit-identical regardless of partial-aggregation order;
+  *   - timestamp arithmetic in integer microseconds on both sides;
+  *   - every ranked/limited query carries a total-order tiebreaker.
+  */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])

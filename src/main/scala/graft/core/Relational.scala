@@ -1,0 +1,371 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.{Q, Tables}
+
+/** Relational operator coverage: scan/filter/project, equi + semi +
+  * anti + multi-way joins (broadcast where the build side is small),
+  * hash aggregation (partial/final comes free from Catalyst), distinct
+  * aggregates, conditional aggregates, rollup, window functions
+  * (ranking + running frames), sort/limit top-k, and set operations.
+  *
+  * The reference pipeline itself contains no joins/aggregations beyond
+  * its fold (SURVEY.md §2.3-§2.4); these queries exercise the engine
+  * surface a user of the generalized library gets, over the driver
+  * testdata, each hash-verified against DuckDB.
+  */
+object Relational {
+
+  /** Exact associative sum of a double expression: cast each value to
+    * decimal, sum (exact, order-insensitive), cast back once. Keeps the
+    * DuckDB oracle bit-identical under any partial-agg / AQE plan.
+    */
+  private def dsum(c: Column, scale: Int = 6): Column =
+    sum(c.cast(DecimalType(27, scale))).cast("double")
+
+  val all: Seq[Q] = Seq(
+    // ------------------------------------------------------------------
+    Q("rel_pricing_summary",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .filter($"l_shipdate" <= to_timestamp(lit("2001-06-30 00:00:00")))
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            dsum($"l_quantity", 2).as("sum_qty"),
+            dsum($"l_extendedprice", 2).as("sum_base_price"),
+            dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
+            dsum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")).as("sum_charge"),
+            count(lit(1)).as("count_order"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE) AS sum_base_price,
+        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS sum_disc_price,
+        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(27,6))) AS DOUBLE) AS sum_charge,
+        COUNT(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-06-30 00:00:00'
+        GROUP BY l_returnflag, l_linestatus""")),
+
+    // ------------------------------------------------------------------
+    // Projection + predicate pushed down to the parquet scan.
+    Q("rel_filter_proj",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .filter($"l_shipdate" >= to_timestamp(lit("1997-01-01 00:00:00")) &&
+                  $"l_shipdate" <  to_timestamp(lit("1998-01-01 00:00:00")) &&
+                  $"l_discount" > lit(0.05) && $"l_quantity" < lit(10.0))
+          .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+          AND l_discount > 0.05 AND l_quantity < 10.0""")),
+
+    // ------------------------------------------------------------------
+    // 3-way join; customer side broadcast (small dim at every SF).
+    Q("rel_top_revenue_orders",
+      (s, d) => {
+        import s.implicits._
+        val cust = Tables.customer(s, d).filter($"c_mktsegment" === "BUILDING")
+        val ord  = Tables.orders(s, d)
+        val li   = Tables.lineitem(s, d)
+        li.join(ord, $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+          .groupBy($"o_orderkey", $"o_orderdate")
+          .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+          .orderBy($"revenue".desc, $"o_orderkey")
+          .limit(10)
+      },
+      Some("""SELECT o_orderkey, o_orderdate,
+        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderkey LIMIT 10""")),
+
+    // ------------------------------------------------------------------
+    // Left-semi join (EXISTS).
+    Q("rel_order_priority_semi",
+      (s, d) => {
+        import s.implicits._
+        val ord = Tables.orders(s, d)
+          .filter($"o_orderdate" >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+                  $"o_orderdate" <  to_timestamp(lit("1997-01-01 00:00:00")))
+        val li = Tables.lineitem(s, d).filter($"l_quantity" > lit(45.0))
+        ord.join(li, ord("o_orderkey") === li("l_orderkey"), "left_semi")
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_quantity > 45.0)
+        GROUP BY o_orderpriority""")),
+
+    // ------------------------------------------------------------------
+    // Star join region→nation→customer→orders→lineitem; dims broadcast.
+    Q("rel_revenue_by_nation",
+      (s, d) => {
+        import s.implicits._
+        val dims = Tables.customer(s, d)
+          .join(Tables.nation(s, d), $"c_nationkey" === $"n_nationkey")
+          .join(Tables.region(s, d).filter($"r_name" === "ASIA"),
+                $"n_regionkey" === $"r_regionkey")
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(dims), $"o_custkey" === $"c_custkey")
+          .groupBy($"n_name")
+          .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+               count(lit(1)).as("n_items"))
+      },
+      Some("""SELECT n_name,
+        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name""")),
+
+    // ------------------------------------------------------------------
+    // Single-row global aggregate over a pushed-down range predicate.
+    Q("rel_forecast_revenue",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .filter($"l_shipdate" >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+                  $"l_shipdate" <  to_timestamp(lit("1997-01-01 00:00:00")) &&
+                  $"l_discount" >= lit(0.05) && $"l_discount" <= lit(0.07) &&
+                  $"l_quantity" < lit(24.0))
+          .agg(dsum($"l_extendedprice" * $"l_discount").as("revenue"),
+               count(lit(1)).as("n_rows"))
+      },
+      Some("""SELECT
+        CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24.0""")),
+
+    // ------------------------------------------------------------------
+    // Left-anti join (NOT EXISTS).
+    Q("rel_cust_no_orders_anti",
+      (s, d) => {
+        import s.implicits._
+        val cust = Tables.customer(s, d)
+        val ord  = Tables.orders(s, d)
+        cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n_customers"),
+               min($"c_custkey").as("min_custkey"))
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n_customers,
+        MIN(c_custkey) AS min_custkey
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_mktsegment""")),
+
+    // ------------------------------------------------------------------
+    // Ranking window: top-3 orders per customer by price.
+    Q("rel_window_top_orders",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey")
+          .orderBy($"o_totalprice".desc, $"o_orderkey")
+        Tables.orders(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 3)
+          .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          ROW_NUMBER() OVER (PARTITION BY o_custkey
+                             ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) t WHERE rn <= 3""")),
+
+    // ------------------------------------------------------------------
+    // Running-frame window: cumulative spend per customer.
+    Q("rel_window_running_sum",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey")
+          .orderBy($"o_orderdate", $"o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.orders(s, d)
+          .select($"o_custkey", $"o_orderkey", $"o_orderdate",
+            sum($"o_totalprice".cast(DecimalType(27, 2))).over(w)
+              .cast("double").as("running_spend"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) OVER (
+          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+          AS running_spend
+        FROM orders""")),
+
+    // ------------------------------------------------------------------
+    // Multi-way join through supplier side + extract(year).
+    Q("rel_profit_by_nation_year",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .join(broadcast(Tables.supplier(s, d)), $"l_suppkey" === $"s_suppkey")
+          .join(broadcast(Tables.part(s, d)), $"l_partkey" === $"p_partkey")
+          .join(broadcast(Tables.nation(s, d)), $"s_nationkey" === $"n_nationkey")
+          .groupBy($"n_name", year($"l_shipdate").as("ship_year"))
+          .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount") -
+                    $"p_retailprice" * $"l_quantity").as("amount"))
+      },
+      Some("""SELECT n_name, EXTRACT(YEAR FROM l_shipdate) AS ship_year,
+        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                      - p_retailprice * l_quantity AS DECIMAL(27,6))) AS DOUBLE)
+          AS amount
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        JOIN part ON l_partkey = p_partkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name, EXTRACT(YEAR FROM l_shipdate)""")),
+
+    // ------------------------------------------------------------------
+    // Join + agg + global top-k (TakeOrderedAndProject).
+    Q("rel_top_returned_customers",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d).filter($"l_returnflag" === "R")
+          .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
+          .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+          .groupBy($"c_custkey", $"c_name", $"n_name")
+          .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+          .orderBy($"revenue".desc, $"c_custkey")
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name, n_name,
+        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey LIMIT 20""")),
+
+    // ------------------------------------------------------------------
+    // Distinct aggregates (Catalyst expands to two-phase plan).
+    Q("rel_distinct_counts",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .groupBy($"l_returnflag")
+          .agg(countDistinct($"l_suppkey").as("n_supp"),
+               countDistinct($"l_partkey").as("n_part"),
+               count(lit(1)).as("n_rows"))
+      },
+      Some("""SELECT l_returnflag,
+        COUNT(DISTINCT l_suppkey) AS n_supp,
+        COUNT(DISTINCT l_partkey) AS n_part,
+        COUNT(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag""")),
+
+    // ------------------------------------------------------------------
+    // Conditional aggregation (CASE inside SUM).
+    Q("rel_conditional_agg",
+      (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d)
+          .join(Tables.lineitem(s, d), $"o_orderkey" === $"l_orderkey")
+          .groupBy($"o_orderpriority")
+          .agg(
+            sum(when($"l_quantity" > 25.0, 1L).otherwise(0L)).as("high_qty"),
+            sum(when($"l_quantity" <= 25.0, 1L).otherwise(0L)).as("low_qty"))
+      },
+      Some("""SELECT o_orderpriority,
+        CAST(SUM(CASE WHEN l_quantity > 25.0 THEN 1 ELSE 0 END) AS BIGINT) AS high_qty,
+        CAST(SUM(CASE WHEN l_quantity <= 25.0 THEN 1 ELSE 0 END) AS BIGINT) AS low_qty
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderpriority""")),
+
+    // ------------------------------------------------------------------
+    // Two-level aggregation over an outer join (TPC-H Q13 shape).
+    Q("rel_order_histogram",
+      (s, d) => {
+        import s.implicits._
+        val cust = Tables.customer(s, d)
+        val ord  = Tables.orders(s, d)
+        cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left")
+          .groupBy($"c_custkey")
+          .agg(count($"o_orderkey").as("c_count"))
+          .groupBy($"c_count")
+          .agg(count(lit(1)).as("custdist"))
+      },
+      Some("""SELECT c_count, COUNT(*) AS custdist FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey) t
+        GROUP BY c_count""")),
+
+    // ------------------------------------------------------------------
+    // ROLLUP grouping sets.
+    Q("rel_rollup_qty",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .rollup($"l_returnflag", $"l_linestatus")
+          .agg(dsum($"l_quantity", 2).as("sum_qty"),
+               count(lit(1)).as("n_rows"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty,
+        COUNT(*) AS n_rows
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""")),
+
+    // ------------------------------------------------------------------
+    // Set ops: INTERSECT and EXCEPT (both distinct semantics).
+    Q("rel_intersect_custkeys",
+      (s, d) => {
+        import s.implicits._
+        val ord = Tables.orders(s, d)
+        ord.filter($"o_orderstatus" === "F").select($"o_custkey".as("custkey"))
+          .intersect(
+            ord.filter($"o_orderstatus" === "O").select($"o_custkey".as("custkey")))
+      },
+      Some("""SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'""")),
+
+    Q("rel_except_custkeys",
+      (s, d) => {
+        import s.implicits._
+        Tables.customer(s, d).select($"c_custkey".as("custkey"))
+          .except(Tables.orders(s, d)
+            .filter($"o_orderstatus" === "P").select($"o_custkey".as("custkey")))
+      },
+      Some("""SELECT c_custkey AS custkey FROM customer
+        EXCEPT
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P'""")),
+
+    // ------------------------------------------------------------------
+    // Time bucketing (tumbling calendar window over a batch table).
+    Q("rel_monthly_orders",
+      (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d)
+          .groupBy(date_trunc("month", $"o_orderdate").as("order_month"))
+          .agg(count(lit(1)).as("n_orders"),
+               dsum($"o_totalprice", 2).as("month_total"))
+      },
+      Some("""SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS month_total
+        FROM orders GROUP BY date_trunc('month', o_orderdate)"""))
+  )
+}

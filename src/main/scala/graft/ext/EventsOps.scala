@@ -1,0 +1,122 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.{Q, Tables}
+
+/** Event-stream operators over the `events` table: semi-structured
+  * (JSON-in-string) extraction, calendar bucketing, gap-based
+  * sessionization, and an as-of ("latest event before") correlation.
+  *
+  * Sessionization mirrors the reference's spatial banding operator
+  * (/root/reference/lambda_function.py:605-652 — new band when the gap
+  * to the previous anchor exceeds a tolerance) re-hosted on the time
+  * axis: lag + running-sum windows, the same decomposition SURVEY.md
+  * §2.5 derives. All timestamp gaps are computed in integer
+  * microseconds so the DuckDB oracle is bit-exact.
+  */
+object EventsOps {
+
+  private val sessionGapMicros = 1800L * 1000000L // 30 min
+
+  val all: Seq[Q] = Seq(
+    // ------------------------------------------------------------------
+    // JSON field extraction from the props string.
+    Q("ev_json_extract",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .withColumn("k", regexp_extract($"props", """"k"\s*:\s*(\d+)""", 1)
+            .cast("long"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n_events"),
+               sum($"k").as("sum_k"),
+               min($"k").as("min_k"),
+               max($"k").as("max_k"))
+      },
+      Some("""SELECT event_type, COUNT(*) AS n_events,
+        CAST(SUM(k) AS BIGINT) AS sum_k,
+        MIN(k) AS min_k, MAX(k) AS max_k
+        FROM (SELECT event_type,
+                CAST(NULLIF(regexp_extract(props, '"k"\s*:\s*(\d+)', 1), '') AS BIGINT) AS k
+              FROM events) t
+        GROUP BY event_type""")),
+
+    // ------------------------------------------------------------------
+    // Tumbling 1-hour windows per event type.
+    Q("ev_hourly_rollup",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+          .agg(count(lit(1)).as("n_events"),
+               sum($"value".cast(DecimalType(27, 6))).cast("double").as("sum_value"))
+      },
+      Some("""SELECT date_trunc('hour', ts) AS hour, event_type,
+        COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY date_trunc('hour', ts), event_type""")),
+
+    // ------------------------------------------------------------------
+    // Gap-based sessionization: lag + running sum of session-open flags.
+    Q("ev_sessionize",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val prev = lag(unix_micros($"ts"), 1).over(w)
+        val isNew = when(prev.isNull ||
+          (unix_micros($"ts") - prev) > lit(sessionGapMicros), 1L).otherwise(0L)
+        Tables.events(s, d)
+          .withColumn("session_id", sum(isNew).over(wRun))
+          .groupBy($"user_id", $"session_id")
+          .agg(count(lit(1)).as("n_events"),
+               min($"ts").as("session_start"),
+               max($"ts").as("session_end"),
+               sum($"value".cast(DecimalType(27, 6))).cast("double").as("session_value"))
+      },
+      Some("""WITH flagged AS (
+          SELECT user_id, event_id, ts, value,
+            CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                 THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessioned AS (
+          SELECT user_id, ts, value,
+            CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+          FROM flagged)
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+          MIN(ts) AS session_start, MAX(ts) AS session_end,
+          CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS session_value
+        FROM sessioned GROUP BY user_id, session_id""")),
+
+    // ------------------------------------------------------------------
+    // As-of correlation: for each purchase, the latest click by the
+    // same user at or before it. Expressed as a running-max window — a
+    // single sort-based pass, no self-join — which is exactly the
+    // partition-local sort-merge an as-of join needs at 100 TB scale
+    // (SURVEY.md §2.3: compose built-ins before custom plans).
+    Q("ev_asof_last_click",
+      (s, d) => {
+        import s.implicits._
+        val wRun = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .withColumn("last_click_ts",
+            max(when($"event_type" === "click", $"ts")).over(wRun))
+          .filter($"event_type" === "purchase")
+          .select($"event_id", $"user_id", $"ts", $"last_click_ts")
+      },
+      Some("""SELECT event_id, user_id, ts, last_click_ts FROM (
+        SELECT event_id, user_id, ts, event_type,
+          MAX(CASE WHEN event_type = 'click' THEN ts END) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
+        FROM events) t WHERE event_type = 'purchase'"""))
+  )
+}
