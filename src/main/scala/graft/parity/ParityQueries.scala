@@ -1,3 +1,214 @@
 package graft.parity
-import graft.Q
-object ParityQueries { val all: Seq[Q] = Seq() }
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.{Q, Tables}
+
+/** Reference-parity operators re-hosted over the driver testdata so
+  * the DuckDB gate can hash-verify them (FIXTURES.md §B: parity
+  * scalar functions run over `documents.text`; the banding window
+  * over a lines table derived from `events`).
+  *
+  * Where the operator is a procedural UDF (name parsing), the oracle
+  * replicates the reference semantics in SQL for the restricted input
+  * shape used by the query (documented per query); the unrestricted
+  * semantics are pinned by the golden specs instead.
+  */
+object ParityQueries {
+
+  private val suffixSqlList =
+    RefText.suffixes.map(s => s"'$s'").mkString(", ")
+
+  private def headerPredicateSql(col: String): String =
+    RefText.headerPhrases
+      .map(p => s"contains(lower($col), '${p.replace("'", "''")}')")
+      .mkString("(", " OR ", ")")
+
+  val all: Seq[Q] = Seq(
+    // ------------------------------------------------------------------
+    // is_header_text as a native expression (lambda_function.py:136-156).
+    Q("par_header_filter",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .withColumn("is_header", FarmFunctions.isHeader($"text"))
+          .select($"doc_id", $"is_header")
+      },
+      Some(s"""SELECT doc_id, ${headerPredicateSql("text")} AS is_header
+        FROM documents""")),
+
+    // ------------------------------------------------------------------
+    // is_numeric_token over document tokens plus synthesized numeric
+    // shapes (documents are prose, so dollar/dash/decimal forms are
+    // appended deterministically to exercise all three branches).
+    Q("par_numeric_token_count",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+          .withColumn("toks", concat(
+            split(trim($"text"), "\\s+"),
+            array(concat(lit("$"), format_number($"n_chars", 0)),
+                  lit("—"), lit("12.5"), concat(lit("-"), $"doc_id"),
+                  concat($"doc_id", lit("x")))))
+        docs.select($"doc_id", explode($"toks").as("tok"))
+          .withColumn("is_num", FarmFunctions.isNumericTokenUdf($"tok"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+               sum(when($"is_num", 1L).otherwise(0L)).as("n_numeric"))
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, unnest(list_concat(
+            string_split_regex(trim(text), '\s+'),
+            ['$' || format('{:,}', n_chars), '—', '12.5',
+             '-' || CAST(doc_id AS VARCHAR), CAST(doc_id AS VARCHAR) || 'x'])) AS tok
+          FROM documents)
+        SELECT doc_id, COUNT(*) AS n_tokens,
+          CAST(SUM(CASE WHEN
+            trim(tok) IN ('-', '—', '–')
+            OR regexp_full_match(trim(replace(replace(replace(tok, ',', ''), '$', ''), '-', '')), '\d+(\.\d+)?')
+            OR regexp_full_match(replace(tok, '-', ''), '\$?\d[\d,]*([.]\d+)?')
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_numeric
+        FROM toks GROUP BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // extract_alternate_name (:711-715) over synthesized parentheticals.
+    Q("par_alternate_name",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .withColumn("pseudo_name", concat(
+            element_at(split(trim($"text"), "\\s+"), 1),
+            when($"doc_id" % 2 === 0,
+              concat(lit(" ("), $"source", lit(")"))).otherwise(lit(""))))
+          .select($"doc_id",
+            FarmFunctions.alternateName($"pseudo_name").as("alt_name"))
+      },
+      Some("""SELECT doc_id,
+        trim(regexp_extract(
+          string_split_regex(trim(text), '\s+')[1] ||
+            CASE WHEN doc_id % 2 = 0 THEN ' (' || source || ')' ELSE '' END,
+          '\(([^)]+)\)', 1)) AS alt_name
+        FROM documents""")),
+
+    // ------------------------------------------------------------------
+    // split_name (:674-706) over three-token pseudo names. Oracle
+    // replicates the reference for this shape (plain tokens, no
+    // parens): last token = surname unless a recognized suffix.
+    Q("par_split_name",
+      (s, d) => {
+        import s.implicits._
+        val pseudo = concat_ws(" ",
+          element_at(split(trim($"text"), "\\s+"), 1),
+          element_at(split(trim($"text"), "\\s+"), 2),
+          when($"doc_id" % 5 === 0, lit("Jr."))
+            .otherwise(element_at(split(trim($"text"), "\\s+"), 3)))
+        Tables.documents(s, d)
+          .withColumn("parts", FarmFunctions.splitNameUdf(pseudo))
+          .select($"doc_id", $"parts._1".as("surname"),
+            $"parts._2".as("given_names"), $"parts._3".as("suffix"))
+      },
+      Some(s"""WITH t AS (
+          SELECT doc_id,
+            string_split_regex(trim(text), '\\s+')[1] AS t1,
+            string_split_regex(trim(text), '\\s+')[2] AS t2,
+            CASE WHEN doc_id % 5 = 0 THEN 'Jr.'
+                 ELSE string_split_regex(trim(text), '\\s+')[3] END AS t3
+          FROM documents)
+        SELECT doc_id,
+          CASE WHEN lower(t3) IN ($suffixSqlList) THEN t2 ELSE t3 END AS surname,
+          CASE WHEN lower(t3) IN ($suffixSqlList) THEN t1
+               ELSE t1 || ' ' || t2 END AS given_names,
+          CASE WHEN lower(t3) IN ($suffixSqlList) THEN t3 ELSE '' END AS suffix
+        FROM t""")),
+
+    // ------------------------------------------------------------------
+    // The structural continuation predicate (:239-251) as native
+    // expressions, over a mix of prose and synthesized numeric lines.
+    Q("par_continuation_shape",
+      (s, d) => {
+        import s.implicits._
+        val line = when($"doc_id" % 3 === 0,
+            concat($"n_chars", lit(", "), $"doc_id", lit(", -")))
+          .otherwise(substring($"text", 1, 30))
+        Tables.documents(s, d)
+          .select($"doc_id",
+            FarmFunctions.continuationShape(line).as("is_continuation_shape"))
+      },
+      Some("""SELECT doc_id,
+        CASE WHEN length(t) > 0 AND (
+          length(trim(regexp_replace(regexp_replace(t, '\d+', '', 'g'),
+            '[,\s\-—–$.]', '', 'g'))) <= 1
+          OR length(regexp_replace(t, '[^A-Za-z]', '', 'g')) <= 2)
+        THEN true ELSE false END AS is_continuation_shape
+        FROM (SELECT doc_id,
+          CASE WHEN doc_id % 3 = 0
+               THEN CAST(n_chars AS VARCHAR) || ', ' || CAST(doc_id AS VARCHAR) || ', -'
+               ELSE trim(substr(text, 1, 30)) END AS t
+        FROM documents) x""")),
+
+    // ------------------------------------------------------------------
+    // The page-line banding window (:605-652) hosted over a lines
+    // table derived from events: click events are "name lines", the
+    // band increments when the gap to the previous name line exceeds
+    // 0.01 — full window-function oracle.
+    Q("par_page_line_banding",
+      (s, d) => {
+        import s.implicits._
+        val lines = Tables.events(s, d)
+          .select(lit("doc").as("doc"), lit(1).as("page"), lit(0).as("side"),
+            $"event_id".as("seq"), ($"value" / 100.0).as("top"),
+            when($"event_type" === "click", lit("John Smith"))
+              .otherwise(lit("123")).as("text"))
+        Layout.withPageLine(lines)
+          .select($"seq", $"page_line")
+      },
+      Some("""WITH lines AS (
+          SELECT event_id AS seq, value / 100.0 AS top,
+            event_type = 'click' AS is_name
+          FROM events),
+        flagged AS (
+          SELECT seq, top,
+            CASE WHEN abs(top - lag(top) OVER (ORDER BY top, seq)) > 0.01
+                 THEN 1 ELSE 0 END AS inc
+          FROM lines WHERE is_name),
+        names AS (
+          SELECT seq, top,
+            1 + CAST(SUM(inc) OVER (
+              ORDER BY top, seq ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS band
+          FROM flagged),
+        fixed AS (
+          SELECT seq, CAST(MAX(band) OVER (PARTITION BY top) AS INT) AS band
+          FROM names)
+        SELECT l.seq, CASE WHEN l.is_name THEN f.band ELSE 1 END AS page_line
+        FROM lines l LEFT JOIN fixed f ON l.seq = f.seq""")),
+
+    // ------------------------------------------------------------------
+    // Procedural parsers through the UDF surface (rows-only check —
+    // semantics pinned by golden specs instead).
+    Q("par_parse_structured_line",
+      (s, d) => {
+        import s.implicits._
+        val line = concat(initcap(element_at(split(trim($"text"), "\\s+"), 1)),
+          lit(" "), initcap(element_at(split(trim($"text"), "\\s+"), 2)),
+          lit(", "), $"n_chars", lit(", -, "), $"doc_id" % 1000)
+        Tables.documents(s, d)
+          .withColumn("parsed", FarmFunctions.parseLineUdf(line))
+          .select($"doc_id", $"parsed._1".as("name"),
+            concat_ws("|", $"parsed._2").as("numbers"))
+      },
+      None),
+
+    Q("par_extract_continuation",
+      (s, d) => {
+        import s.implicits._
+        val line = concat($"n_chars", lit(", -, $"),
+          format_number($"doc_id" * 7 % 10000, 0), lit(", x"))
+        Tables.documents(s, d)
+          .select($"doc_id", concat_ws("|",
+            FarmFunctions.extractContinuationUdf(line)).as("extracted"))
+      },
+      None)
+  )
+}
