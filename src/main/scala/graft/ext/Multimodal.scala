@@ -1,3 +1,97 @@
 package graft.ext
-import graft.Q
-object Multimodal { val all: Seq[Q] = Seq() }
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Multimodal-column plumbing: media payloads travel as opaque
+  * `binary` columns with typed metadata alongside; decode /
+  * feature-extract runs per-partition in bounded batches (the shape a
+  * vectorized decode layer needs). The decode itself is a clearly
+  * marked deterministic STUB — the real codecs are not in this
+  * container — but the Spark-side contract (schema, batching,
+  * partitioning, failure isolation) is real and tested.
+  *
+  * Scale posture: payload bytes stay columnar and are never collected;
+  * feature extraction is a narrow mapPartitions (no shuffle); batch
+  * size bounds per-task peak memory independent of partition size.
+  */
+object Multimodal {
+
+  final case class MediaRow(doc_id: Long, kind: String, payload: Array[Byte])
+
+  final case class MediaFeatures(doc_id: Long, kind: String,
+                                 byte_len: Int, width: Int, height: Int,
+                                 n_frames: Int, checksum: Long)
+
+  /** STUB decoder: deterministic pseudo-features from the payload
+    * bytes. A real deployment replaces this with an image/audio codec
+    * call; the signature (bytes in, fixed-width features out, pure,
+    * batch-safe) is the contract the pipeline depends on. */
+  def stubDecode(row: MediaRow): MediaFeatures = {
+    val bytes = row.payload
+    val len = bytes.length
+    var sum = 0L
+    var i = 0
+    while (i < len) { sum = sum * 31 + (bytes(i) & 0xff); i += 1 }
+    MediaFeatures(row.doc_id, row.kind, len,
+      width = 16 + math.abs((sum % 1024).toInt),
+      height = 16 + math.abs(((sum >> 10) % 1024).toInt),
+      n_frames = if (row.kind == "video") 1 + (len % 32) else 1,
+      checksum = sum)
+  }
+
+  /** Batched per-partition decode: bounded batches keep peak memory
+    * independent of partition size (the mapInPandas/Arrow batch shape,
+    * expressed Scala-side). */
+  def decodeFeatures(media: Dataset[MediaRow], batchSize: Int = 64)
+      : Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map(stubDecode)
+      }
+    }
+  }
+
+  /** Documents → media table: payload = UTF-8 bytes standing in for
+    * image/audio content; kind derived deterministically. */
+  def mediaFromDocuments(s: SparkSession, d: String): Dataset[MediaRow] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id",
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          ($"doc_id" % 3 + 1).cast("int")).as("kind"),
+        encode($"text", "UTF-8").as("payload"))
+      .as[MediaRow]
+  }
+
+  val all: Seq[Q] = Seq(
+    // ------------------------------------------------------------------
+    // Binary-column metadata: byte length + content hash + kind —
+    // pure SQL surface, DuckDB-verified.
+    Q("mm_binary_meta",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d).select(
+          $"doc_id",
+          element_at(array(lit("image"), lit("audio"), lit("video")),
+            ($"doc_id" % 3 + 1).cast("int")).as("kind"),
+          octet_length(encode($"text", "UTF-8")).as("byte_len"),
+          md5(encode($"text", "UTF-8")).as("content_hash"))
+      },
+      Some("""SELECT doc_id,
+        ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+        octet_length(encode(text)) AS byte_len,
+        md5(text) AS content_hash
+        FROM documents""")),
+
+    // ------------------------------------------------------------------
+    // Stubbed decode through the batched mapPartitions path (rows-only
+    // driver check; determinism pinned by MultimodalSpec).
+    Q("mm_decode_features",
+      (s, d) => decodeFeatures(mediaFromDocuments(s, d)).toDF(),
+      None)
+  )
+}

@@ -1,3 +1,143 @@
 package graft.ext
-import graft.Q
-object Similarity { val all: Seq[Q] = Seq() }
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.{Q, Tables}
+
+/** Similarity search over the `embeddings` table (64-dim float
+  * vectors): exact brute-force cosine top-k as the baseline, a
+  * label-blocked near-duplicate pair scan, and a sign-random-
+  * projection (SimHash-style) LSH-bucketed ANN as the scale path.
+  *
+  * Scale design: the brute-force path broadcasts only the *query*
+  * set (small by construction) against the full corpus — a map-side
+  * scan with a per-query top-k, no corpus shuffle. The ANN path
+  * buckets the corpus once by hyperplane signature (one shuffle),
+  * after which each probe touches one bucket — the structure that
+  * holds when the corpus is 10⁹ vectors. All arithmetic is done in
+  * double after an explicit per-element cast so the DuckDB oracle
+  * computes identical IEEE values.
+  */
+object Similarity {
+
+  /** Cosine similarity between two Array[Float] columns, computed as
+    * an ordered left-to-right fold in double precision. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Oracle fragment: the same dot product as a correlated ordered sum. */
+  private def dotSql(a: String, b: String): String =
+    s"""(SELECT SUM(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))
+        FROM generate_series(1, 64) t(i))"""
+
+  /** Deterministic ±1 hyperplane component for plane j, dim i:
+    * parity of the first hex digit of md5("j_i"). */
+  private def planeComponent(j: Int, i: Column): Column =
+    when(conv(substring(md5(concat(lit(s"${j}_"), i)), 1, 1), 16, 10)
+      .cast("int") % 2 === 0, 1.0).otherwise(-1.0)
+
+  /** Sign-random-projection signature (nPlanes bits) of a vector. */
+  def lshSignature(vec: Column, nPlanes: Int = 4): Column = {
+    val bits = (0 until nPlanes).map { j =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(1), lit(64)),
+          (v, i) => v.cast("double") * planeComponent(j, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, shiftleft(lit(1), j)).otherwise(0)
+    }
+    bits.reduce(_ + _)
+  }
+
+  val all: Seq[Q] = Seq(
+    // ------------------------------------------------------------------
+    // Exact brute-force cosine top-k: broadcast query set × corpus
+    // scan, per-query top-5 (rank output; ties broken by neighbor id).
+    Q("sim_cosine_topk",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+        val queries = emb.filter($"vec_id" % 97 === 0)
+          .select($"vec_id".as("qid"), $"embedding".as("qemb"))
+        val w = Window.partitionBy($"qid")
+          .orderBy($"cos".desc, $"vec_id")
+        emb.crossJoin(broadcast(queries))
+          .filter($"vec_id" =!= $"qid")
+          .withColumn("cos", cosine($"qemb", $"embedding"))
+          .withColumn("rank", row_number().over(w))
+          .filter($"rank" <= 5)
+          .select($"qid", $"rank", $"vec_id".as("neighbor_id"))
+      },
+      Some(s"""WITH q AS (
+          SELECT vec_id AS qid, embedding AS qemb FROM embeddings
+          WHERE vec_id % 97 = 0),
+        scored AS (
+          SELECT q.qid, e.vec_id,
+            ${dotSql("q.qemb", "e.embedding")} /
+            (sqrt(${dotSql("q.qemb", "q.qemb")}) *
+             sqrt(${dotSql("e.embedding", "e.embedding")})) AS cos
+          FROM embeddings e, q WHERE e.vec_id <> q.qid)
+        SELECT qid, rank, vec_id AS neighbor_id FROM (
+          SELECT qid, vec_id,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id)
+              AS rank
+          FROM scored) t WHERE rank <= 5""")),
+
+    // ------------------------------------------------------------------
+    // Embedding near-dup pairs: corpus augmented with exact copies
+    // (vec_id+100000, every 20th vector — the natural corpus has no
+    // near-dups), blocked by label, cosine > 0.95.
+    Q("sim_embedding_neardup",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+          .select($"vec_id", $"label", $"embedding")
+        val aug = emb.unionByName(
+          emb.filter($"vec_id" % 20 === 0)
+            .select(($"vec_id" + 100000L).as("vec_id"), $"label", $"embedding"))
+        aug.as("a").join(aug.as("b"),
+            col("a.label") === col("b.label") &&
+            col("a.vec_id") < col("b.vec_id"))
+          .withColumn("cos", cosine(col("a.embedding"), col("b.embedding")))
+          .filter($"cos" > 0.95)
+          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      },
+      Some(s"""WITH aug AS (
+          SELECT vec_id, label, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 100000, label, embedding FROM embeddings
+          WHERE vec_id % 20 = 0)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM aug a JOIN aug b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE ${dotSql("a.embedding", "b.embedding")} /
+              (sqrt(${dotSql("a.embedding", "a.embedding")}) *
+               sqrt(${dotSql("b.embedding", "b.embedding")})) > 0.95""")),
+
+    // ------------------------------------------------------------------
+    // ANN via sign-random-projection buckets: corpus bucketed once;
+    // queries probe their own bucket only. Approximate by design →
+    // rows-only driver check; recall pinned by SimilaritySpec.
+    Q("sim_ann_lsh",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+          .withColumn("bucket", lshSignature($"embedding"))
+        val queries = emb.filter($"vec_id" % 97 === 0)
+          .select($"vec_id".as("qid"), $"embedding".as("qemb"), $"bucket")
+        val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
+        emb.join(broadcast(queries), "bucket")
+          .filter($"vec_id" =!= $"qid")
+          .withColumn("cos", cosine($"qemb", $"embedding"))
+          .withColumn("rank", row_number().over(w))
+          .filter($"rank" <= 5)
+          .select($"qid", $"rank", $"vec_id".as("neighbor_id"))
+      },
+      None)
+  )
+}

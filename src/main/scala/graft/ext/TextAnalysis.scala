@@ -1,3 +1,175 @@
 package graft.ext
-import graft.Q
-object TextAnalysis { val all: Seq[Q] = Seq() }
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` corpus: token statistics, quality scoring, n-gram
+  * stopword language-ID, and content fingerprinting. All pure
+  * Catalyst expressions (no UDFs — everything stays inside
+  * whole-stage codegen and is DuckDB-verifiable).
+  */
+object TextAnalysis {
+
+  /** Tokenization used across text operators: lowercase, trim,
+    * whitespace-split. */
+  def tokens(text: Column): Column =
+    split(trim(lower(text)), "\\s+")
+
+  /** BPE-ish subword proxy: alnum runs + punctuation as separate
+    * tokens (a regex segmentation — deterministic, language-blind). */
+  def subwordCount(text: Column): Column =
+    size(filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0))
+
+  private val stopwords = Map(
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in"),
+    "es" -> Seq("el", "la", "de", "los", "que", "y"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "les", "et", "des", "une"))
+
+  private def stopCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  private def stopCountSql(words: Seq[String]): String = {
+    val list = words.map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x IN ($list)))"
+  }
+
+  val all: Seq[Q] = Seq(
+    // ------------------------------------------------------------------
+    // Token counting: whitespace tokens + regex subword segmentation.
+    Q("txt_token_stats",
+      (s, d) => {
+        import s.implicits._
+        val toks = tokens($"text")
+        Tables.documents(s, d).select(
+          $"doc_id",
+          size(toks).as("n_tokens"),
+          subwordCount($"text").as("n_subwords"),
+          length($"text").as("len_chars"),
+          length(regexp_replace($"text", "\\s", "")).as("len_nonspace"),
+          array_max(transform(toks, t => length(t))).as("max_token_len"))
+      },
+      Some("""SELECT doc_id,
+        len(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens,
+        len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+            x -> length(x) > 0)) AS n_subwords,
+        length(text) AS len_chars,
+        length(regexp_replace(text, '\s', '', 'g')) AS len_nonspace,
+        list_max(list_transform(string_split_regex(trim(lower(text)), '\s+'),
+            x -> length(x))) AS max_token_len
+        FROM documents""")),
+
+    // ------------------------------------------------------------------
+    // Quality scoring: structural ratios (single IEEE divisions —
+    // bit-exact across engines) + a thresholded quality flag.
+    Q("txt_quality_score",
+      (s, d) => {
+        import s.implicits._
+        val len = length($"text").cast("double")
+        val nPunct = (length($"text") -
+          length(regexp_replace($"text", "[.,!?;:()-]", ""))).cast("double")
+        val nDigit = (length($"text") -
+          length(regexp_replace($"text", "[0-9]", ""))).cast("double")
+        val nTokens = size(tokens($"text"))
+        val meanTokLen = length(regexp_replace($"text", "\\s", ""))
+          .cast("double") / nTokens.cast("double")
+        Tables.documents(s, d).select(
+          $"doc_id",
+          (nPunct / len).as("punct_ratio"),
+          (nDigit / len).as("digit_ratio"),
+          meanTokLen.as("mean_token_len"),
+          (nTokens >= 10 && nTokens <= 100000 &&
+            (nPunct / len) < 0.2).as("quality_ok"))
+      },
+      Some("""SELECT doc_id,
+        CAST(length(text) - length(regexp_replace(text, '[.,!?;:()-]', '', 'g')) AS DOUBLE)
+          / CAST(length(text) AS DOUBLE) AS punct_ratio,
+        CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+          / CAST(length(text) AS DOUBLE) AS digit_ratio,
+        CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+          / CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE)
+          AS mean_token_len,
+        (len(string_split_regex(trim(lower(text)), '\s+')) BETWEEN 10 AND 100000)
+          AND (CAST(length(text) - length(regexp_replace(text, '[.,!?;:()-]', '', 'g')) AS DOUBLE)
+               / CAST(length(text) AS DOUBLE) < 0.2) AS quality_ok
+        FROM documents""")),
+
+    // ------------------------------------------------------------------
+    // Language ID: stopword-hit scoring with a deterministic argmax
+    // (ties and zero-score → 'und'), compared against the labeled
+    // `lang` column for an accuracy-style confusion output.
+    Q("txt_langid",
+      (s, d) => {
+        import s.implicits._
+        val toks = tokens($"text")
+        val scored = Tables.documents(s, d).select(
+          $"doc_id", $"lang",
+          stopCount(toks, stopwords("en")).as("s_en"),
+          stopCount(toks, stopwords("es")).as("s_es"),
+          stopCount(toks, stopwords("de")).as("s_de"),
+          stopCount(toks, stopwords("fr")).as("s_fr"))
+        val best = greatest($"s_en", $"s_es", $"s_de", $"s_fr")
+        scored.withColumn("lang_pred",
+            when(best === 0, "und")
+              .when($"s_en" === best, "en")
+              .when($"s_es" === best, "es")
+              .when($"s_de" === best, "de")
+              .otherwise("fr"))
+          .groupBy($"lang", $"lang_pred")
+          .agg(count(lit(1)).as("n_docs"))
+      },
+      Some(s"""WITH scored AS (
+          SELECT doc_id, lang,
+            ${stopCountSql(stopwords("en"))} AS s_en,
+            ${stopCountSql(stopwords("es"))} AS s_es,
+            ${stopCountSql(stopwords("de"))} AS s_de,
+            ${stopCountSql(stopwords("fr"))} AS s_fr
+          FROM documents),
+        pred AS (
+          SELECT lang,
+            CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+                 WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+                 WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+                 WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+                 ELSE 'fr' END AS lang_pred
+          FROM scored)
+        SELECT lang, lang_pred, COUNT(*) AS n_docs
+        FROM pred GROUP BY lang, lang_pred""")),
+
+    // ------------------------------------------------------------------
+    // Document fingerprinting: whole-content hash over normalized
+    // text plus a winnowing-style minimum-shingle-hash.
+    Q("txt_fingerprint",
+      (s, d) => {
+        import s.implicits._
+        val norm = trim(regexp_replace(
+          regexp_replace(lower($"text"), "[^a-z0-9\\s]", ""), "\\s+", " "))
+        val n = length(norm)
+        val starts = sequence(lit(1), greatest(n - lit(7), lit(1)))
+        val shingleHashes = transform(starts, i => md5(norm.substr(i, lit(8))))
+        Tables.documents(s, d).select(
+          $"doc_id",
+          md5(norm).as("content_fp"),
+          array_min(shingleHashes).as("winnow_fp"))
+      },
+      Some("""SELECT doc_id, md5(norm) AS content_fp,
+        MIN(md5(substr(norm, i, 8))) AS winnow_fp
+        FROM (SELECT doc_id, norm,
+          unnest(generate_series(1, greatest(length(norm) - 7, 1))) AS i
+        FROM (SELECT doc_id,
+          trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+               '\s+', ' ', 'g')) AS norm
+        FROM documents) y) x
+        GROUP BY doc_id, norm"""))
+  )
+
+  /** Library form of the quality/stat projections for reuse. */
+  def withTextStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.withColumn("n_tokens", size(tokens(t)))
+      .withColumn("len_chars", length(t))
+  }
+}

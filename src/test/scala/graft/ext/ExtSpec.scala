@@ -1,0 +1,86 @@
+package graft.ext
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkEntry
+
+class ExtSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("every registered query runs at sf0.001") {
+    for ((name, fn) <- SparkEntry.queries) {
+      val df = fn(spark, sf)
+      val n = df.count()
+      assert(n >= 0, name)
+    }
+  }
+
+  test("entry smoke returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracle keys are a subset of query keys with aligned columns") {
+    val qk = SparkEntry.queries.keySet
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qk))
+  }
+
+  test("ANN LSH: bucketed neighbors are a subset of corpus, with sane recall") {
+    import spark.implicits._
+    val exact = SparkEntry.queries("sim_cosine_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = SparkEntry.queries("sim_ann_lsh")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(approx.nonEmpty, "ANN returned no neighbors")
+    // Same-bucket neighbors found by ANN that also rank in the exact
+    // top-5 — random data gives partial recall; require overlap > 0.
+    assert(approx.intersect(exact).nonEmpty,
+      "ANN found no overlap with exact top-k")
+  }
+
+  test("dedup finds the constructed duplicates") {
+    val exact = SparkEntry.queries("dedup_exact")(spark, sf).collect()
+    assert(exact.length == 50, "every 10th of 500 docs duplicated")
+    assert(exact.forall(_.getLong(2) == 2))
+    val jacc = SparkEntry.queries("dedup_ngram_jaccard")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // near-dup copies (d, d+200000) must be found for every 7th doc
+    val expectedNear = (0L until 500L by 7L).map(d => (d, d + 200000L)).toSet
+    assert(expectedNear.subsetOf(jacc),
+      s"missing near-dup pairs: ${expectedNear.diff(jacc).take(5)}")
+    // exact copies share all grams → jaccard 1.0 → also caught
+    val expectedExact = (0L until 500L by 10L).map(d => (d, d + 100000L)).toSet
+    assert(expectedExact.subsetOf(jacc))
+  }
+
+  test("simhash: exact duplicates collide, near-duplicates are close") {
+    val sh = SparkEntry.queries("dedup_simhash")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (d <- 0L until 500L by 10L)
+      assert(sh(d) == sh(d + 100000L), s"exact copy $d")
+    val hamming = (0L until 500L by 7L).map { d =>
+      java.lang.Long.bitCount(sh(d) ^ sh(d + 200000L))
+    }
+    assert(hamming.sum.toDouble / hamming.size <= 2.0,
+      s"near-dup mean hamming too high: ${hamming.sum.toDouble / hamming.size}")
+  }
+
+  test("multimodal decode is deterministic and batch-size independent") {
+    val media = Multimodal.mediaFromDocuments(spark, sf)
+    val a = Multimodal.decodeFeatures(media, batchSize = 64)
+      .collect().sortBy(_.doc_id).toSeq
+    val b = Multimodal.decodeFeatures(media, batchSize = 7)
+      .collect().sortBy(_.doc_id).toSeq
+    assert(a == b)
+    assert(a.forall(f => f.byte_len > 0 && f.width >= 16 && f.height >= 16))
+    assert(a.exists(_.n_frames > 1), "video rows should have frames")
+  }
+}
