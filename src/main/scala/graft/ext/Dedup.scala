@@ -202,23 +202,24 @@ object Dedup {
     Q("dedup_simhash",
       (s, d) => {
         import s.implicits._
+        // One aggregation, 16 vote columns — no bit explode: the
+        // (doc, token) rows carry a 16-bit token hash value and each
+        // bit contributes ±1 to its position's vote. Map-side partial
+        // aggregation collapses to one row per doc before the shuffle.
         val toks = corpus(s, d)
           .select($"doc_id", explode(split(norm($"text"), " ")).as("tok"))
           .distinct()
-          .withColumn("hex4", substring(md5($"tok"), 1, 4))
-        val bits = toks
-          .select($"doc_id", $"hex4",
-            explode(sequence(lit(0), lit(15))).as("p"))
-          .selectExpr("doc_id", "p",
-            "instr('0123456789abcdef', substr(hex4, (p div 4) + 1, 1)) - 1 AS v")
-          .selectExpr("doc_id", "p",
-            "(2 * ((shiftright(v, 3 - (p % 4))) & 1)) - 1 AS vote")
-        bits.groupBy($"doc_id", $"p")
-          .agg(sum($"vote").as("votes"))
           .selectExpr("doc_id",
-            "CASE WHEN votes > 0 THEN shiftleft(1, p) ELSE 0 END AS bitval")
-          .groupBy($"doc_id")
-          .agg(sum($"bitval").cast("long").as("simhash"))
+            "cast(conv(substr(md5(tok), 1, 4), 16, 10) as int) AS v16")
+        val votes = (0 until 16).map(p =>
+          sum(expr(s"2 * ((shiftright(v16, ${15 - p})) & 1) - 1"))
+            .as(s"vote$p"))
+        val simhash = (0 until 16).map(p =>
+          expr(s"CASE WHEN vote$p > 0 THEN shiftleft(1, $p) ELSE 0 END"))
+          .reduce(_ + _)
+        toks.groupBy($"doc_id")
+          .agg(votes.head, votes.tail: _*)
+          .select($"doc_id", simhash.cast("long").as("simhash"))
       },
       Some(s"""WITH $corpusSql,
         toks AS (

@@ -22,33 +22,40 @@ import graft.{Q, Tables}
   */
 object Similarity {
 
-  /** Cosine similarity between two Array[Float] columns, computed as
-    * an ordered left-to-right fold in double precision. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
+  /** Ordered-fold double dot product — codegen'd native expression
+    * (graft.functions.FloatVecDot); bit-identical to the
+    * aggregate(zip_with(...)) formulation the oracle mirrors. */
+  def dot(a: Column, b: Column): Column =
+    graft.functions.NativeFunctions.floatVecDot(a, b)
+
+  /** Cosine similarity between two Array[Float] columns. */
+  def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
 
   /** Oracle fragment: the same dot product as a correlated ordered sum. */
   private def dotSql(a: String, b: String): String =
     s"""(SELECT SUM(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))
         FROM generate_series(1, 64) t(i))"""
 
-  /** Deterministic ±1 hyperplane component for plane j, dim i:
-    * parity of the first hex digit of md5("j_i"). */
-  private def planeComponent(j: Int, i: Column): Column =
-    when(conv(substring(md5(concat(lit(s"${j}_"), i)), 1, 1), 16, 10)
-      .cast("int") % 2 === 0, 1.0).otherwise(-1.0)
+  /** Deterministic ±1 hyperplane for plane j: component i is the
+    * parity of the first hex digit of md5("j_i"). Computed once on
+    * the driver and shipped as a literal vector — the per-row md5
+    * formulation evaluates 256 interpreted hashes per vector. */
+  private def plane(j: Int, dims: Int = 64): Array[Float] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    (1 to dims).map { i =>
+      val hex = digest.digest(s"${j}_$i".getBytes("UTF-8"))
+      val firstDigit = (hex(0) >> 4) & 0xf
+      if (firstDigit % 2 == 0) 1.0f else -1.0f
+    }.toArray
+  }
 
-  /** Sign-random-projection signature (nPlanes bits) of a vector. */
+  /** Sign-random-projection signature (nPlanes bits) of a vector:
+    * one codegen'd dot per plane against the literal hyperplane. */
   def lshSignature(vec: Column, nPlanes: Int = 4): Column = {
     val bits = (0 until nPlanes).map { j =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(1), lit(64)),
-          (v, i) => v.cast("double") * planeComponent(j, i)),
-        lit(0.0), (acc, x) => acc + x)
+      val proj = graft.functions.NativeFunctions.floatVecDot(
+        vec, typedLit(plane(j)))
       when(proj >= 0, shiftleft(lit(1), j)).otherwise(0)
     }
     bits.reduce(_ + _)
@@ -61,14 +68,17 @@ object Similarity {
     Q("sim_cosine_topk",
       (s, d) => {
         import s.implicits._
+        // norms precomputed per row — one dot per pair in the scan
         val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+          .withColumn("nrm", sqrt(dot($"embedding", $"embedding")))
         val queries = emb.filter($"vec_id" % 97 === 0)
-          .select($"vec_id".as("qid"), $"embedding".as("qemb"))
+          .select($"vec_id".as("qid"), $"embedding".as("qemb"),
+            $"nrm".as("qnrm"))
         val w = Window.partitionBy($"qid")
           .orderBy($"cos".desc, $"vec_id")
         emb.crossJoin(broadcast(queries))
           .filter($"vec_id" =!= $"qid")
-          .withColumn("cos", cosine($"qemb", $"embedding"))
+          .withColumn("cos", dot($"qemb", $"embedding") / ($"qnrm" * $"nrm"))
           .withColumn("rank", row_number().over(w))
           .filter($"rank" <= 5)
           .select($"qid", $"rank", $"vec_id".as("neighbor_id"))
@@ -100,10 +110,12 @@ object Similarity {
         val aug = emb.unionByName(
           emb.filter($"vec_id" % 20 === 0)
             .select(($"vec_id" + 100000L).as("vec_id"), $"label", $"embedding"))
+          .withColumn("nrm", sqrt(dot($"embedding", $"embedding")))
         aug.as("a").join(aug.as("b"),
             col("a.label") === col("b.label") &&
             col("a.vec_id") < col("b.vec_id"))
-          .withColumn("cos", cosine(col("a.embedding"), col("b.embedding")))
+          .withColumn("cos", dot(col("a.embedding"), col("b.embedding")) /
+            (col("a.nrm") * col("b.nrm")))
           .filter($"cos" > 0.95)
           .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       },
@@ -134,6 +146,7 @@ object Similarity {
         emb.join(broadcast(queries), "bucket")
           .filter($"vec_id" =!= $"qid")
           .withColumn("cos", cosine($"qemb", $"embedding"))
+          // cosine (not the norm-joined form): bucket rows are few
           .withColumn("rank", row_number().over(w))
           .filter($"rank" <= 5)
           .select($"qid", $"rank", $"vec_id".as("neighbor_id"))

@@ -1,0 +1,140 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.parity.RefText
+
+/** Native Catalyst expressions for the hot-path predicates — the v2
+  * surface SURVEY.md §2.9/§7.3 calls for: unlike a Scala UDF, a
+  * codegen'd Expression participates in whole-stage codegen (no
+  * serialization boundary, no InternalRow→Row conversion per call).
+  *
+  * The semantics delegate to the golden-tested [[RefText]] port; only
+  * the evaluation plumbing is Catalyst-specific.
+  */
+case class IsNumericToken(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "farm_is_numeric_token_native"
+
+  override def nullSafeEval(input: Any): Any =
+    RefText.isNumericToken(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.parity.RefText.isNumericToken($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** starts_with_name as a codegen'd expression (the most frequently
+  * evaluated predicate in the pipeline: three call sites per line). */
+case class StartsWithName(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "farm_starts_with_name_native"
+
+  override def nullSafeEval(input: Any): Any =
+    RefText.startsWithName(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.parity.RefText.startsWithName($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Dot product of two Array[Float] columns in double precision —
+  * an ordered left-to-right fold, bit-identical to
+  * `aggregate(zip_with(a, b, (x,y) => double(x)*double(y)), 0.0, +)`
+  * but codegen'd: the higher-order-function route is CodegenFallback
+  * (interpreted, per-element boxing), which dominates pairwise
+  * similarity scans. */
+case class FloatVecDot(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "float_vec_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      sum += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val sum = ctx.freshName("sum")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $sum = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          $sum += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+        }
+        ${ev.value} = $sum;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object NativeFunctions {
+
+  def floatVecDot(a: Column, b: Column): Column =
+    ColumnBridge.column(FloatVecDot(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def isNumericToken(c: Column): Column =
+    ColumnBridge.column(IsNumericToken(ColumnBridge.expression(c)))
+  def startsWithName(c: Column): Column =
+    ColumnBridge.column(StartsWithName(ColumnBridge.expression(c)))
+
+  /** SQL registration (native expressions, not UDFs). */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction("farm_is_numeric_token_native",
+      exprs => IsNumericToken(exprs.head), "builtin")
+    registry.createOrReplaceTempFunction("farm_starts_with_name_native",
+      exprs => StartsWithName(exprs.head), "builtin")
+  }
+}
+
+/** Session-extension entry point: wire the engine's native functions
+  * into any SparkSession via
+  * `.withExtensions(new GraftExtensions)` or the
+  * `spark.sql.extensions=graft.functions.GraftExtensions` conf.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    ext.injectFunction((FunctionIdentifier("farm_is_numeric_token_native"),
+      new ExpressionInfo(classOf[IsNumericToken].getName,
+        "farm_is_numeric_token_native"),
+      (exprs: Seq[Expression]) => IsNumericToken(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("farm_starts_with_name_native"),
+      new ExpressionInfo(classOf[StartsWithName].getName,
+        "farm_starts_with_name_native"),
+      (exprs: Seq[Expression]) => StartsWithName(exprs.head)))
+  }
+}

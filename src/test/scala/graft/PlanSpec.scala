@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.QueryExecution
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions — the scale contract (SURVEY.md §7.4-7).
+  * These pin the properties that matter at 100 TB: predicate/column
+  * pushdown reaching the parquet scan, small dimensions broadcast
+  * (no shuffle of the fact side), whole-stage codegen over the
+  * narrow stages, and no cartesian products outside the explicitly
+  * broadcast query sets.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf)
+      .queryExecution.executedPlan.toString
+
+  private def formatted(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("filter+projection are pushed into the parquet scan") {
+    val f = formatted("rel_filter_proj")
+    assert(f.contains("PushedFilters:"), f)
+    assert(f.contains("GreaterThan(l_discount,0.05)"), "discount filter pushed")
+    assert(f.contains("LessThan(l_quantity,10.0)"), "quantity filter pushed")
+    // Only the needed columns are read (pruned ReadSchema)
+    val readSchema = f.linesIterator.filter(_.contains("ReadSchema:")).next()
+    assert(!readSchema.contains("l_tax") && !readSchema.contains("l_returnflag"),
+      readSchema)
+  }
+
+  test("small dimensions are broadcast in join queries") {
+    for (q <- Seq("rel_top_revenue_orders", "rel_revenue_by_nation",
+                  "rel_profit_by_nation_year", "rel_top_returned_customers"))
+      assert(plan(q).contains("BroadcastHashJoin"), s"$q should broadcast dims")
+  }
+
+  test("top-k queries use TakeOrderedAndProject, not a global sort") {
+    for (q <- Seq("rel_top_revenue_orders", "rel_top_returned_customers"))
+      assert(plan(q).contains("TakeOrderedAndProject"), q)
+  }
+
+  test("narrow stages run inside whole-stage codegen") {
+    for (q <- Seq("rel_pricing_summary", "txt_token_stats", "txt_fingerprint")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      // AQE finalizes (and codegen-wraps) stages only at execution —
+      // and only on this Dataset's own QueryExecution (a write would
+      // plan a fresh one).
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      // codegen'd stages render as "WholeStageCodegen" pre-AQE and as
+      // "*(n)" stage markers in a finalized adaptive plan
+      assert(p.contains("WholeStageCodegen") || p.contains("*("), q)
+    }
+  }
+
+  test("similarity brute force broadcasts only the query side") {
+    val p = plan("sim_cosine_topk")
+    assert(p.contains("Broadcast"), "query set must be broadcast")
+    val pAnn = plan("sim_ann_lsh")
+    assert(pAnn.contains("BroadcastHashJoin"),
+      "ANN probe should be an equi-join on bucket, broadcasting queries")
+  }
+
+  test("dedup operators shuffle on derived keys, never cross-join") {
+    for (q <- Seq("dedup_exact", "dedup_minhash_sig", "dedup_lsh_pairs",
+                  "dedup_ngram_jaccard", "dedup_simhash")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q must not cross-join")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q must not nested-loop")
+    }
+  }
+
+  test("record assembly has exactly one exchange (the column grouping)") {
+    import org.apache.spark.sql.functions._
+    val blocks = graft.sources.BlockSource.fromRows(spark,
+      Seq(("d", 0L, "LINE", "John Smith, 40", 1, 0.1, 0.1)))
+    val records = graft.parity.FarmPipeline.assembleRecords(
+      graft.parity.FarmPipeline.linesFromBlocks(blocks))
+    val exchanges = records.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1,
+      s"expected a single shuffle for the fold, got $exchanges")
+  }
+}

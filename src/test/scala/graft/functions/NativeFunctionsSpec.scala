@@ -1,0 +1,88 @@
+package graft.functions
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.jdk.CollectionConverters._
+
+import graft.parity.{ColumnStructure, FarmPipeline, RefText}
+import graft.sources.BlockSource
+
+class NativeFunctionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .withExtensions(new GraftExtensions)
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val mapper = new ObjectMapper()
+
+  private def golden(name: String) = {
+    val in = getClass.getResourceAsStream(s"/goldens/$name")
+    require(in != null, s"missing golden $name")
+    mapper.readTree(in).elements().asScala.toSeq
+  }
+
+  test("codegen IsNumericToken matches reference goldens through SQL") {
+    import spark.implicits._
+    val cases = golden("is_numeric_token.json")
+      .map(c => (c.get("in").asText(), c.get("out").asBoolean()))
+    val df = cases.toDF("tok", "expected")
+    // through the extension-registered SQL function (codegen path)
+    df.createOrReplaceTempView("toks")
+    val bad = spark.sql(
+      "SELECT tok FROM toks WHERE farm_is_numeric_token_native(tok) <> expected")
+    assert(bad.count() == 0, bad.collect().mkString(","))
+  }
+
+  test("codegen StartsWithName matches reference goldens via Column API") {
+    import spark.implicits._
+    val cases = golden("starts_with_name.json")
+      .map(c => (c.get("in").asText(), c.get("out").asBoolean()))
+    val df = cases.toDF("line", "expected")
+    val bad = df.filter(
+      NativeFunctions.startsWithName($"line") =!= $"expected")
+    assert(bad.count() == 0, bad.collect().mkString(","))
+  }
+
+  test("expressions stay inside whole-stage codegen") {
+    import spark.implicits._
+    // a file-backed scan: a local Seq would be constant-folded away
+    val df = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(NativeFunctions.startsWithName($"text") ||
+        NativeFunctions.isNumericToken($"text"))
+      .select($"doc_id")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*("), plan)
+    assert(plan.contains("farm_"), s"native expr missing from plan: $plan")
+  }
+
+  test("distributed column-threshold histogram matches reference") {
+    val cases = {
+      val in = getClass.getResourceAsStream("/goldens/analyze_column_structure.json")
+      require(in != null)
+      mapper.readTree(in).elements().asScala.toSeq
+    }
+    val rows = cases.zipWithIndex.flatMap { case (c, di) =>
+      c.get("blocks").elements().asScala.zipWithIndex.map { case (b, bi) =>
+        val bb = b.get("Geometry").get("BoundingBox")
+        (s"doc$di", bi.toLong, b.get("BlockType").asText(),
+          b.get("Text").asText(), b.get("Page").asInt(),
+          bb.get("Left").asDouble(), bb.get("Top").asDouble())
+      }
+    }.toSeq
+    val lines = FarmPipeline.linesFromBlocks(BlockSource.fromRows(spark, rows))
+    val got = ColumnStructure.columnThresholds(lines)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    for ((c, di) <- cases.zipWithIndex) {
+      val want = c.get("out").asDouble()
+      val gotV = got.getOrElse(s"doc$di", 0.5)
+      assert(math.abs(gotV - want) < 1e-12, s"doc$di: got $gotV want $want")
+    }
+  }
+}

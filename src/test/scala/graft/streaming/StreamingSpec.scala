@@ -1,0 +1,90 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("streaming farm pipeline processes new documents end-to-end") {
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("blocks").toFile
+    val ckpt = Files.createTempDirectory("ckpt").toFile
+    val outDir = Files.createTempDirectory("csv").toFile
+    val doc =
+      """{"BlockType":"LINE","Text":"John A. Smith, 40, 120, 1500, 75, 300","Page":1,"Geometry":{"BoundingBox":{"Left":0.1,"Top":0.1,"Width":0.1,"Height":0.01}}}
+        |{"BlockType":"LINE","Text":"Seymour Grady, 25, -, -","Page":1,"Geometry":{"BoundingBox":{"Left":0.1,"Top":0.15,"Width":0.1,"Height":0.01}}}
+        |{"BlockType":"LINE","Text":"800, 40, 150","Page":1,"Geometry":{"BoundingBox":{"Left":0.12,"Top":0.17,"Width":0.1,"Height":0.01}}}""".stripMargin
+    Files.writeString(new java.io.File(inDir, "doc1.json").toPath, doc)
+    val q = StreamingOps.farmStream(spark, inDir.getAbsolutePath + "/*.json",
+      ckpt.getAbsolutePath, outDir.getAbsolutePath)
+    q.awaitTermination(60000)
+    val csvs = spark.read.option("header", true)
+      .csv(outDir.getAbsolutePath + "/batch_0")
+    val rows = csvs.collect()
+    assert(rows.length == 2)
+    val grady = rows.find(_.getAs[String]("Name") == "Seymour Grady").get
+    assert(grady.getAs[String]("Acres of Improved Land") == "800")
+    assert(grady.getAs[String]("Value of Livestock") == "25")
+  }
+
+  test("watermarked windowed aggregation over a memory stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+    val out = StreamingOps.windowedCounts(events)
+    val q = out.writeStream.format("memory").queryName("win")
+      .outputMode("append").start()
+    mem.addData(
+      (ts("2024-01-01 10:05:00"), "click", 1.0),
+      (ts("2024-01-01 10:45:00"), "click", 2.0),
+      (ts("2024-01-01 11:05:00"), "view", 3.0),
+      (ts("2024-01-01 14:00:00"), "late-watermark-advancer", 0.0))
+    q.processAllAvailable()
+    val got = spark.table("win").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("window_start").toString,
+        r.getAs[String]("event_type"), r.getAs[Long]("n_events")))
+      .toSet
+    assert(got.contains(("2024-01-01 10:00:00.0", "click", 2L)))
+    assert(got.contains(("2024-01-01 11:00:00.0", "view", 1L)))
+    q.stop()
+  }
+
+  test("stateful sessionization carries state across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val events = mem.toDS()
+      .map { case (u, t, v) => StreamingOps.Event(u, t, v) }
+    val out = StreamingOps.sessionize(events)
+    val q = out.writeStream.format("memory").queryName("sess")
+      .outputMode("update").start()
+    mem.addData((1L, ts("2024-01-01 10:00:00"), 1.0),
+                (1L, ts("2024-01-01 10:10:00"), 2.0))
+    q.processAllAvailable()
+    // second batch: same session continues, then a gap opens a new one
+    mem.addData((1L, ts("2024-01-01 10:20:00"), 3.0))
+    q.processAllAvailable()
+    mem.addData((1L, ts("2024-01-01 12:00:00"), 4.0))
+    q.processAllAvailable()
+    val updates = spark.table("sess").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // session 1 grew to 3 events across batches; session 2 restarted
+    assert(updates.contains((1L, 1L, 3L, 6.0)), updates.mkString(","))
+    assert(updates.contains((1L, 2L, 1L, 4.0)), updates.mkString(","))
+    q.stop()
+  }
+}

@@ -191,3 +191,20 @@ for fname, blocks in fixtures.items():
     golden[fname] = {"blocks": blocks, "csv_rows": rows}
 dump("pipeline_fixtures.json", golden)
 print("all goldens written to", os.path.abspath(OUT))
+
+# analyze_column_structure golden vectors (dead-code histogram op)
+acs_cases = []
+for seed in range(40):
+    r2 = random.Random(1000 + seed)
+    nblocks = r2.choice([3, 8, 12, 30, 80])
+    spread = r2.choice([0.05, 0.3, 0.9])
+    blocks = []
+    for _ in range(nblocks):
+        left = round(min(0.99, r2.random() * spread + (0.5 if r2.random() < 0.5 else 0.0)), 4)
+        blocks.append(mkblock(rand_line(), 1, left, round(r2.random(), 4)))
+    acs_cases.append({
+        "lefts": [b["Geometry"]["BoundingBox"]["Left"] for b in blocks
+                  if b["Geometry"]["BoundingBox"] is not None],
+        "blocks": blocks,
+        "out": ns["analyze_column_structure"](blocks)})
+dump("analyze_column_structure.json", acs_cases)
