@@ -15,6 +15,7 @@ object SparkEntry {
   /** Full registry, in stable declaration order. */
   val registry: Seq[Q] =
     core.Relational.all ++
+    core.Advanced.all ++
     ext.EventsOps.all ++
     ext.TextAnalysis.all ++
     ext.Dedup.all ++

@@ -151,6 +151,45 @@ object Similarity {
           .filter($"rank" <= 5)
           .select($"qid", $"rank", $"vec_id".as("neighbor_id"))
       },
+      None),
+
+    // ------------------------------------------------------------------
+    // ANN via IVF (inverted-file index): corpus assigned once to its
+    // nearest of K deterministic centroids (one broadcast pass);
+    // queries probe their 2 nearest cells only. The coarse quantizer
+    // shape that scales to 10⁹ vectors — cell assignment is a narrow
+    // map, candidate generation a bucket equi-join. Approximate →
+    // rows-only check; recall pinned by ExtSpec.
+    Q("sim_ann_ivf",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+        // deterministic coarse centroids: the 16 lowest-id vectors
+        val cents = emb.filter($"vec_id" < 16)
+          .select($"vec_id".as("cid"), $"embedding".as("cemb"))
+        def nearestCells(vecs: DataFrame, n: Int): DataFrame = {
+          val wAssign = Window.partitionBy(col("vec_id"))
+            .orderBy(col("cos").desc, col("cid"))
+          vecs.crossJoin(broadcast(cents))
+            .withColumn("cos", cosine(col("embedding"), col("cemb")))
+            .withColumn("crank", row_number().over(wAssign))
+            .filter(col("crank") <= n)
+            .select(col("vec_id"), col("cid"))
+        }
+        val assigned = nearestCells(emb, 1)
+          .join(emb, "vec_id")
+        val probes = nearestCells(
+          emb.filter($"vec_id" % 97 === 0), 2)
+          .join(emb, "vec_id")
+          .select($"vec_id".as("qid"), $"cid", $"embedding".as("qemb"))
+        val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
+        assigned.join(broadcast(probes), "cid")
+          .filter($"vec_id" =!= $"qid")
+          .withColumn("cos", cosine($"qemb", $"embedding"))
+          .withColumn("rank", row_number().over(w))
+          .filter($"rank" <= 5)
+          .select($"qid", $"rank", $"vec_id".as("neighbor_id"))
+      },
       None)
   )
 }

@@ -1,0 +1,59 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, Tables}
+
+class AdvancedSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("approx_count_distinct within 5% of exact") {
+    import spark.implicits._
+    val approx = SparkEntry.queries("rel_approx_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy($"l_returnflag")
+      .agg(countDistinct($"l_orderkey"), countDistinct($"l_partkey"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for ((flag, (eo, ep)) <- exact) {
+      val (ao, ap) = approx(flag)
+      assert(math.abs(ao - eo).toDouble / eo <= 0.05, s"$flag orders: $ao vs $eo")
+      assert(math.abs(ap - ep).toDouble / ep <= 0.05, s"$flag parts: $ap vs $ep")
+    }
+  }
+
+  test("saltedJoin equals the plain join") {
+    import spark.implicits._
+    val orders = Tables.orders(spark, sf)
+    val cust = Tables.customer(spark, sf)
+      .withColumnRenamed("c_custkey", "o_custkey")
+    val plain = orders.join(cust, Seq("o_custkey"))
+      .select($"o_orderkey", $"c_name")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val salted = Joins.saltedJoin(orders, cust, "o_custkey", factor = 8)
+      .select($"o_orderkey", $"c_name")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(salted == plain)
+    assert(plain.nonEmpty)
+  }
+
+  test("IVF ANN recall overlaps exact top-k") {
+    val exact = SparkEntry.queries("sim_cosine_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = SparkEntry.queries("sim_ann_ivf")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(ivf.nonEmpty)
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall > 0.1, s"IVF recall too low: $recall")
+  }
+}
