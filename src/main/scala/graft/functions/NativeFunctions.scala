@@ -113,9 +113,9 @@ object NativeFunctions {
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction("farm_is_numeric_token_native",
-      exprs => IsNumericToken(exprs.head), "builtin")
+      exprs => IsNumericToken(exprs.head), "internal")
     registry.createOrReplaceTempFunction("farm_starts_with_name_native",
-      exprs => StartsWithName(exprs.head), "builtin")
+      exprs => StartsWithName(exprs.head), "internal")
   }
 }
 

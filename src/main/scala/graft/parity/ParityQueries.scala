@@ -185,8 +185,12 @@ object ParityQueries {
         FROM lines l LEFT JOIN fixed f ON l.seq = f.seq""")),
 
     // ------------------------------------------------------------------
-    // Procedural parsers through the UDF surface (rows-only check —
-    // semantics pinned by golden specs instead).
+    // parse_structured_line (:258-369) through the UDF, over the
+    // restricted shape "Word1 Word2, <n>, -, <m>" (the corpus is pure
+    // lowercase alpha — verified — so the name scan never hits a
+    // digit). Oracle replays the positional layout for that shape:
+    // two numeric values present → the single-value heuristic does
+    // not fire.
     Q("par_parse_structured_line",
       (s, d) => {
         import s.implicits._
@@ -198,8 +202,22 @@ object ParityQueries {
           .select($"doc_id", $"parsed._1".as("name"),
             concat_ws("|", $"parsed._2").as("numbers"))
       },
-      None),
+      Some("""SELECT doc_id,
+        upper(substr(t1, 1, 1)) || substr(t1, 2) || ' ' ||
+          upper(substr(t2, 1, 1)) || substr(t2, 2) AS name,
+        CAST(n_chars AS VARCHAR) || '|-|' ||
+          CAST(doc_id % 1000 AS VARCHAR) || '|-|-' AS numbers
+        FROM (SELECT doc_id, n_chars,
+          string_split_regex(trim(text), '\s+')[1] AS t1,
+          string_split_regex(trim(text), '\s+')[2] AS t2
+        FROM documents) x""")),
 
+    // ------------------------------------------------------------------
+    // extract_continuation_numbers (:374-414) through the UDF; the
+    // oracle replicates the per-part chain (dash → cleaned numeric →
+    // first \b\d{1,6}\b → '-') for the constructed line. Note the
+    // dollar amount's own thousands-comma splits it into two parts,
+    // exercising the mixed-content fallback.
     Q("par_extract_continuation",
       (s, d) => {
         import s.implicits._
@@ -209,6 +227,28 @@ object ParityQueries {
           .select($"doc_id", concat_ws("|",
             FarmFunctions.extractContinuationUdf(line)).as("extracted"))
       },
-      None)
+      Some("""SELECT doc_id, array_to_string(list_transform(
+          string_split(CAST(n_chars AS VARCHAR) || ', -, $' ||
+            format('{:,}', (doc_id * 7) % 10000) || ', x', ','),
+          x -> CASE
+            WHEN trim(x) IN ('-', '—', '–', '') THEN '-'
+            WHEN regexp_full_match(
+                   trim(replace(replace(replace(trim(x), ',', ''), '$', ''), '-', '')),
+                   '\d+(\.\d+)?')
+              OR regexp_full_match(replace(trim(x), '-', ''),
+                   '\$?\d[\d,]*([.]\d+)?')
+            THEN CASE
+              WHEN length(replace(trim(replace(replace(trim(x), ',', ''), '$', '')), '.', '')) > 0
+                AND regexp_full_match(
+                      replace(trim(replace(replace(trim(x), ',', ''), '$', '')), '.', ''),
+                      '\d+')
+              THEN trim(replace(replace(trim(x), ',', ''), '$', ''))
+              ELSE '-' END
+            ELSE CASE
+              WHEN regexp_extract(trim(x), '\b(\d{1,6})\b', 1) <> ''
+              THEN regexp_extract(trim(x), '\b(\d{1,6})\b', 1)
+              ELSE '-' END
+          END), '|') AS extracted
+        FROM documents"""))
   )
 }

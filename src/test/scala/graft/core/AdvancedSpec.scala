@@ -47,6 +47,31 @@ class AdvancedSpec extends AnyFunSuite {
     assert(plain.nonEmpty)
   }
 
+  test("asofJoin matches the naive max_by formulation") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"value")
+    val got = Joins.asofJoin(purchases, clicks, "user_id", "ts",
+        Seq("value"))
+      .select($"event_id", $"asof_value")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    // naive: left join on user & click.ts <= purchase.ts, take latest
+    val naive = purchases.as("p").join(clicks.as("c"),
+        $"p.user_id" === $"c.user_id" && $"c.ts" <= $"p.ts", "left")
+      .groupBy($"event_id")
+      .agg(expr("max_by(c.value, c.ts)").as("v"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(got.keySet == naive.keySet)
+    val diffs = got.filter { case (k, v) => naive(k) != v }
+    assert(diffs.isEmpty, s"${diffs.take(5)}")
+    assert(got.values.exists(_ != null))
+  }
+
   test("IVF ANN recall overlaps exact top-k") {
     val exact = SparkEntry.queries("sim_cosine_topk")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet

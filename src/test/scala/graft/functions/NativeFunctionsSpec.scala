@@ -11,12 +11,20 @@ import graft.sources.BlockSource
 
 class NativeFunctionsSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .withExtensions(new GraftExtensions)
-    .config("spark.sql.shuffle.partitions", 4)
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    // withExtensions only applies when this builder creates the
+    // session; under sbt the suites share one JVM and getOrCreate may
+    // return an earlier suite's session — register on it explicitly
+    // (the same call a non-extensions deployment uses).
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    NativeFunctions.register(s)
+    s
+  }
 
   private val mapper = new ObjectMapper()
 
