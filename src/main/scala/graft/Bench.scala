@@ -19,11 +19,22 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Two passes per query, min reported: this host shows sporadic
+    // external stalls (60–270 s hitting one random heavy query per
+    // sweep; load ~1.4 with no local processes) — the min of two
+    // passes is the steady-state number. The first pass also absorbs
+    // per-query codegen+JIT warmup.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => -1L }
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        // let the ContextCleaner release broadcasts/shuffle state
+        System.gc()
+        elapsed
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

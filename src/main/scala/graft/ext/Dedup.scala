@@ -51,7 +51,13 @@ object Dedup {
   private val normSql =
     "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
-  /** Distinct 5-char shingles per doc (explode positions + substr). */
+  /** 5-char shingles per doc (explode positions + substr). NOT
+    * deduplicated: the MinHash consumer is min-aggregated, and min is
+    * duplicate-insensitive — a distinct() here would shuffle every
+    * raw shingle string, while without it the only wide operation is
+    * the groupBy(doc_id) whose map-side combine ships one partial row
+    * per doc per partition. Callers needing set semantics (Jaccard)
+    * deduplicate their own keys. */
   def charShingles(df: DataFrame, k: Int = 5): DataFrame = {
     val n = df.sparkSession
     import n.implicits._
@@ -60,7 +66,6 @@ object Dedup {
         explode(sequence(lit(1), greatest(length($"norm") - (k - 1), lit(1))))
           .as("i"), $"norm")
       .select($"doc_id", $"norm".substr($"i", lit(k)).as("shingle"))
-      .distinct()
   }
 
   private def shinglesSql(k: Int = 5) =
