@@ -1,0 +1,32 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-table support: pre-shuffled, co-located storage so that
+  * repeated equi-joins and aggregations on the bucket key run with
+  * NO exchange at query time (SURVEY.md §7.4-7; the builder-prompt
+  * "bucketing for co-located joins" path).
+  *
+  * At 100 TB the pattern is: land fact tables bucketed by their join
+  * key once at ingest; every downstream join against a table bucketed
+  * the same way (same key, same bucket count) is exchange-free — the
+  * shuffle is paid once at write time instead of per query.
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed managed table (sorted within buckets so
+    * sort-merge joins also skip the sort). */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int = 8): Unit =
+    df.write
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .mode("overwrite")
+      .saveAsTable(table)
+
+  /** Join two same-bucketed tables on their bucket key. With aligned
+    * bucketing this plans as a zero-exchange sort-merge join. */
+  def bucketedJoin(spark: SparkSession, leftTable: String,
+                   rightTable: String, key: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), key)
+}

@@ -1,0 +1,55 @@
+package graft.core
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.Tables
+
+class BucketingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val wh = Files.createTempDirectory("warehouse").toString
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.warehouse.dir", wh)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  test("aligned bucketed tables join with zero exchanges") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    Bucketing.writeBucketed(
+      Tables.orders(spark, sf).withColumnRenamed("o_orderkey", "orderkey"),
+      "orders_b", "orderkey", buckets = 4)
+    Bucketing.writeBucketed(
+      Tables.lineitem(spark, sf).withColumnRenamed("l_orderkey", "orderkey"),
+      "lineitem_b", "orderkey", buckets = 4)
+    // forbid broadcast so the zero-exchange claim is proven on the
+    // sort-merge path (broadcast would trivially skip the shuffle)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    val joined = Bucketing.bucketedJoin(spark, "lineitem_b", "orders_b", "orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    // the join itself must not shuffle: the only exchange allowed is
+    // the final aggregation's
+    val joinSection = plan.split("HashAggregate").last
+    assert(!joinSection.contains("Exchange hashpartitioning(orderkey"),
+      s"bucketed join should not re-shuffle on the bucket key:\n$plan")
+    assert(plan.contains("SortMergeJoin"), plan)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    // correctness: equals the unbucketed join
+    val expected = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = joined.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+}
