@@ -32,7 +32,8 @@ SUFFIXES = ["Jr", "Jr.", "Sr", "sr.", "II", "iii", "IV", "v", "2nd",
 NUM_TOKENS = ["40", "1,200", "$1,200", "$1200.50", "120.5", "-", "—",
               "–", "", "0", "999999", "1234567", "12.", ".5", "1,2,3",
               "$-", "-40", "40-", "4-0", "$ 40", " 45 ", "abc", "a1",
-              "1a", "x 450 smudge", "__", "_-_", "12,345", "$12,345.67"]
+              "1a", "x 450 smudge", "__", "_-_", "12,345", "$12,345.67",
+              "٣٤", "١,٢٣", "$٣", "x٣", "٤0", "𝟒𝟎"]
 HEADERS = ["Wayne County West Virginia", "Agricultural Census 1860",
            "Name of Owner", "acres of improved land",
            "CASH VALUE of farm", "The University of North Carolina",
@@ -86,6 +87,7 @@ LINE_CASES = sorted(set(
      "x 450 smudge", "450", "", " ", "-", "—", "a, 1", "1, a",
      "Mary 40, 120", "J Smith, $1,200", "Smith", "smith jones",
      "_ _ _", "40, 40, 40, 40, 40, 40, 40",
+     "٣٤", "Smith, ٣٤", "٣٤, 40", "Grady, ١,٢٣, -", "x٣ smudge, 40",
      "Name, -, -, -, -, -", "O'Brien, 1,200, 45"] +
     [rand_line() for _ in range(500)]))
 NAME_CASES = sorted(set(
