@@ -98,7 +98,71 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Winnowing fingerprint via a polynomial rolling hash: the minimum
+  * over all k-code-point windows of
+  * `sum(cp[i+j] * B^(k-1-j)) mod M` (B=31, M=1e9+7). Evaluated in
+  * O(n) with the rolling update — each step drops the leading term
+  * and shifts — versus the O(n·k) per-window recompute a SQL engine
+  * does; the values are identical, which is what the DuckDB oracle
+  * checks. Returns null for empty input.
+  */
+case class RollingMinHash(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "rolling_min_hash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    RollingMinHash.eval(s, k)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val out = ctx.freshName("out")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      Long $out = graft.functions.RollingMinHash.eval($c.toString(), $k);
+      if ($out == null) { ${ev.isNull} = true; } else { ${ev.value} = $out; }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RollingMinHash {
+  val B = 31L
+  val M = 1000000007L
+
+  /** Shared by interpreted and generated paths. Boxed so the empty
+    * case can signal null. */
+  def eval(s: String, k: Int): java.lang.Long = {
+    val cps = s.codePoints().toArray
+    val n = cps.length
+    if (n == 0) return null
+    val w = math.min(k, n)
+    // B^(w-1) mod M for the drop-leading-term step
+    var bTop = 1L
+    var j = 1
+    while (j < w) { bTop = bTop * B % M; j += 1 }
+    var h = 0L
+    var i = 0
+    while (i < w) { h = (h * B + cps(i)) % M; i += 1 }
+    var minH = h
+    i = w
+    while (i < n) {
+      h = ((h - cps(i - w) % M * bTop % M) % M + M) % M
+      h = (h * B + cps(i)) % M
+      if (h < minH) minH = h
+      i += 1
+    }
+    minH
+  }
+}
+
 object NativeFunctions {
+
+  def rollingMinHash(c: Column, k: Int = 8): Column =
+    ColumnBridge.column(RollingMinHash(ColumnBridge.expression(c), k))
 
   def floatVecDot(a: Column, b: Column): Column =
     ColumnBridge.column(FloatVecDot(

@@ -19,9 +19,23 @@ class BucketingSpec extends AnyFunSuite {
       .getOrCreate()
   }
 
+  private def rmrf(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmrf)
+    f.delete()
+  }
+
   test("aligned bucketed tables join with zero exchanges") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.001"
+    // the in-memory catalog forgets tables between JVMs but their
+    // warehouse directories persist — clear both
+    for (t <- Seq("orders_b", "lineitem_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:")
+      val loc = new java.io.File(wh, t)
+      if (loc.exists()) rmrf(loc)
+    }
     Bucketing.writeBucketed(
       Tables.orders(spark, sf).withColumnRenamed("o_orderkey", "orderkey"),
       "orders_b", "orderkey", buckets = 4)
