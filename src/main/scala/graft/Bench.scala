@@ -19,26 +19,28 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Two passes per query, min reported: this host shows sporadic
-    // external stalls (60–270 s hitting one random heavy query per
-    // sweep; load ~1.4 with no local processes) — the min of two
-    // passes is the steady-state number. The first pass also absorbs
-    // per-query codegen+JIT warmup.
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+    // Two full sweeps, per-query min reported: this host shows
+    // sporadic multi-minute external stalls (load ~1.4 with no local
+    // processes; 60–270 s landing on whichever query is running).
+    // Whole-suite sweeps put a query's two samples minutes apart, so
+    // one stall window cannot cover both — back-to-back per-query
+    // repeats could. Sweep 1 also absorbs codegen+JIT warmup.
+    def sweep(): Map[String, Double] =
+      SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => -1L }
-        val elapsed = (System.nanoTime() - t0) / 1e9
         // let the ContextCleaner release broadcasts/shuffle state
         System.gc()
-        elapsed
+        name -> (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
-    }
+    val s1 = sweep()
+    val s2 = sweep()
+    val results = SparkEntry.queries.keys.toSeq
+      .map(n => n -> math.min(s1(n), s2(n)))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
