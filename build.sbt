@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify driver parses the forked process's stdout as JSON;
+// sbt's default LoggedOutput prefixes every line with "[info] ", which
+// breaks that parse. Inherit the parent's stdout/stderr instead.
+run / connectInput := true
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -25,23 +25,31 @@ object Bench {
     // Whole-suite sweeps put a query's two samples minutes apart, so
     // one stall window cannot cover both — back-to-back per-query
     // repeats could. Sweep 1 also absorbs codegen+JIT warmup.
+    // A failed query is recorded as -1 (excluded from the total and
+    // listed under "errors") rather than silently keeping its
+    // time-to-failure as a normal sample.
     def sweep(): Map[String, Double] =
       SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => -1L }
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: $e"); false }
         // let the ContextCleaner release broadcasts/shuffle state
         System.gc()
-        name -> (System.nanoTime() - t0) / 1e9
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
     val s1 = sweep()
     val s2 = sweep()
-    val results = SparkEntry.queries.keys.toSeq
-      .map(n => n -> math.min(s1(n), s2(n)))
+    val results = SparkEntry.queries.keys.toSeq.map { n =>
+      val (a, b) = (s1(n), s2(n))
+      n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -45,34 +45,45 @@ object Joins {
     * rows at equal timestamps (inclusive as-of); duplicate right
     * timestamps resolve to the last by input order, made
     * deterministic with a per-side sequence.
+    *
+    * Row atomicity: all right value columns travel as ONE struct and
+    * one `last(_, ignoreNulls)` carries that struct, so the output
+    * never mixes columns from different right rows (per-column
+    * carries would skip a null field back to an older row). Right
+    * rows with a null timestamp are dropped up front — they carry no
+    * as-of ordering and would otherwise sort first and leak into
+    * every left row of their key.
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                tsCol: String, rightVals: Seq[String],
                prefix: String = "asof_"): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
     val leftCols = left.columns.toSeq
+    val r0 = right
+      .select((col(key) +: col(tsCol) +: rightVals.map(col)): _*)
+      .filter(col(tsCol).isNotNull)
+    val rvType = StructType(rightVals.map(c =>
+      StructField(c, r0.schema(c).dataType, nullable = true)))
     val l = left
       .withColumn("__side", lit(1))
       .withColumn("__rseq", lit(Long.MaxValue))
-    val r0 = right.select(
-      (col(key) +: col(tsCol) +: rightVals.map(col)): _*)
-    val r = r0
-      .withColumn("__rseq", monotonically_increasing_id())
-      .withColumn("__side", lit(0))
-    // align schemas: left lacks right value cols, right lacks left cols
-    val lAligned = rightVals.foldLeft(l)((df, c) =>
-      df.withColumn(s"__rv_$c", lit(null).cast(r0.schema(c).dataType)))
-    val rAligned = leftCols.filterNot(c => c == key || c == tsCol)
-      .foldLeft(rightVals.foldLeft(r)((df, c) => df.withColumnRenamed(c, s"__rv_$c")))(
+      .withColumn("__rv", lit(null).cast(rvType))
+    val r = leftCols.filterNot(c => c == key || c == tsCol)
+      .foldLeft(
+        r0.withColumn("__rseq", monotonically_increasing_id())
+          .withColumn("__side", lit(0))
+          .withColumn("__rv", struct(rightVals.map(col): _*))
+          .select(col(key), col(tsCol), col("__side"), col("__rseq"), col("__rv")))(
         (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
-    val unioned = lAligned.unionByName(rAligned)
+    val unioned = l.unionByName(r)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(key))
       .orderBy(col(tsCol), col("__side"), col("__rseq"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val carried = rightVals.foldLeft(unioned)((df, c) =>
-      df.withColumn(s"$prefix$c",
-        last(col(s"__rv_$c"), ignoreNulls = true).over(w)))
+    val carried = unioned.withColumn("__rvc",
+      last(col("__rv"), ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)
-      .select((leftCols.map(col) ++ rightVals.map(c => col(s"$prefix$c"))): _*)
+      .select((leftCols.map(col) ++
+        rightVals.map(c => col("__rvc").getField(c).as(s"$prefix$c"))): _*)
   }
 }

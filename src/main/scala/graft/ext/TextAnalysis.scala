@@ -177,7 +177,10 @@ object TextAnalysis {
     // Rolling-hash fingerprint: min over all 8-gram windows of a
     // polynomial hash, computed O(n) by the codegen RollingMinHash
     // expression; the oracle recomputes every window the quadratic
-    // way — identical values.
+    // way — identical values. Docs shorter than 8 chars have no full
+    // window: the expression returns null and the oracle's CASE guard
+    // (over a greatest(...,1)-padded series) yields the same NULL row
+    // instead of dropping the doc.
     Q("txt_rolling_fingerprint",
       (s, d) => {
         import s.implicits._
@@ -189,16 +192,17 @@ object TextAnalysis {
             .as("rolling_fp"))
       },
       Some("""SELECT doc_id,
-        MIN((ord(substr(norm, i, 1)) * CAST(pow(31, 7) AS BIGINT)
+        MIN(CASE WHEN length(norm) >= 8 THEN
+          (ord(substr(norm, i, 1)) * CAST(pow(31, 7) AS BIGINT)
            + ord(substr(norm, i + 1, 1)) * CAST(pow(31, 6) AS BIGINT)
            + ord(substr(norm, i + 2, 1)) * CAST(pow(31, 5) AS BIGINT)
            + ord(substr(norm, i + 3, 1)) * CAST(pow(31, 4) AS BIGINT)
            + ord(substr(norm, i + 4, 1)) * CAST(pow(31, 3) AS BIGINT)
            + ord(substr(norm, i + 5, 1)) * CAST(pow(31, 2) AS BIGINT)
            + ord(substr(norm, i + 6, 1)) * 31
-           + ord(substr(norm, i + 7, 1))) % 1000000007) AS rolling_fp
+           + ord(substr(norm, i + 7, 1))) % 1000000007 END) AS rolling_fp
         FROM (SELECT doc_id, norm,
-          unnest(generate_series(1, length(norm) - 7)) AS i
+          unnest(generate_series(1, greatest(length(norm) - 7, 1))) AS i
         FROM (SELECT doc_id,
           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
                '\s+', ' ', 'g')) AS norm

@@ -104,7 +104,9 @@ case class FloatVecDot(left: Expression, right: Expression)
   * O(n) with the rolling update — each step drops the leading term
   * and shifts — versus the O(n·k) per-window recompute a SQL engine
   * does; the values are identical, which is what the DuckDB oracle
-  * checks. Returns null for empty input.
+  * checks. Returns null when the input has fewer than k code points —
+  * there is no full window, and a shrunken-window hash would neither
+  * match the k-gram formula nor be comparable across documents.
   */
 case class RollingMinHash(child: Expression, k: Int)
     extends UnaryExpression {
@@ -133,13 +135,13 @@ object RollingMinHash {
   val B = 31L
   val M = 1000000007L
 
-  /** Shared by interpreted and generated paths. Boxed so the empty
-    * case can signal null. */
+  /** Shared by interpreted and generated paths. Boxed so the
+    * no-full-window case can signal null. */
   def eval(s: String, k: Int): java.lang.Long = {
     val cps = s.codePoints().toArray
     val n = cps.length
-    if (n == 0) return null
-    val w = math.min(k, n)
+    if (n < k) return null
+    val w = k
     // B^(w-1) mod M for the drop-leading-term step
     var bTop = 1L
     var j = 1

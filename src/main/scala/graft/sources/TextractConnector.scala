@@ -68,6 +68,34 @@ object TextractConnector {
     }
   }
 
+  private def errorRow(doc: String, e: Throwable): FetchedBlock =
+    FetchedBlock(doc, -1L, null, null, 0, 0, 0,
+      error = String.valueOf(e.getMessage))
+
+  /** Wraps the lazy block iterator so an exception thrown while a
+    * downstream consumer pulls page 2+ (i.e. *outside* the try in
+    * [[fetchBlocks]], because [[blockIterator]] is lazy) is still
+    * converted into a quarantine `error` row for this document
+    * instead of failing the whole task. Emits the error row once,
+    * then terminates the document's stream. */
+  private def quarantined(doc: String, it: Iterator[FetchedBlock])
+      : Iterator[FetchedBlock] = new Iterator[FetchedBlock] {
+    private var pendingError: FetchedBlock = _
+    private var dead = false
+    def hasNext: Boolean =
+      if (dead) false
+      else if (pendingError != null) true
+      else try it.hasNext catch {
+        case e: Exception => pendingError = errorRow(doc, e); true
+      }
+    def next(): FetchedBlock =
+      if (pendingError != null) {
+        dead = true; val r = pendingError; pendingError = null; r
+      } else try it.next() catch {
+        case e: Exception => dead = true; errorRow(doc, e)
+      }
+  }
+
   /** Distributed fetch: one OCR job per document key, documents
     * spread across tasks. Per-document failures are quarantined as an
     * `error` row rather than failing the task (the reference's
@@ -94,11 +122,9 @@ object TextractConnector {
           val status = waitForJob(client, jobId, pollDelayMs, deadline)
           if (status != "SUCCEEDED")
             throw new RuntimeException(s"OCR failed with status: $status")
-          blockIterator(client, doc, jobId)
+          quarantined(doc, blockIterator(client, doc, jobId))
         } catch {
-          case e: Exception =>
-            Iterator.single(FetchedBlock(doc, -1L, null, null, 0, 0, 0,
-              error = String.valueOf(e.getMessage)))
+          case e: Exception => Iterator.single(errorRow(doc, e))
         }
       }
     }

@@ -72,6 +72,30 @@ class AdvancedSpec extends AnyFunSuite {
     assert(got.values.exists(_ != null))
   }
 
+  test("asofJoin carries right rows atomically and ignores null timestamps") {
+    import spark.implicits._
+    val left = Seq((1L, 10L), (1L, 20L)).toDF("k", "ts")
+    // Most-recent right row at ts=15 has a null in column `b`: the
+    // joined row must keep (a=3, b=null) — not mix b=2 from the older
+    // row. The null-ts right row would otherwise sort first and leak
+    // its values into every left row.
+    val right = Seq(
+      (1L, Option(5L), Option(1), Option(2)),
+      (1L, Option(15L), Option(3), Option.empty[Int]),
+      (1L, Option.empty[Long], Option(99), Option(99))
+    ).toDF("k", "ts", "a", "b")
+    val got = Joins.asofJoin(left, right, "k", "ts", Seq("a", "b"))
+      .orderBy($"ts").collect()
+      .map(r => (r.getLong(1),
+        if (r.isNullAt(2)) null else r.getInt(2),
+        if (r.isNullAt(3)) null else r.getInt(3))).toSeq
+    assert(got == Seq((10L, 1, 2), (20L, 3, null)), got.toString)
+    // no right rows at all for a key → outer nulls
+    val lonely = Joins.asofJoin(Seq((7L, 1L)).toDF("k", "ts"), right,
+      "k", "ts", Seq("a", "b")).collect()
+    assert(lonely.length == 1 && lonely(0).isNullAt(2) && lonely(0).isNullAt(3))
+  }
+
   test("IVF ANN recall overlaps exact top-k") {
     val exact = SparkEntry.queries("sim_cosine_topk")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet

@@ -70,6 +70,23 @@ class NativeFunctionsSpec extends AnyFunSuite {
     assert(plan.contains("farm_"), s"native expr missing from plan: $plan")
   }
 
+  test("RollingMinHash: null below window size, quadratic parity above") {
+    import spark.implicits._
+    val df = Seq("", "a", "abcdefg", "abcdefgh", "abcdefghi", "xyzxyzxyzxyz")
+      .toDF("s")
+      .select($"s", NativeFunctions.rollingMinHash($"s", 8).as("h"))
+    val got = df.collect().map(r =>
+      r.getString(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    // fewer than k code points → no full window → null
+    assert(got("") == null && got("a") == null && got("abcdefg") == null)
+    // quadratic recompute for the full-window cases
+    def slow(s: String, k: Int): Long =
+      s.sliding(k).map(_.foldLeft(0L)((h, c) => (h * 31 + c) % 1000000007L)).min
+    assert(got("abcdefgh") == slow("abcdefgh", 8))
+    assert(got("abcdefghi") == slow("abcdefghi", 8))
+    assert(got("xyzxyzxyzxyz") == slow("xyzxyzxyzxyz", 8))
+  }
+
   test("distributed column-threshold histogram matches reference") {
     val cases = {
       val in = getClass.getResourceAsStream("/goldens/analyze_column_structure.json")

@@ -108,6 +108,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(quarantined.length == 2)
   }
 
+  test("Textract connector: page-2 fetch failure quarantines mid-stream") {
+    import spark.implicits._
+    // fetchPage succeeds for page 1 but throws when the lazy iterator
+    // pulls page 2 — i.e. during downstream consumption, outside the
+    // per-document try. Must yield page-1 blocks + one error row for
+    // the failing doc, and leave the healthy doc untouched.
+    val flaky = new TextractConnector.OcrClient {
+      private val inner = TextractConnector.stub()
+      def startJob(doc: String): String = inner.startJob(doc)
+      def jobStatus(jobId: String): String = inner.jobStatus(jobId)
+      def fetchPage(jobId: String, token: Option[String]) = {
+        if (token.isDefined && jobId.contains("bad"))
+          throw new RuntimeException("page-2 fetch exploded")
+        inner.fetchPage(jobId, token)
+      }
+    }
+    val keys = Seq("rawfarmdata/bad.png", "rawfarmdata/ok.png").toDS()
+    val rows = TextractConnector.fetchBlocks(keys, flaky).collect()
+    val byDoc = rows.groupBy(_.doc)
+    val badRows = byDoc("rawfarmdata/bad.png")
+    assert(badRows.count(_.error != null) == 1, "one quarantine row")
+    assert(badRows.count(_.error == null) == 4, "page-1 blocks preserved")
+    assert(badRows.last.error != null, "error row terminates the doc stream")
+    assert(byDoc("rawfarmdata/ok.png").forall(_.error == null))
+    assert(byDoc("rawfarmdata/ok.png").length == 6)
+  }
+
   test("output key derivation") {
     assert(BlockSource.deriveOutputKey("rawfarmdata/page 1.png") ==
       "processedfarmdata/page 1.csv")

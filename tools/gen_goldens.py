@@ -78,7 +78,18 @@ def rand_line():
     return name + ", " + ", ".join(rand_token() for _ in range(3))
 
 
-TOKEN_CASES = sorted(set(NUM_TOKENS + NAME_WORDS +
+# Unicode-whitespace cases (OCR text commonly carries NBSP   and
+# thin space  ): Python str.split()/strip()/\s treat these as
+# whitespace; the Scala port must agree.
+UNI_WS_CASES = [
+    " 40 ", " $1,200 ", "40 ", " -",
+    "John Smith, 40", " Mary Hall, 5", "Smith Jones Jr.",
+    "A. B. Stemple", "40, 120, -", " ",
+    "  ", "800, 40, 150", "x 450 smudge",
+    " Wayne County West Virginia", "Wm. Jones (Widow Jones)",
+    " 42 ", "\x8545", "ab\x1ccd, 40", "1 200",
+]
+TOKEN_CASES = sorted(set(NUM_TOKENS + NAME_WORDS + UNI_WS_CASES +
                          [rand_token() for _ in range(300)]))
 LINE_CASES = sorted(set(
     HEADERS +
@@ -89,12 +100,15 @@ LINE_CASES = sorted(set(
      "_ _ _", "40, 40, 40, 40, 40, 40, 40",
      "٣٤", "Smith, ٣٤", "٣٤, 40", "Grady, ١,٢٣, -", "x٣ smudge, 40",
      "Name, -, -, -, -, -", "O'Brien, 1,200, 45"] +
+    UNI_WS_CASES +
     [rand_line() for _ in range(500)]))
 NAME_CASES = sorted(set(
     ["", "Smith", "John Smith", "John Smith Jr", "John Smith jr.",
      "A. B. Stemple", "Wm. Jones (Widow Jones)", "John (alias) Smith II",
      "  spaced  out  ", "one two three four five", "X Y v",
-     "Smith 2nd", "(only paren)", "Mary Hall Esq"] +
+     "Smith 2nd", "(only paren)", "Mary Hall Esq",
+     "John Smith", "Mary Hall Jr", " Wm. Jones ",
+     "A B Stemple"] +
     [" ".join(rng.sample(NAME_WORDS, rng.randint(1, 4))) +
      (" " + rng.choice(SUFFIXES) if rng.random() < 0.4 else "") +
      (" (Widow Jones)" if rng.random() < 0.3 else "")
