@@ -15,9 +15,12 @@ import graft.{Q, Tables}
   * pairwise cross-join. Candidate pairs are generated only inside LSH
   * buckets or shared-gram groups, so work scales with collision count
   * rather than corpus², which is the property that survives 100 TB
-  * (SURVEY.md §7.4-7). The portable hash is md5 (bit-identical in any
-  * engine, including the DuckDB oracle); swap in xxhash64 for pure-
-  * Spark deployments where portability is not required.
+  * (SURVEY.md §7.4-7). Portable hashes: exact dedup uses md5
+  * (bit-identical in any engine, including the DuckDB oracle);
+  * MinHash uses the explicit 31-base polynomial family of
+  * [[graft.functions.MinHashSig]] — pure integer arithmetic any
+  * engine can evaluate, and ~100× cheaper than a crypto hash per
+  * shingle.
   *
   * The corpus is `documents` augmented with deterministic exact
   * duplicates (doc_id+100000, every 10th doc) and near-duplicates
@@ -51,51 +54,64 @@ object Dedup {
   private val normSql =
     "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
-  /** 5-char shingles per doc (explode positions + substr). NOT
-    * deduplicated: the MinHash consumer is min-aggregated, and min is
-    * duplicate-insensitive — a distinct() here would shuffle every
-    * raw shingle string, while without it the only wide operation is
-    * the groupBy(doc_id) whose map-side combine ships one partial row
-    * per doc per partition. Callers needing set semantics (Jaccard)
-    * deduplicate their own keys. */
-  def charShingles(df: DataFrame, k: Int = 5): DataFrame = {
-    val n = df.sparkSession
-    import n.implicits._
-    df.withColumn("norm", norm($"text"))
+  /** 4-seed MinHash signature per doc over 5-char shingles, fused
+    * into the one-pass [[graft.functions.MinHashSig]] rolling-hash
+    * expression: signature computation is a pure narrow map — no
+    * shingle explode, no per-shingle md5, no shuffle at all. The
+    * earlier explode→4×md5→groupBy formulation allocated ~4 strings
+    * per character of corpus text and collapsed under concurrent GC
+    * pressure at high task parallelism; this form reads each document
+    * once and writes one 4-long row. Docs shorter than one shingle
+    * (norm < k code points) get a null signature — mirrored by the
+    * oracle's CASE guard — and null band hashes never join. */
+  def minhashSignatures(df: DataFrame, k: Int = 5): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select($"doc_id",
+        graft.functions.NativeFunctions.minHashSig(norm($"text"), k).as("sig"))
       .select($"doc_id",
-        explode(sequence(lit(1), greatest(length($"norm") - (k - 1), lit(1))))
-          .as("i"), $"norm")
-      .select($"doc_id", $"norm".substr($"i", lit(k)).as("shingle"))
+        $"sig".getItem(0).as("h1"), $"sig".getItem(1).as("h2"),
+        $"sig".getItem(2).as("h3"), $"sig".getItem(3).as("h4"))
   }
 
-  private def shinglesSql(k: Int = 5) =
-    s"""shingles AS (
-      SELECT DISTINCT doc_id, substr(norm, i, $k) AS shingle
-      FROM (SELECT doc_id, norm,
-              unnest(generate_series(1, greatest(length(norm) - ${k - 1}, 1))) AS i
-            FROM (SELECT doc_id, $normSql AS norm FROM corpus) y) x)"""
-
-  /** 4-seed MinHash signature per doc. */
-  def minhashSignatures(shingles: DataFrame): DataFrame =
-    shingles.groupBy(col("doc_id")).agg(
-      min(md5(concat(lit("s1"), col("shingle")))).as("h1"),
-      min(md5(concat(lit("s2"), col("shingle")))).as("h2"),
-      min(md5(concat(lit("s3"), col("shingle")))).as("h3"),
-      min(md5(concat(lit("s4"), col("shingle")))).as("h4"))
-
-  private val signaturesSql =
-    """signatures AS (
+  /** Oracle mirror of [[graft.functions.MinHashSig]] for k=5: the
+    * k-gram polynomial hash recomputed the quadratic way (31-base
+    * positional sum mod 1e9+7), then the per-seed affine min. Seeds
+    * are the literal MinHashSig.SEED_A/SEED_B values. */
+  private val signaturesSql = {
+    import graft.functions.MinHashSig.{SEED_A, SEED_B}
+    val seedMins = SEED_A.zip(SEED_B).zipWithIndex.map { case ((a, b), i) =>
+      s"MIN((CAST($a AS BIGINT) * h + $b) % 1000000007) AS h${i + 1}"
+    }.mkString(",\n        ")
+    s"""signatures AS (
       SELECT doc_id,
-        MIN(md5('s1' || shingle)) AS h1, MIN(md5('s2' || shingle)) AS h2,
-        MIN(md5('s3' || shingle)) AS h3, MIN(md5('s4' || shingle)) AS h4
-      FROM shingles GROUP BY doc_id)"""
+        $seedMins
+      FROM (SELECT doc_id,
+              CASE WHEN length(norm) >= 5 THEN
+                (CAST(ord(substr(norm, i, 1)) AS BIGINT) * 923521
+                 + CAST(ord(substr(norm, i + 1, 1)) AS BIGINT) * 29791
+                 + CAST(ord(substr(norm, i + 2, 1)) AS BIGINT) * 961
+                 + CAST(ord(substr(norm, i + 3, 1)) AS BIGINT) * 31
+                 + ord(substr(norm, i + 4, 1))) % 1000000007 END AS h
+            FROM (SELECT doc_id, norm,
+                    unnest(generate_series(1, greatest(length(norm) - 4, 1))) AS i
+                  FROM (SELECT doc_id, $normSql AS norm FROM corpus) y) x) w
+      GROUP BY doc_id)"""
+  }
 
-  /** LSH banding: 2 bands × 2 hashes; pairs sharing any band. */
+  /** LSH banding: 2 bands × 2 signature halves; pairs sharing any
+    * band. Band key is the null-propagating concat of the half's two
+    * hashes (null signature → null band → never joins). The self-join
+    * shuffles only (doc_id, band_idx, band_hash) rows — 2 per
+    * document — so candidate generation scales with collision count,
+    * never corpus². */
   def lshCandidates(signatures: DataFrame): DataFrame = {
     val s = signatures.sparkSession
     import s.implicits._
+    def bandKey(x: Column, y: Column): Column =
+      concat(x.cast("string"), lit("_"), y.cast("string"))
     val banded = signatures.select($"doc_id",
-      posexplode(array(md5(concat($"h1", $"h2")), md5(concat($"h3", $"h4")))))
+      posexplode(array(bandKey($"h1", $"h2"), bandKey($"h3", $"h4"))))
       .toDF("doc_id", "band_idx", "band_hash")
     val a = banded.as("a")
     val b = banded.as("b")
@@ -108,9 +124,13 @@ object Dedup {
 
   private val bandsSql =
     """bands AS (
-      SELECT doc_id, 0 AS band_idx, md5(h1 || h2) AS band_hash FROM signatures
+      SELECT doc_id, 0 AS band_idx,
+        CAST(h1 AS VARCHAR) || '_' || CAST(h2 AS VARCHAR) AS band_hash
+      FROM signatures
       UNION ALL
-      SELECT doc_id, 1 AS band_idx, md5(h3 || h4) AS band_hash FROM signatures),
+      SELECT doc_id, 1 AS band_idx,
+        CAST(h3 AS VARCHAR) || '_' || CAST(h4 AS VARCHAR) AS band_hash
+      FROM signatures),
     candidates AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
@@ -134,17 +154,17 @@ object Dedup {
         FROM corpus GROUP BY md5(text) HAVING COUNT(*) > 1""")),
 
     // ------------------------------------------------------------------
-    // MinHash signatures (shingle → 4-seed min-hash).
+    // MinHash signatures (shingle → 4-seed min-hash, one-pass fused).
     Q("dedup_minhash_sig",
-      (s, d) => minhashSignatures(charShingles(corpus(s, d))),
-      Some(s"""WITH $corpusSql, ${shinglesSql()}, $signaturesSql
+      (s, d) => minhashSignatures(corpus(s, d)),
+      Some(s"""WITH $corpusSql, $signaturesSql
         SELECT doc_id, h1, h2, h3, h4 FROM signatures""")),
 
     // ------------------------------------------------------------------
     // LSH candidate pairs (band → bucket-join).
     Q("dedup_lsh_pairs",
-      (s, d) => lshCandidates(minhashSignatures(charShingles(corpus(s, d)))),
-      Some(s"""WITH $corpusSql, ${shinglesSql()}, $signaturesSql, $bandsSql
+      (s, d) => lshCandidates(minhashSignatures(corpus(s, d))),
+      Some(s"""WITH $corpusSql, $signaturesSql, $bandsSql
         SELECT doc_a, doc_b FROM candidates""")),
 
     // ------------------------------------------------------------------

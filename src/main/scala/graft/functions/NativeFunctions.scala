@@ -131,6 +131,84 @@ case class RollingMinHash(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Multi-seed MinHash signature over k-code-point shingles, fused
+  * into one pass: the k-gram polynomial rolling hash h_i (B=31,
+  * M=1e9+7) is computed once per window, and each seed s keeps
+  * `min_i (a_s * h_i + b_s) mod M` — the classic universal-hash
+  * MinHash family. Replaces the explode(shingles) → 4×md5 → groupBy
+  * formulation: same signature semantics, but a pure narrow map (no
+  * shuffle, no per-shingle string allocation), which is what survives
+  * a 100 TB corpus. Returns null when the input has fewer than k code
+  * points (no full shingle window).
+  */
+case class MinHashSig(child: Expression, k: Int)
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, LongType}
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(input: Any): Any = {
+    val r = MinHashSig.eval(input.asInstanceOf[UTF8String].toString, k)
+    if (r == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(r)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val out = ctx.freshName("out")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      long[] $out = graft.functions.MinHashSig.eval($c.toString(), $k);
+      if ($out == null) { ${ev.isNull} = true; }
+      else { ${ev.value} =
+        new org.apache.spark.sql.catalyst.util.GenericArrayData($out); }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  import RollingMinHash.{B, M}
+  /** Affine seeds (a_s, b_s); mirrored literally in the DuckDB oracle
+    * SQL (Dedup.signaturesSql). a_s < M keeps a_s * h < M² < 2^63. */
+  val SEED_A: Array[Long] = Array(1000003L, 1000033L, 1000211L, 1000231L)
+  val SEED_B: Array[Long] = Array(7L, 11L, 13L, 17L)
+
+  def eval(s: String, k: Int): Array[Long] = {
+    val cps = s.codePoints().toArray
+    val n = cps.length
+    if (n < k) return null
+    val nSeeds = SEED_A.length
+    val mins = Array.fill(nSeeds)(Long.MaxValue)
+    var bTop = 1L
+    var j = 1
+    while (j < k) { bTop = bTop * B % M; j += 1 }
+    var h = 0L
+    var i = 0
+    while (i < k) { h = (h * B + cps(i)) % M; i += 1 }
+    var w = 0
+    while (w < nSeeds) {
+      val v = (SEED_A(w) * h + SEED_B(w)) % M
+      if (v < mins(w)) mins(w) = v
+      w += 1
+    }
+    i = k
+    while (i < n) {
+      h = ((h - cps(i - k) % M * bTop % M) % M + M) % M
+      h = (h * B + cps(i)) % M
+      w = 0
+      while (w < nSeeds) {
+        val v = (SEED_A(w) * h + SEED_B(w)) % M
+        if (v < mins(w)) mins(w) = v
+        w += 1
+      }
+      i += 1
+    }
+    mins
+  }
+}
+
 object RollingMinHash {
   val B = 31L
   val M = 1000000007L
@@ -165,6 +243,9 @@ object NativeFunctions {
 
   def rollingMinHash(c: Column, k: Int = 8): Column =
     ColumnBridge.column(RollingMinHash(ColumnBridge.expression(c), k))
+
+  def minHashSig(c: Column, k: Int = 5): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(c), k))
 
   def floatVecDot(a: Column, b: Column): Column =
     ColumnBridge.column(FloatVecDot(

@@ -61,6 +61,19 @@ class ExtSpec extends AnyFunSuite {
     assert(expectedExact.subsetOf(jacc))
   }
 
+  test("minhash/LSH: identical docs share signatures and candidate pairs") {
+    val sig = SparkEntry.queries("dedup_minhash_sig")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    for (d <- 0L until 500L by 10L)
+      assert(sig(d) == sig(d + 100000L), s"exact copy $d signature")
+    val pairs = SparkEntry.queries("dedup_lsh_pairs")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expectedExact = (0L until 500L by 10L).map(d => (d, d + 100000L)).toSet
+    assert(expectedExact.subsetOf(pairs),
+      s"missing exact-dup LSH pairs: ${expectedExact.diff(pairs).take(5)}")
+  }
+
   test("simhash: exact duplicates collide, near-duplicates are close") {
     val sh = SparkEntry.queries("dedup_simhash")(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
