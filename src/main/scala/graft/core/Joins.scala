@@ -31,6 +31,30 @@ object Joins {
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Point-in-interval range join via bin bucketing: each interval is
+    * exploded onto the fixed-width bins it overlaps, each point maps
+    * to its single bin, and the theta condition becomes an equi-join
+    * on the bin plus a residual filter. Spark plans a bare
+    * `p.v >= i.lo AND p.v < i.hi` join as a broadcast-nested-loop (or
+    * a cartesian when neither side fits in memory); the binned form
+    * is a plain hash join whose cost scales with true match count —
+    * the formulation that survives both sides being large. Pick
+    * `binWidth` near the typical interval width: wider bins mean more
+    * residual-filtered pairs, narrower bins more interval replicas.
+    */
+  def rangeJoinBinned(points: DataFrame, pointCol: String,
+                      intervals: DataFrame, loCol: String, hiCol: String,
+                      binWidth: Double): DataFrame = {
+    require(binWidth > 0)
+    val binned = intervals.withColumn("__bin",
+      explode(sequence(floor(col(loCol) / binWidth).cast("long"),
+                       floor(col(hiCol) / binWidth).cast("long"))))
+    points.withColumn("__bin", floor(col(pointCol) / binWidth).cast("long"))
+      .join(binned, Seq("__bin"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop("__bin")
+  }
+
   /** As-of join: for each left row, attach the latest right row with
     * `right.tsCol <= left.tsCol` for the same key (left outer — no
     * match → nulls).

@@ -366,6 +366,36 @@ object Relational {
       Some("""SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
         COUNT(*) AS n_orders,
         CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS month_total
-        FROM orders GROUP BY date_trunc('month', o_orderdate)"""))
+        FROM orders GROUP BY date_trunc('month', o_orderdate)""")),
+
+    // ------------------------------------------------------------------
+    // Range (point-in-interval) join via bin bucketing
+    // (Joins.rangeJoinBinned): overlapping value intervals derived
+    // from nation keys, events matched by containment. The oracle is
+    // the plain theta join; the engine runs the equi-join-on-bin +
+    // residual-filter plan that stays a hash join at scale instead of
+    // a broadcast-nested-loop.
+    Q("rel_range_join_binned",
+      (s, d) => {
+        import s.implicits._
+        val intervals = Tables.nation(s, d).select(
+          $"n_nationkey".cast("long").as("int_id"),
+          ($"n_nationkey".cast("double") * 12.5).as("lo"),
+          ($"n_nationkey".cast("double") * 12.5 + 30.0).as("hi"))
+        val ev = Tables.events(s, d).select($"event_id", $"value")
+        Joins.rangeJoinBinned(ev, "value", intervals, "lo", "hi",
+            binWidth = 30.0)
+          .groupBy($"int_id")
+          .agg(count(lit(1)).as("n_events"),
+               sum($"event_id").as("id_sum"))
+      },
+      Some("""SELECT i.int_id, COUNT(*) AS n_events,
+          CAST(SUM(e.event_id) AS BIGINT) AS id_sum
+        FROM (SELECT CAST(n_nationkey AS BIGINT) AS int_id,
+                     CAST(n_nationkey AS DOUBLE) * 12.5 AS lo,
+                     CAST(n_nationkey AS DOUBLE) * 12.5 + 30.0 AS hi
+              FROM nation) i
+        JOIN events e ON e.value >= i.lo AND e.value < i.hi
+        GROUP BY i.int_id"""))
   )
 }

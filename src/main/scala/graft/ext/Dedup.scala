@@ -77,9 +77,9 @@ object Dedup {
   /** Oracle mirror of [[graft.functions.MinHashSig]] for k=5: the
     * k-gram polynomial hash recomputed the quadratic way (31-base
     * positional sum mod 1e9+7), then the per-seed affine min. Seeds
-    * are the literal MinHashSig.SEED_A/SEED_B values. */
+    * are the literal HashImpls.SEED_A/SEED_B values. */
   private val signaturesSql = {
-    import graft.functions.MinHashSig.{SEED_A, SEED_B}
+    import graft.functions.HashImpls.{SEED_A, SEED_B}
     val seedMins = SEED_A.zip(SEED_B).zipWithIndex.map { case ((a, b), i) =>
       s"MIN((CAST($a AS BIGINT) * h + $b) % 1000000007) AS h${i + 1}"
     }.mkString(",\n        ")

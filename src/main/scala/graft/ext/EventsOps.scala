@@ -117,6 +117,67 @@ object EventsOps {
           MAX(CASE WHEN event_type = 'click' THEN ts END) OVER (
             PARTITION BY user_id ORDER BY ts, event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
-        FROM events) t WHERE event_type = 'purchase'"""))
+        FROM events) t WHERE event_type = 'purchase'""")),
+
+    // ------------------------------------------------------------------
+    // Keep-first dedup: earliest event per (user, type), made
+    // deterministic by min over a (ts, event_id) struct — the
+    // URL-dedup / first-seen pattern. One shuffle with map-side
+    // partial min (one row per group per partition); never
+    // dropDuplicates, whose survivor is whichever row a task sees
+    // first.
+    Q("ev_first_seen",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .groupBy($"user_id", $"event_type")
+          .agg(min(struct($"ts", $"event_id")).as("first"))
+          .select($"user_id", $"event_type",
+            $"first.ts".as("first_ts"),
+            $"first.event_id".as("first_event_id"))
+      },
+      Some("""SELECT user_id, event_type, first_ts,
+          MIN(event_id) AS first_event_id
+        FROM (SELECT e.user_id, e.event_type, e.ts AS first_ts, e.event_id
+              FROM events e
+              JOIN (SELECT user_id, event_type, MIN(ts) AS mts
+                    FROM events GROUP BY user_id, event_type) m
+                ON e.user_id = m.user_id AND e.event_type = m.event_type
+               AND e.ts = m.mts) x
+        GROUP BY user_id, event_type, first_ts""")),
+
+    // ------------------------------------------------------------------
+    // Interval-containment attribution: every non-signup event within
+    // one hour after a signup of the same user is attributed to that
+    // signup. Equi-join on the partition key (user_id) with the time
+    // range as a residual filter — the interval-join shape that stays
+    // a hash join at scale because intervals-per-key is small, unlike
+    // a bare theta join.
+    Q("ev_session_attribution",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+        val windows = ev.filter($"event_type" === "signup")
+          .select($"user_id", $"event_id".as("signup_id"),
+            unix_micros($"ts").as("w_start"))
+          .withColumn("w_end", $"w_start" + lit(3600L * 1000000L))
+        ev.filter($"event_type" =!= "signup")
+          .select($"user_id", unix_micros($"ts").as("t_us"), $"value")
+          .join(windows, Seq("user_id"))
+          .filter($"t_us" >= $"w_start" && $"t_us" < $"w_end")
+          .groupBy($"signup_id")
+          .agg(count(lit(1)).as("n_attributed"),
+               sum($"value".cast(DecimalType(27, 6))).cast("double")
+                 .as("attributed_value"))
+      },
+      Some("""SELECT s.event_id AS signup_id, COUNT(*) AS n_attributed,
+          CAST(SUM(CAST(e.value AS DECIMAL(27,6))) AS DOUBLE)
+            AS attributed_value
+        FROM events s JOIN events e
+          ON e.user_id = s.user_id
+         AND epoch_us(e.ts) >= epoch_us(s.ts)
+         AND epoch_us(e.ts) < epoch_us(s.ts) + 3600000000
+        WHERE s.event_type = 'signup' AND e.event_type <> 'signup'
+        GROUP BY s.event_id"""))
   )
 }

@@ -190,6 +190,36 @@ object Similarity {
           .filter($"rank" <= 5)
           .select($"qid", $"rank", $"vec_id".as("neighbor_id"))
       },
-      None)
+      None),
+
+    // ------------------------------------------------------------------
+    // Per-language embedding centroid: posexplode + one partial-agg
+    // shuffle on (lang, dim) — the elementwise vector aggregation
+    // shape (centroid/mean-pool) a training pipeline runs per class.
+    // Elements are floor-quantized to integers (exact on doubles)
+    // before summing so the aggregate is order-independent and the
+    // oracle hash-exact; the centroid is reconstructed in one final
+    // division.
+    Q("sim_lang_centroid",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.embeddings(s, d)
+          .select($"vec_id", posexplode($"embedding"))
+          .toDF("vec_id", "pos", "e")
+        e.join(Tables.documents(s, d).select($"doc_id", $"lang"),
+            e("vec_id") === col("doc_id"))
+          .groupBy($"lang", $"pos")
+          .agg(count(lit(1)).as("n"),
+               sum(floor($"e".cast("double") * 1000000).cast("long")).as("q"))
+          .select($"lang", $"pos", $"n",
+            ($"q".cast("double") / (lit(1000000.0) * $"n")).as("centroid"))
+      },
+      Some("""SELECT d.lang, g.i - 1 AS pos, COUNT(*) AS n,
+          CAST(SUM(CAST(floor(CAST(e.embedding[g.i] AS DOUBLE) * 1000000)
+            AS BIGINT)) AS DOUBLE) / (1000000.0 * COUNT(*)) AS centroid
+        FROM embeddings e
+        JOIN documents d ON d.doc_id = e.vec_id
+        CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) g
+        GROUP BY d.lang, g.i"""))
   )
 }

@@ -207,7 +207,142 @@ object TextAnalysis {
           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
                '\s+', ' ', 'g')) AS norm
         FROM documents) y) x
-        GROUP BY doc_id"""))
+        GROUP BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // Gopher-style quality filters: word count, mean word length,
+    // symbol ratio, stopword fraction, and the repetition ratio (most
+    // frequent bigram's share of all bigrams). The bigram counts are
+    // the only wide stage — map-side combined on (doc_id, bigram) —
+    // so the operator is two partial-agg shuffles regardless of
+    // corpus size.
+    Q("txt_gopher_quality",
+      (s, d) => {
+        import s.implicits._
+        val base = Tables.documents(s, d)
+          .select($"doc_id", $"text", tokens($"text").as("toks"))
+        val bigrams = base
+          .select($"doc_id", $"toks", explode(
+            sequence(lit(1), greatest(size($"toks") - 1, lit(1)))).as("i"))
+          .select($"doc_id", concat_ws(" ",
+            element_at($"toks", $"i"), element_at($"toks", $"i" + 1)).as("bg"))
+        val rep = bigrams.groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
+          .groupBy($"doc_id")
+          .agg(max($"c").as("top_bg"), sum($"c").as("n_bg"))
+        val nWords = size($"toks")
+        val meanWordLen = length(regexp_replace($"text", "\\s", ""))
+          .cast("double") / nWords.cast("double")
+        val symbolRatio = length(regexp_replace($"text", "[a-zA-Z0-9\\s]", ""))
+          .cast("double") / length($"text").cast("double")
+        val stopFrac = size(filter($"toks", t => t.isInCollection(stopwords("en"))))
+          .cast("double") / nWords.cast("double")
+        base.join(rep, "doc_id")
+          .select($"doc_id", nWords.as("n_words"),
+            meanWordLen.as("mean_word_len"),
+            symbolRatio.as("symbol_ratio"),
+            stopFrac.as("stop_frac"),
+            ($"top_bg".cast("double") / $"n_bg".cast("double")).as("rep_ratio"),
+            (nWords >= 50 && nWords <= 100000 &&
+              meanWordLen >= 3.0 && meanWordLen <= 10.0 &&
+              symbolRatio < 0.1 &&
+              ($"top_bg".cast("double") / $"n_bg".cast("double")) < 0.2)
+              .as("quality_ok"))
+      },
+      Some(s"""WITH base AS (
+          SELECT doc_id, text,
+            string_split_regex(trim(lower(text)), '\\s+') AS toks
+          FROM documents),
+        bigrams AS (
+          SELECT doc_id,
+            CASE WHEN i + 1 <= len(toks) THEN toks[i] || ' ' || toks[i+1]
+                 ELSE toks[i] END AS bg
+          FROM (SELECT doc_id, toks,
+                  unnest(generate_series(1, greatest(len(toks) - 1, 1))) AS i
+                FROM base) x),
+        rep AS (
+          SELECT doc_id, MAX(c) AS top_bg, SUM(c) AS n_bg
+          FROM (SELECT doc_id, bg, COUNT(*) AS c
+                FROM bigrams GROUP BY doc_id, bg) y
+          GROUP BY doc_id)
+        SELECT b.doc_id, len(toks) AS n_words,
+          CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+            / CAST(len(toks) AS DOUBLE) AS mean_word_len,
+          CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+            / CAST(length(text) AS DOUBLE) AS symbol_ratio,
+          CAST(len(list_filter(toks, x -> x IN
+            (${stopwords("en").map(w => s"'$w'").mkString(", ")}))) AS DOUBLE)
+            / CAST(len(toks) AS DOUBLE) AS stop_frac,
+          CAST(top_bg AS DOUBLE) / CAST(n_bg AS DOUBLE) AS rep_ratio,
+          (len(toks) BETWEEN 50 AND 100000)
+            AND CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+                / CAST(len(toks) AS DOUBLE) BETWEEN 3.0 AND 10.0
+            AND CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+                / CAST(length(text) AS DOUBLE) < 0.1
+            AND CAST(top_bg AS DOUBLE) / CAST(n_bg AS DOUBLE) < 0.2
+            AS quality_ok
+        FROM base b JOIN rep r ON b.doc_id = r.doc_id""")),
+
+    // ------------------------------------------------------------------
+    // PII scrubbing: the corpus carries no contact data, so a
+    // deterministic synthetic email/phone is appended to every 4th
+    // doc (mirrored in the oracle), then masked with the same
+    // patterns any engine's regex dialect supports. Output pins both
+    // the match counts and the scrubbed content hash.
+    Q("txt_pii_scrub",
+      (s, d) => {
+        import s.implicits._
+        val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+        val phoneRe = "\\d{3}-\\d{4}"
+        val injected = when($"doc_id" % 4 === 0,
+          concat($"text", lit(" contact user"), $"doc_id",
+            lit("@example.com or call 555-"),
+            lpad(($"doc_id" % 10000).cast("string"), 4, "0")))
+          .otherwise($"text")
+        Tables.documents(s, d)
+          .select($"doc_id", injected.as("t"))
+          .select($"doc_id",
+            size(regexp_extract_all($"t", lit(emailRe), lit(0))).as("n_emails"),
+            size(regexp_extract_all($"t", lit(phoneRe), lit(0))).as("n_phones"),
+            md5(regexp_replace(regexp_replace($"t", emailRe, "<EMAIL>"),
+              phoneRe, "<PHONE>")).as("scrubbed_fp"))
+      },
+      Some("""SELECT doc_id,
+          len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))
+            AS n_emails,
+          len(regexp_extract_all(t, '\d{3}-\d{4}')) AS n_phones,
+          md5(regexp_replace(regexp_replace(t,
+            '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+            '\d{3}-\d{4}', '<PHONE>', 'g')) AS scrubbed_fp
+        FROM (SELECT doc_id,
+                CASE WHEN doc_id % 4 = 0
+                     THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com or call 555-'
+                          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     ELSE text END AS t
+              FROM documents) x""")),
+
+    // ------------------------------------------------------------------
+    // Corpus term statistics — the integer BM25/TF-IDF ingredients
+    // (document frequency, total term frequency) per term. Stays in
+    // exact integers so the oracle is hash-comparable; the float idf
+    // is a trivial driver-side map over this output. df >= 5 bounds
+    // the result to informative vocabulary.
+    Q("txt_term_stats",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"doc_id", explode(tokens($"text")).as("term"))
+          .groupBy($"term")
+          .agg(countDistinct($"doc_id").as("df"),
+               count(lit(1)).as("tf_total"))
+          .filter($"df" >= 5)
+      },
+      Some("""SELECT term, COUNT(DISTINCT doc_id) AS df,
+          COUNT(*) AS tf_total
+        FROM (SELECT doc_id,
+                unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+              FROM documents) x
+        GROUP BY term HAVING COUNT(DISTINCT doc_id) >= 5"""))
   )
 
   /** Library form of the quality/stat projections for reuse. */

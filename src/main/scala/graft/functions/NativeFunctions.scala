@@ -116,13 +116,13 @@ case class RollingMinHash(child: Expression, k: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
-    RollingMinHash.eval(s, k)
+    HashImpls.rollingMinHash(s, k)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val out = ctx.freshName("out")
     nullSafeCodeGen(ctx, ev, c => s"""
-      Long $out = graft.functions.RollingMinHash.eval($c.toString(), $k);
+      Long $out = graft.functions.HashImpls.rollingMinHash($c.toString(), $k);
       if ($out == null) { ${ev.isNull} = true; } else { ${ev.value} = $out; }
     """)
   }
@@ -149,7 +149,7 @@ case class MinHashSig(child: Expression, k: Int)
   override def prettyName: String = "minhash_sig"
 
   override def nullSafeEval(input: Any): Any = {
-    val r = MinHashSig.eval(input.asInstanceOf[UTF8String].toString, k)
+    val r = HashImpls.minhashSig(input.asInstanceOf[UTF8String].toString, k)
     if (r == null) null
     else new org.apache.spark.sql.catalyst.util.GenericArrayData(r)
   }
@@ -157,7 +157,7 @@ case class MinHashSig(child: Expression, k: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val out = ctx.freshName("out")
     nullSafeCodeGen(ctx, ev, c => s"""
-      long[] $out = graft.functions.MinHashSig.eval($c.toString(), $k);
+      long[] $out = graft.functions.HashImpls.minhashSig($c.toString(), $k);
       if ($out == null) { ${ev.isNull} = true; }
       else { ${ev.value} =
         new org.apache.spark.sql.catalyst.util.GenericArrayData($out); }
@@ -168,14 +168,50 @@ case class MinHashSig(child: Expression, k: Int)
     copy(child = newChild)
 }
 
-object MinHashSig {
-  import RollingMinHash.{B, M}
+/** Shared hash kernels for the interpreted and generated paths.
+  *
+  * A standalone top-level object (no companion class) compiles with
+  * static forwarders on the `HashImpls` class, so Janino-generated
+  * code can call `graft.functions.HashImpls.rollingMinHash(...)`
+  * directly. The case-class companions (`RollingMinHash`,
+  * `MinHashSig`) get no such forwarders — generated code referencing
+  * them fails to compile and Spark silently falls back to interpreted
+  * eval for the whole stage.
+  */
+object HashImpls {
+  val B = 31L
+  val M = 1000000007L
+
   /** Affine seeds (a_s, b_s); mirrored literally in the DuckDB oracle
     * SQL (Dedup.signaturesSql). a_s < M keeps a_s * h < M² < 2^63. */
   val SEED_A: Array[Long] = Array(1000003L, 1000033L, 1000211L, 1000231L)
   val SEED_B: Array[Long] = Array(7L, 11L, 13L, 17L)
 
-  def eval(s: String, k: Int): Array[Long] = {
+  /** Boxed so the no-full-window case can signal null. */
+  def rollingMinHash(s: String, k: Int): java.lang.Long = {
+    val cps = s.codePoints().toArray
+    val n = cps.length
+    if (n < k) return null
+    val w = k
+    // B^(w-1) mod M for the drop-leading-term step
+    var bTop = 1L
+    var j = 1
+    while (j < w) { bTop = bTop * B % M; j += 1 }
+    var h = 0L
+    var i = 0
+    while (i < w) { h = (h * B + cps(i)) % M; i += 1 }
+    var minH = h
+    i = w
+    while (i < n) {
+      h = ((h - cps(i - w) % M * bTop % M) % M + M) % M
+      h = (h * B + cps(i)) % M
+      if (h < minH) minH = h
+      i += 1
+    }
+    minH
+  }
+
+  def minhashSig(s: String, k: Int): Array[Long] = {
     val cps = s.codePoints().toArray
     val n = cps.length
     if (n < k) return null
@@ -206,36 +242,6 @@ object MinHashSig {
       i += 1
     }
     mins
-  }
-}
-
-object RollingMinHash {
-  val B = 31L
-  val M = 1000000007L
-
-  /** Shared by interpreted and generated paths. Boxed so the
-    * no-full-window case can signal null. */
-  def eval(s: String, k: Int): java.lang.Long = {
-    val cps = s.codePoints().toArray
-    val n = cps.length
-    if (n < k) return null
-    val w = k
-    // B^(w-1) mod M for the drop-leading-term step
-    var bTop = 1L
-    var j = 1
-    while (j < w) { bTop = bTop * B % M; j += 1 }
-    var h = 0L
-    var i = 0
-    while (i < w) { h = (h * B + cps(i)) % M; i += 1 }
-    var minH = h
-    i = w
-    while (i < n) {
-      h = ((h - cps(i - w) % M * bTop % M) % M + M) % M
-      h = (h * B + cps(i)) % M
-      if (h < minH) minH = h
-      i += 1
-    }
-    minH
   }
 }
 

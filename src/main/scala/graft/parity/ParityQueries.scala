@@ -151,12 +151,16 @@ object ParityQueries {
     // The page-line banding window (:605-652) hosted over a lines
     // table derived from events: click events are "name lines", the
     // band increments when the gap to the previous name line exceeds
-    // 0.01 — full window-function oracle.
+    // 0.01 — full window-function oracle. Each user_id acts as one
+    // "document", so the window is hash-partitioned across executors
+    // (a constant doc key would funnel the whole table into a single
+    // window partition — the formulation that does NOT survive scale).
     Q("par_page_line_banding",
       (s, d) => {
         import s.implicits._
         val lines = Tables.events(s, d)
-          .select(lit("doc").as("doc"), lit(1).as("page"), lit(0).as("side"),
+          .select($"user_id".cast("string").as("doc"),
+            lit(1).as("page"), lit(0).as("side"),
             $"event_id".as("seq"), ($"value" / 100.0).as("top"),
             when($"event_type" === "click", lit("John Smith"))
               .otherwise(lit("123")).as("text"))
@@ -164,22 +168,24 @@ object ParityQueries {
           .select($"seq", $"page_line")
       },
       Some("""WITH lines AS (
-          SELECT event_id AS seq, value / 100.0 AS top,
+          SELECT user_id, event_id AS seq, value / 100.0 AS top,
             event_type = 'click' AS is_name
           FROM events),
         flagged AS (
-          SELECT seq, top,
-            CASE WHEN abs(top - lag(top) OVER (ORDER BY top, seq)) > 0.01
+          SELECT user_id, seq, top,
+            CASE WHEN abs(top - lag(top) OVER (
+                   PARTITION BY user_id ORDER BY top, seq)) > 0.01
                  THEN 1 ELSE 0 END AS inc
           FROM lines WHERE is_name),
         names AS (
-          SELECT seq, top,
-            1 + CAST(SUM(inc) OVER (
+          SELECT user_id, seq, top,
+            1 + CAST(SUM(inc) OVER (PARTITION BY user_id
               ORDER BY top, seq ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
               AS BIGINT) AS band
           FROM flagged),
         fixed AS (
-          SELECT seq, CAST(MAX(band) OVER (PARTITION BY top) AS INT) AS band
+          SELECT seq, CAST(MAX(band) OVER (PARTITION BY user_id, top) AS INT)
+            AS band
           FROM names)
         SELECT l.seq, CASE WHEN l.is_name THEN f.band ELSE 1 END AS page_line
         FROM lines l LEFT JOIN fixed f ON l.seq = f.seq""")),
