@@ -262,6 +262,59 @@ object Dedup {
         SELECT doc_id,
           CAST(SUM(CASE WHEN votes > 0 THEN (1 << p) ELSE 0 END) AS BIGINT)
             AS simhash
-        FROM votes GROUP BY doc_id"""))
+        FROM votes GROUP BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // Near-dup cluster assignment: connected components over the LSH
+    // candidate pairs, each doc labeled with the minimum doc_id of its
+    // component (the canonical survivor a dedup pass would keep).
+    // Distributed min-label propagation: every round each vertex takes
+    // the min of its own label and its neighbors', so rounds needed =
+    // component diameter — near-dup components are small star/chain
+    // shapes (a handful of hops), which keeps the loop at 2–4 rounds
+    // regardless of corpus size. Each round is one co-partitioned
+    // hash join + partial-agg min on doc_id; labels are eagerly
+    // localCheckpoint'ed to cut the growing lineage (on a cluster,
+    // checkpoint to reliable storage instead). Convergence test is a
+    // single scalar agg: labels only ever decrease, so an unchanged
+    // label sum is a fixpoint. For adversarial long-chain graphs the
+    // known fix is alternating large-star/small-star contraction
+    // (O(log n) rounds); near-dup graphs don't need it.
+    Q("dedup_cc",
+      (s, d) => {
+        import s.implicits._
+        val pairs = lshCandidates(minhashSignatures(corpus(s, d)))
+        val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+          .unionByName(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+          .persist()
+        var labels = edges.select($"src".as("v")).distinct()
+          .select($"v", $"v".as("cluster_id"))
+          .localCheckpoint(true)
+        var lastSum = -1L
+        var iter = 0
+        var converged = false
+        while (!converged && iter < 25) {
+          val prop = edges.join(labels.withColumnRenamed("v", "src"), "src")
+            .select($"dst".as("v"), $"cluster_id")
+          val next = labels.unionByName(prop)
+            .groupBy($"v").agg(min($"cluster_id").as("cluster_id"))
+            .localCheckpoint(true)
+          val sumNow = next.agg(sum($"cluster_id")).as[Long].head()
+          converged = sumNow == lastSum
+          lastSum = sumNow
+          labels = next
+          iter += 1
+        }
+        edges.unpersist()
+        labels.select($"v".as("doc_id"), $"cluster_id")
+      },
+      Some(s"""WITH RECURSIVE $corpusSql, $signaturesSql, $bandsSql,
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM candidates
+                  UNION ALL SELECT doc_b AS a, doc_a AS b FROM candidates),
+        reach(v, r) AS (
+          SELECT DISTINCT a AS v, a AS r FROM edges
+          UNION
+          SELECT e.b AS v, reach.r FROM reach JOIN edges e ON e.a = reach.v)
+        SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v"""))
   )
 }

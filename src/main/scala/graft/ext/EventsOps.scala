@@ -178,6 +178,53 @@ object EventsOps {
          AND epoch_us(e.ts) >= epoch_us(s.ts)
          AND epoch_us(e.ts) < epoch_us(s.ts) + 3600000000
         WHERE s.event_type = 'signup' AND e.event_type <> 'signup'
-        GROUP BY s.event_id"""))
+        GROUP BY s.event_id""")),
+
+    // ------------------------------------------------------------------
+    // Ordered funnel: signup → first later click → first later
+    // purchase, with the stage reached per user. Three aggregations
+    // all keyed on user_id: after the first groupBy both sides of
+    // every join are hash-partitioned on the funnel key, so the later
+    // stages reuse the partitioning instead of re-shuffling the full
+    // events table (each stage also shrinks the row count — filter
+    // first, join second). Strict `>` ordering makes the stage
+    // assignment deterministic.
+    Q("ev_funnel",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d).select($"user_id", $"event_type", $"ts")
+        val t1 = ev.filter($"event_type" === "signup")
+          .groupBy($"user_id").agg(min($"ts").as("t_signup"))
+        val t2 = ev.filter($"event_type" === "click").join(t1, "user_id")
+          .filter($"ts" > $"t_signup")
+          .groupBy($"user_id").agg(min($"ts").as("t_click"))
+        val t3 = ev.filter($"event_type" === "purchase").join(t2, "user_id")
+          .filter($"ts" > $"t_click")
+          .groupBy($"user_id").agg(min($"ts").as("t_purchase"))
+        t1.join(t2, Seq("user_id"), "left").join(t3, Seq("user_id"), "left")
+          .select($"user_id", $"t_signup", $"t_click", $"t_purchase",
+            (lit(1) + when($"t_click".isNotNull, 1).otherwise(0)
+                    + when($"t_purchase".isNotNull, 1).otherwise(0))
+              .as("stage"))
+      },
+      Some("""WITH t1 AS (
+          SELECT user_id, MIN(ts) AS t_signup FROM events
+          WHERE event_type = 'signup' GROUP BY user_id),
+        t2 AS (
+          SELECT e.user_id, MIN(e.ts) AS t_click
+          FROM events e JOIN t1 ON e.user_id = t1.user_id
+          WHERE e.event_type = 'click' AND e.ts > t1.t_signup
+          GROUP BY e.user_id),
+        t3 AS (
+          SELECT e.user_id, MIN(e.ts) AS t_purchase
+          FROM events e JOIN t2 ON e.user_id = t2.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > t2.t_click
+          GROUP BY e.user_id)
+        SELECT t1.user_id, t_signup, t_click, t_purchase,
+          1 + CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END
+            + CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END AS stage
+        FROM t1
+        LEFT JOIN t2 ON t1.user_id = t2.user_id
+        LEFT JOIN t3 ON t1.user_id = t3.user_id"""))
   )
 }

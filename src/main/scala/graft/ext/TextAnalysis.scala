@@ -342,7 +342,65 @@ object TextAnalysis {
         FROM (SELECT doc_id,
                 unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
               FROM documents) x
-        GROUP BY term HAVING COUNT(DISTINCT doc_id) >= 5"""))
+        GROUP BY term HAVING COUNT(DISTINCT doc_id) >= 5""")),
+
+    // ------------------------------------------------------------------
+    // Deterministic train/valid/test split: bucket = md5 of a salted
+    // doc key, so assignment is stable across runs, machines, and
+    // engines (never rand(), whose value depends on row-to-partition
+    // placement), and re-running on a grown corpus never reassigns an
+    // existing doc. A pure narrow projection — no shuffle at any scale.
+    // The oracle rebuilds the same 16-bit hex prefix as an integer via
+    // positional digit arithmetic.
+    Q("txt_split_hash",
+      (s, d) => {
+        import s.implicits._
+        val bucket = conv(substring(
+            md5(concat(lit("split:"), $"doc_id".cast("string"))), 1, 4),
+          16, 10).cast("int") % 10
+        Tables.documents(s, d)
+          .select($"doc_id", bucket.as("bucket"),
+            when(bucket < 8, "train").when(bucket === 8, "valid")
+              .otherwise("test").as("split"))
+      },
+      Some("""SELECT doc_id, bucket,
+          CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'valid'
+               ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+                ((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+               + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+               + (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+               + (instr('0123456789abcdef', substr(h, 4, 1)) - 1)) % 10
+                  AS bucket
+              FROM (SELECT doc_id,
+                      substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)
+                        AS h
+                    FROM documents) y) x""")),
+
+    // ------------------------------------------------------------------
+    // Token-budget batch packing: within each language, docs in doc_id
+    // order are packed greedily into batches of <= 2000 tokens (by
+    // exclusive running token count — the sequence-packing step before
+    // tokenized training shards are written). One window per language
+    // partition: the work distributes across languages/shards, and the
+    // running sum is a single pass over each partition.
+    Q("txt_pack_batches",
+      (s, d) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"lang").orderBy($"doc_id")
+        Tables.documents(s, d)
+          .select($"doc_id", $"lang", size(tokens($"text")).cast("long").as("n_tok"))
+          .withColumn("batch_id",
+            floor((sum($"n_tok").over(w) - $"n_tok") / lit(2000)).cast("long"))
+      },
+      Some("""SELECT doc_id, lang, n_tok,
+          CAST((SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id) - n_tok)
+               // 2000 AS BIGINT) AS batch_id
+        FROM (SELECT doc_id, lang,
+                CAST(len(string_split_regex(trim(lower(text)), '\s+'))
+                     AS BIGINT) AS n_tok
+              FROM documents) x"""))
   )
 
   /** Library form of the quality/stat projections for reuse. */

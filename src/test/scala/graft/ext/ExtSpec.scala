@@ -86,6 +86,71 @@ class ExtSpec extends AnyFunSuite {
       s"near-dup mean hamming too high: ${hamming.sum.toDouble / hamming.size}")
   }
 
+  test("dedup_cc: labels are transitive component minima") {
+    import spark.implicits._
+    val cc = SparkEntry.queries("dedup_cc")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Every doc in a pair got a label, and the label is itself a member
+    // whose label is itself (a canonical root).
+    val pairs = SparkEntry.queries("dedup_lsh_pairs")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    for ((a, b) <- pairs) {
+      assert(cc(a) == cc(b), s"pair ($a,$b) split across clusters")
+      assert(cc(a) <= math.min(a, b), "label above a member id")
+      assert(cc(cc(a)) == cc(a), "cluster id is not a root")
+    }
+    // Exact copies d ~ d+100000 and near-dups d ~ d+200000 overlap on
+    // every 70th doc — those chains must collapse into one cluster.
+    for (d <- 0L until 500L by 70L)
+      assert(cc(d) == cc(d + 100000L) && cc(d) == cc(d + 200000L),
+        s"chain through $d not merged")
+  }
+
+  test("txt_split_hash: deterministic, complete, roughly 80/10/10") {
+    val rows = SparkEntry.queries("txt_split_hash")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(2))
+    assert(rows.length == 500 && rows.map(_._1).distinct.length == 500)
+    val byS = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byS("train") > 350 && byS("train") < 450, byS.toString)
+    assert(byS.values.sum == 500)
+    // stable across re-evaluation
+    val again = SparkEntry.queries("txt_split_hash")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(2))
+    assert(rows.sortBy(_._1).sameElements(again.sortBy(_._1)))
+  }
+
+  test("txt_pack_batches: batches respect the token budget shape") {
+    val rows = SparkEntry.queries("txt_pack_batches")(spark, sf)
+      .collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3)))
+    // Within each language, batch ids are nondecreasing in doc order and
+    // the exclusive running sum ahead of each doc's batch start stays
+    // under the budget.
+    for ((_, docs) <- rows.groupBy(_._1)) {
+      val sorted = docs.sortBy(_._2)
+      var cum = 0L
+      for ((_, _, nTok, batch) <- sorted) {
+        assert(batch == cum / 2000, s"batch id mismatch at cum=$cum")
+        cum += nTok
+      }
+    }
+  }
+
+  test("ev_funnel: stages are consistent with timestamps") {
+    val rows = SparkEntry.queries("ev_funnel")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (t1, t2, t3) = (r.getTimestamp(1), r.getTimestamp(2), r.getTimestamp(3))
+      val stage = r.getInt(4)
+      assert(t1 != null)
+      assert((t2 != null) == (stage >= 2))
+      assert((t3 != null) == (stage == 3))
+      if (t2 != null) assert(t2.after(t1))
+      if (t3 != null) assert(t3.after(t2))
+    }
+    assert(rows.exists(_.getInt(4) == 3), "no user completed the funnel")
+  }
+
   test("multimodal decode is deterministic and batch-size independent") {
     val media = Multimodal.mediaFromDocuments(spark, sf)
     val a = Multimodal.decodeFeatures(media, batchSize = 64)
