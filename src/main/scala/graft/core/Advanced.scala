@@ -36,6 +36,12 @@ object Advanced {
     // ------------------------------------------------------------------
     // Exact interpolated percentiles (both engines: linear
     // interpolation over the sorted set — deterministic doubles).
+    // Exact percentiles (hash-comparable with DuckDB quantile_cont).
+    // The exact aggregate buffers a value→count map per group on the
+    // final reducer — correct here because group count is tiny and
+    // value domains are bounded; a 100 TB pipeline with wide domains
+    // should use approx_percentile (t-digest, mergeable partials,
+    // bounded memory) and give up bit-exactness.
     Q("rel_percentiles",
       (s, d) => {
         import s.implicits._

@@ -182,26 +182,34 @@ object EventsOps {
 
     // ------------------------------------------------------------------
     // Ordered funnel: signup → first later click → first later
-    // purchase, with the stage reached per user. Three aggregations
-    // all keyed on user_id: after the first groupBy both sides of
-    // every join are hash-partitioned on the funnel key, so the later
-    // stages reuse the partitioning instead of re-shuffling the full
-    // events table (each stage also shrinks the row count — filter
-    // first, join second). Strict `>` ordering makes the stage
-    // assignment deterministic.
+    // purchase, with the stage reached per user. Formulated as three
+    // chained whole-partition window minima over ONE
+    // partitionBy(user_id) — each stage's cutoff references the
+    // previous stage's window column, and identical partitioning means
+    // Catalyst stacks the Window operators behind a single exchange
+    // with no sort (unbounded frame). The equivalent per-stage
+    // join/groupBy cascade plans 10 exchanges and re-scans events six
+    // times, because Spark does not dedupe the repeated t1/t2
+    // subtrees. The trailing groupBy reuses the window's hash
+    // partitioning (no second shuffle). Strict `>` ordering makes the
+    // stage assignment deterministic.
     Q("ev_funnel",
       (s, d) => {
         import s.implicits._
-        val ev = Tables.events(s, d).select($"user_id", $"event_type", $"ts")
-        val t1 = ev.filter($"event_type" === "signup")
-          .groupBy($"user_id").agg(min($"ts").as("t_signup"))
-        val t2 = ev.filter($"event_type" === "click").join(t1, "user_id")
-          .filter($"ts" > $"t_signup")
-          .groupBy($"user_id").agg(min($"ts").as("t_click"))
-        val t3 = ev.filter($"event_type" === "purchase").join(t2, "user_id")
-          .filter($"ts" > $"t_click")
-          .groupBy($"user_id").agg(min($"ts").as("t_purchase"))
-        t1.join(t2, Seq("user_id"), "left").join(t3, Seq("user_id"), "left")
+        val w = org.apache.spark.sql.expressions.Window.partitionBy($"user_id")
+        Tables.events(s, d).select($"user_id", $"event_type", $"ts")
+          .withColumn("t_signup",
+            min(when($"event_type" === "signup", $"ts")).over(w))
+          .withColumn("t_click",
+            min(when($"event_type" === "click" && $"ts" > $"t_signup", $"ts"))
+              .over(w))
+          .withColumn("t_purchase",
+            min(when($"event_type" === "purchase" && $"ts" > $"t_click", $"ts"))
+              .over(w))
+          .filter($"t_signup".isNotNull)
+          .groupBy($"user_id")
+          .agg(min($"t_signup").as("t_signup"), min($"t_click").as("t_click"),
+               min($"t_purchase").as("t_purchase"))
           .select($"user_id", $"t_signup", $"t_click", $"t_purchase",
             (lit(1) + when($"t_click".isNotNull, 1).otherwise(0)
                     + when($"t_purchase".isNotNull, 1).otherwise(0))
