@@ -105,14 +105,21 @@ object Dedup {
     * shuffles only (doc_id, band_idx, band_hash) rows — 2 per
     * document — so candidate generation scales with collision count,
     * never corpus². */
-  def lshCandidates(signatures: DataFrame): DataFrame = {
+  /** (doc_id, band_idx, band_hash) rows — 2 per document. */
+  private def bandedKeys(signatures: DataFrame): DataFrame = {
     val s = signatures.sparkSession
     import s.implicits._
     def bandKey(x: Column, y: Column): Column =
       concat(x.cast("string"), lit("_"), y.cast("string"))
-    val banded = signatures.select($"doc_id",
+    signatures.select($"doc_id",
       posexplode(array(bandKey($"h1", $"h2"), bandKey($"h3", $"h4"))))
       .toDF("doc_id", "band_idx", "band_hash")
+  }
+
+  def lshCandidates(signatures: DataFrame): DataFrame = {
+    val s = signatures.sparkSession
+    import s.implicits._
+    val banded = bandedKeys(signatures)
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, $"a.band_idx" === $"b.band_idx" &&
@@ -266,26 +273,40 @@ object Dedup {
 
     // ------------------------------------------------------------------
     // Near-dup cluster assignment: connected components over the LSH
-    // candidate pairs, each doc labeled with the minimum doc_id of its
+    // candidate graph, each doc labeled with the minimum doc_id of its
     // component (the canonical survivor a dedup pass would keep).
-    // Distributed min-label propagation: every round each vertex takes
-    // the min of its own label and its neighbors', so rounds needed =
-    // component diameter — near-dup components are small star/chain
-    // shapes (a handful of hops), which keeps the loop at 2–4 rounds
-    // regardless of corpus size. Each round is one co-partitioned
-    // hash join + partial-agg min on doc_id; labels are eagerly
-    // localCheckpoint'ed to cut the growing lineage (on a cluster,
-    // checkpoint to reliable storage instead). Convergence test is a
-    // single scalar agg: labels only ever decrease, so an unchanged
-    // label sum is a fixpoint. For adversarial long-chain graphs the
-    // known fix is alternating large-star/small-star contraction
-    // (O(log n) rounds); near-dup graphs don't need it.
+    //
+    // The edge set is NOT the all-pairs candidates: a hot LSH bucket
+    // of k docs yields k(k-1)/2 clique edges (349k at sf0.1 — and
+    // quadratic blowup on a skewed 100 TB bucket), while connecting
+    // every bucket member to the bucket's min doc gives the same
+    // connected components with k-1 edges per bucket. The oracle runs
+    // the clique form over the tiny sf — identical components,
+    // identical output.
+    //
+    // Labels converge by distributed min propagation with pointer
+    // jumping: each round takes the min over self, neighbors, and
+    // label-of-label (l(l(v)) — path-halving, so rounds are
+    // O(log diameter) instead of O(diameter); chained buckets at
+    // sf0.1 need 9 plain rounds but 5 jumped ones). Every round is
+    // co-partitioned hash joins + a partial-agg min; labels are
+    // eagerly localCheckpoint'ed to cut the growing lineage (on a
+    // cluster, checkpoint to reliable storage instead). Convergence
+    // test is one scalar agg: labels only ever decrease, so an
+    // unchanged label sum is a fixpoint.
     Q("dedup_cc",
       (s, d) => {
         import s.implicits._
-        val pairs = lshCandidates(minhashSignatures(corpus(s, d)))
-        val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
-          .unionByName(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+        val banded = bandedKeys(minhashSignatures(corpus(s, d)))
+        val roots = banded.groupBy($"band_idx", $"band_hash")
+          .agg(min($"doc_id").as("root"), count(lit(1)).as("n"))
+          .filter($"n" > 1)
+        val star = banded.join(roots, Seq("band_idx", "band_hash"))
+          .filter($"doc_id" =!= $"root")
+          .select($"root".as("src"), $"doc_id".as("dst"))
+          .distinct()
+        val edges = star
+          .unionByName(star.select($"dst".as("src"), $"src".as("dst")))
           .persist()
         var labels = edges.select($"src".as("v")).distinct()
           .select($"v", $"v".as("cluster_id"))
@@ -296,7 +317,10 @@ object Dedup {
         while (!converged && iter < 25) {
           val prop = edges.join(labels.withColumnRenamed("v", "src"), "src")
             .select($"dst".as("v"), $"cluster_id")
-          val next = labels.unionByName(prop)
+          val jump = labels.as("x").join(labels.as("y"),
+              col("x.cluster_id") === col("y.v"))
+            .select(col("x.v").as("v"), col("y.cluster_id").as("cluster_id"))
+          val next = labels.unionByName(prop).unionByName(jump)
             .groupBy($"v").agg(min($"cluster_id").as("cluster_id"))
             .localCheckpoint(true)
           val sumNow = next.agg(sum($"cluster_id")).as[Long].head()
