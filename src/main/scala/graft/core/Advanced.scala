@@ -87,6 +87,86 @@ object Advanced {
           .agg(approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"),
                approx_count_distinct($"l_partkey", 0.02).as("approx_parts"))
       },
-      None)
+      None),
+
+    // ------------------------------------------------------------------
+    // Pivot: priority values become columns. Values are passed
+    // explicitly — with an inferred pivot Spark first runs a distinct
+    // job over the column, an extra full scan a 100 TB pipeline with a
+    // known domain never needs. Missing combinations surface as null
+    // counts; coalesce to 0 for the COUNT FILTER parity.
+    Q("rel_pivot_priority",
+      (s, d) => {
+        import s.implicits._
+        val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+          "4-NOT SPECIFIED", "5-LOW")
+        val slug = (p: String) =>
+          "n_" + p.split("-")(1).toLowerCase.replace(" ", "_")
+        val pivoted = Tables.orders(s, d)
+          .groupBy($"o_orderstatus")
+          .pivot("o_orderpriority", prios)
+          .agg(count(lit(1)))
+        pivoted.select($"o_orderstatus" +:
+          prios.map(p => coalesce(col(s"`$p`"), lit(0L)).as(slug(p))): _*)
+      },
+      Some("""SELECT o_orderstatus,
+        COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+        COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS n_high,
+        COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS n_medium,
+        COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS n_not_specified,
+        COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS n_low
+        FROM orders GROUP BY o_orderstatus""")),
+
+    // ------------------------------------------------------------------
+    // Correlated scalar subquery: lineitems carrying their order's max
+    // quantity. Catalyst decorrelates the subquery into an aggregate +
+    // equi-join (one shuffle on l_orderkey) — the plan shape that
+    // scales; a per-row re-execution semantics would be quadratic.
+    Q("rel_correlated_max",
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("li_corr")
+        s.sql("""SELECT l.l_orderkey, l.l_linenumber, l.l_quantity
+          FROM li_corr l
+          WHERE l.l_quantity = (SELECT MAX(l2.l_quantity)
+                                FROM li_corr l2
+                                WHERE l2.l_orderkey = l.l_orderkey)""")
+      },
+      Some("""SELECT l.l_orderkey, l.l_linenumber, l.l_quantity
+        FROM lineitem l
+        WHERE l.l_quantity = (SELECT MAX(l2.l_quantity)
+                              FROM lineitem l2
+                              WHERE l2.l_orderkey = l.l_orderkey)""")),
+
+    // ------------------------------------------------------------------
+    // Bloom-filter join pruning: build a bloom filter over the dim-side
+    // keys (driver-side sketch, broadcast to every task), pre-filter
+    // the 100 TB fact side before it reaches the join shuffle, then a
+    // broadcast semi join removes the bloom's false positives. At
+    // scale this is the shape of Spark's own runtime row-group
+    // pruning: the fact scan drops ~non-matching rows at the source
+    // for the cost of one broadcast bitmap, instead of shuffling them
+    // all into the join. Result is exactly the semi join (bloom has no
+    // false negatives), so the oracle is the plain IN form.
+    Q("rel_bloom_prune",
+      (s, d) => {
+        import s.implicits._
+        val dim = Tables.customer(s, d)
+          .filter($"c_mktsegment" === "BUILDING")
+          .select($"c_custkey")
+        val bloom = dim.stat.bloomFilter("c_custkey", 100000L, 0.01)
+        val bloomB = s.sparkContext.broadcast(bloom)
+        val mightContain = udf((k: Long) => bloomB.value.mightContain(k))
+        Tables.orders(s, d)
+          .filter(mightContain($"o_custkey"))
+          .join(broadcast(dim), $"o_custkey" === $"c_custkey", "left_semi")
+          .groupBy($"o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"),
+               dsum($"o_totalprice", 2).as("total"))
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS total
+        FROM orders WHERE o_custkey IN
+          (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        GROUP BY o_orderstatus"""))
   )
 }

@@ -233,6 +233,39 @@ object EventsOps {
             + CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END AS stage
         FROM t1
         LEFT JOIN t2 ON t1.user_id = t2.user_id
-        LEFT JOIN t3 ON t1.user_id = t3.user_id"""))
+        LEFT JOIN t3 ON t1.user_id = t3.user_id""")),
+
+    // ------------------------------------------------------------------
+    // Cohort retention matrix: users bucketed by first-seen month,
+    // counted in every month they were active. Both inputs are keyed
+    // on user_id, so the cohort⋈activity join is co-partitioned with
+    // the groupBys that feed it — one shuffle of one row per
+    // (user, month) regardless of event volume, then a small matrix
+    // aggregation. The per-user distinct runs BEFORE the join (events
+    // collapse early; never join raw events against cohorts).
+    Q("ev_retention",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+        val cohort = ev.groupBy($"user_id")
+          .agg(date_trunc("month", min($"ts")).as("cohort_month"))
+        val active = ev
+          .select($"user_id", date_trunc("month", $"ts").as("active_month"))
+          .distinct()
+        active.join(cohort, "user_id")
+          .groupBy($"cohort_month", $"active_month")
+          .agg(count(lit(1)).as("n_users"))
+      },
+      Some("""WITH cohort AS (
+          SELECT user_id,
+            CAST(date_trunc('month', MIN(ts)) AS TIMESTAMP) AS cohort_month
+          FROM events GROUP BY user_id),
+        active AS (
+          SELECT DISTINCT user_id,
+            CAST(date_trunc('month', ts) AS TIMESTAMP) AS active_month
+          FROM events)
+        SELECT cohort_month, active_month, COUNT(*) AS n_users
+        FROM active JOIN cohort USING (user_id)
+        GROUP BY cohort_month, active_month"""))
   )
 }

@@ -92,6 +92,28 @@ object Multimodal {
     // driver check; determinism pinned by MultimodalSpec).
     Q("mm_decode_features",
       (s, d) => decodeFeatures(mediaFromDocuments(s, d)).toDF(),
-      None)
+      None),
+
+    // ------------------------------------------------------------------
+    // Frame sampling: every 4th frame index of each video payload,
+    // through the real decode path (metadata from the batched stub
+    // decode, frames via sequence+explode — a narrow generator, no
+    // shuffle; per-row output is bounded by n_frames/stride). The
+    // oracle reconstructs n_frames from the payload length because the
+    // stub derives it deterministically (1 + byte_len % 32).
+    Q("mm_frame_sample",
+      (s, d) => {
+        import s.implicits._
+        decodeFeatures(mediaFromDocuments(s, d)).toDF()
+          .filter($"kind" === "video")
+          .select($"doc_id", $"n_frames".cast("long").as("n_frames"),
+            explode(sequence(lit(0L), $"n_frames".cast("long") - 1, lit(4L)))
+              .as("frame_idx"))
+      },
+      Some("""SELECT doc_id, n_frames,
+          unnest(generate_series(0, n_frames - 1, 4)) AS frame_idx
+        FROM (SELECT doc_id,
+                1 + octet_length(encode(text)) % 32 AS n_frames
+              FROM documents WHERE doc_id % 3 = 2) x"""))
   )
 }

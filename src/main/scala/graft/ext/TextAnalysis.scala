@@ -345,6 +345,45 @@ object TextAnalysis {
         GROUP BY term HAVING COUNT(DISTINCT doc_id) >= 5""")),
 
     // ------------------------------------------------------------------
+    // Per-document top-k TF-IDF terms: tf per (doc, term), df per term
+    // (a count over the tf table — doc/term pairs are already unique),
+    // score = tf/df ranked per doc. Everything stays integer except
+    // the single ranking division (IEEE-exact both engines); the
+    // (score DESC, term ASC) order is total within a doc, so row_number
+    // is deterministic. Two partial-agg shuffles + one term-keyed join;
+    // the doc-partitioned window rides the join's output partitioning.
+    Q("txt_tfidf_topk",
+      (s, d) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id")
+          .orderBy(($"tf".cast("double") / $"df".cast("double")).desc,
+            $"term".asc)
+        val tf = Tables.documents(s, d)
+          .select($"doc_id", explode(tokens($"text")).as("term"))
+          .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+        tf.join(dfreq, "term")
+          .withColumn("rnk", row_number().over(w))
+          .filter($"rnk" <= 3)
+          .select($"doc_id", $"term", $"tf", $"df", $"rnk")
+      },
+      Some("""WITH tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf
+          FROM (SELECT doc_id,
+                  unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+                FROM documents) x
+          GROUP BY doc_id, term),
+        dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+        SELECT doc_id, term, tf, df, rnk FROM (
+          SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+            ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+              ORDER BY CAST(tf.tf AS DOUBLE) / CAST(dfreq.df AS DOUBLE) DESC,
+                       tf.term ASC) AS rnk
+          FROM tf JOIN dfreq USING (term)) z
+        WHERE rnk <= 3""")),
+
+    // ------------------------------------------------------------------
     // Deterministic train/valid/test split: bucket = md5 of a salted
     // doc key, so assignment is stable across runs, machines, and
     // engines (never rand(), whose value depends on row-to-partition

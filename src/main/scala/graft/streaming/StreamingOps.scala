@@ -102,4 +102,85 @@ object StreamingOps {
           SessionUpdate(userId, st.sessionId, st.nEvents, st.sumValue)
       }
   }
+
+  /** Streaming exact dedup — the streaming twin of `dedup_exact` /
+    * `ev_first_seen`. `dropDuplicatesWithinWatermark` keys state on the
+    * id column but evicts entries once the watermark passes, so state
+    * is bounded by the duplicate-arrival horizon instead of growing
+    * with the full stream history (a plain `dropDuplicates` on an
+    * unbounded stream never frees state — unusable at 100 TB/day). */
+  def dedupStream(events: DataFrame, idCol: String,
+                  watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCol)
+
+  /** Stream-stream interval join — the streaming twin of the batch
+    * `ev_session_attribution`: each purchase joins the clicks of the
+    * same user in the preceding `horizonMinutes`. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so
+    * each side's buffered state is evicted as the watermark advances —
+    * the only stream-stream join shape that runs unbounded. */
+  def clickAttribution(clicks: DataFrame, purchases: DataFrame,
+                       horizonMinutes: Int = 30): DataFrame = {
+    val c = clicks.withWatermark("ts", "1 hour").as("c")
+    val p = purchases.withWatermark("ts", "1 hour").as("p")
+    p.join(c,
+      expr(s"""c.user_id = p.user_id AND
+               c.ts <= p.ts AND
+               c.ts >= p.ts - INTERVAL $horizonMinutes MINUTES"""))
+      .select(col("p.user_id").as("user_id"),
+        col("p.ts").as("purchase_ts"), col("p.value").as("amount"),
+        col("c.ts").as("click_ts"))
+  }
+
+  final case class ClosedSession(user_id: Long, start_micros: Long,
+                                 end_micros: Long, n_events: Long,
+                                 sum_value: Double)
+
+  /** Sessions emitted only when they CLOSE (append mode), via
+    * `flatMapGroupsWithState` + event-time timeout: state buffers the
+    * open session; when the watermark passes last-event + gap the
+    * timeout fires and the finished session is emitted (0 or 1 rows
+    * per invocation — the flatMap shape). Downstream consumers get
+    * each session exactly once, complete — the contract a training-
+    * data sessionizer needs, vs. `sessionize`'s running updates. */
+  def closedSessions(events: Dataset[Event], gapSeconds: Long = 1800)
+      : Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionBuf, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionBuf]) =>
+          if (batch.isEmpty && state.hasTimedOut) {
+            // Watermark passed session end + gap: close and emit.
+            val st = state.get
+            state.remove()
+            Iterator.single(ClosedSession(userId, st.startMicros,
+              st.lastMicros, st.nEvents, st.sumValue))
+          } else {
+            val closed = Seq.newBuilder[ClosedSession]
+            var st = state.getOption.orNull
+            for (e <- batch.toSeq.sortBy(e => (e.ts.getTime, e.value))) {
+              val micros = e.ts.getTime * 1000L
+              if (st == null) st = SessionBuf(micros, micros, 1L, e.value)
+              else if (micros - st.lastMicros > gapSeconds * 1000000L) {
+                // Gap inside the stream itself closes the session
+                // immediately (no need to wait for the timeout).
+                closed += ClosedSession(userId, st.startMicros,
+                  st.lastMicros, st.nEvents, st.sumValue)
+                st = SessionBuf(micros, micros, 1L, e.value)
+              } else st = st.copy(lastMicros = micros,
+                nEvents = st.nEvents + 1, sumValue = st.sumValue + e.value)
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(
+              st.lastMicros / 1000L + gapSeconds * 1000L)
+            closed.result().iterator
+          }
+      }
+  }
+
+  final case class SessionBuf(startMicros: Long, lastMicros: Long,
+                              nEvents: Long, sumValue: Double)
 }

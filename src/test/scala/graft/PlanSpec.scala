@@ -85,6 +85,35 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("correlated scalar subquery decorrelates to an equi-join") {
+    val p = plan("rel_correlated_max")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"),
+      "decorrelation must yield an equi-join, not a per-row re-execution")
+    assert(p.contains("Join"), p)
+  }
+
+  test("bloom prune filters the fact side before a broadcast semi join") {
+    val p = plan("rel_bloom_prune")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    // the bloom probe (UDF filter) sits below the join in the tree —
+    // i.e. in the fact-scan stage, upstream of the join (children
+    // render after parents in the plan string)
+    assert(p.indexOf("UDF") > p.indexOf("BroadcastHashJoin"), p)
+  }
+
+  test("pivot with explicit values is two partial-agg shuffles, no scan for values") {
+    val df = SparkEntry.queries("rel_pivot_priority")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // Spark plans pivot as groupBy(status, prio) then pivot_first by
+    // status: two exchanges, both AFTER map-side partial aggregation
+    // (bytes shuffled ~ |status × prio|, not row count). Crucially no
+    // third job to collect distinct pivot values (explicit list).
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 2, s"expected two partial-agg shuffles, got $exchanges")
+    assert(p.contains("partial_count"), "map-side combine must precede shuffle")
+  }
+
   test("record assembly has exactly one exchange (the column grouping)") {
     import org.apache.spark.sql.functions._
     val blocks = graft.sources.BlockSource.fromRows(spark,

@@ -87,4 +87,79 @@ class StreamingSpec extends AnyFunSuite {
     assert(updates.contains((1L, 2L, 1L, 4.0)), updates.mkString(","))
     q.stop()
   }
+
+  test("dropDuplicatesWithinWatermark dedups across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val events = mem.toDF().toDF("event_id", "ts", "event_type")
+    val q = StreamingOps.dedupStream(events, "event_id")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    mem.addData((1L, ts("2024-01-01 10:00:00"), "click"),
+                (1L, ts("2024-01-01 10:00:01"), "click-dup"),
+                (2L, ts("2024-01-01 10:01:00"), "view"))
+    q.processAllAvailable()
+    // duplicate id arriving in a LATER batch, still inside the watermark
+    mem.addData((2L, ts("2024-01-01 10:02:00"), "view-dup"),
+                (3L, ts("2024-01-01 10:03:00"), "click"))
+    q.processAllAvailable()
+    val ids = spark.table("dedup").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L), ids.mkString(","))
+    q.stop()
+  }
+
+  test("stream-stream interval join attributes clicks to purchases") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val purchases = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val out = StreamingOps.clickAttribution(
+      clicks.toDF().toDF("user_id", "ts", "value"),
+      purchases.toDF().toDF("user_id", "ts", "value"))
+    val q = out.writeStream.format("memory").queryName("attr")
+      .outputMode("append").start()
+    clicks.addData((1L, ts("2024-01-01 10:00:00"), 0.0), // in horizon
+                   (1L, ts("2024-01-01 09:00:00"), 0.0), // too early
+                   (2L, ts("2024-01-01 10:10:00"), 0.0)) // other user
+    purchases.addData((1L, ts("2024-01-01 10:15:00"), 99.0))
+    q.processAllAvailable()
+    // advance both watermarks far enough to emit the joined rows
+    // (distinct users, so the advancer rows cannot join each other)
+    clicks.addData((8L, ts("2024-01-01 14:00:00"), 0.0))
+    purchases.addData((9L, ts("2024-01-01 14:00:00"), 0.0))
+    q.processAllAvailable()
+    val got = spark.table("attr").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(3).toString))
+    assert(got.toSet == Set((1L, "2024-01-01 10:00:00.0")), got.mkString(","))
+    q.stop()
+  }
+
+  test("flatMapGroupsWithState emits sessions only when closed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val events = mem.toDS()
+      .map { case (u, t, v) => StreamingOps.Event(u, t, v) }
+    val q = StreamingOps.closedSessions(events)
+      .writeStream.format("memory").queryName("closed")
+      .outputMode("append").start()
+    mem.addData((1L, ts("2024-01-01 10:00:00"), 1.0),
+                (1L, ts("2024-01-01 10:10:00"), 2.0))
+    q.processAllAvailable()
+    assert(spark.table("closed").isEmpty, "open session must not emit")
+    // An event past the gap closes session 1 in-stream and advances the
+    // watermark past its end+gap (either path emits it exactly once).
+    mem.addData((1L, ts("2024-01-01 12:00:00"), 4.0))
+    q.processAllAvailable()
+    mem.addData((2L, ts("2024-01-01 15:00:00"), 0.0))
+    q.processAllAvailable()
+    val got = spark.table("closed").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val micros = (s: String) => ts(s).getTime * 1000L
+    assert(got.contains((1L, micros("2024-01-01 10:00:00"),
+      micros("2024-01-01 10:10:00"), 2L, 3.0)), got.mkString(","))
+    q.stop()
+  }
 }
