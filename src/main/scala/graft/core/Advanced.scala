@@ -167,6 +167,37 @@ object Advanced {
         CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS total
         FROM orders WHERE o_custkey IN
           (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
-        GROUP BY o_orderstatus"""))
+        GROUP BY o_orderstatus""")),
+
+    // ------------------------------------------------------------------
+    // Full outer join: BUILDING-segment customer counts vs high-balance
+    // supplier counts per nation — both sides aggregate BEFORE the
+    // join (one row per nation each), so the outer join is between two
+    // tiny pre-collapsed sides regardless of fact volume; the filters
+    // leave ~half the nations one-sided, exercising both null wings.
+    Q("rel_outer_nation_balance",
+      (s, d) => {
+        import s.implicits._
+        val cust = Tables.customer(s, d)
+          .filter($"c_mktsegment" === "BUILDING")
+          .groupBy($"c_nationkey").agg(count(lit(1)).as("n_cust"))
+        val supp = Tables.supplier(s, d)
+          .filter($"s_acctbal" > 8000.0)
+          .groupBy($"s_nationkey").agg(count(lit(1)).as("n_supp"))
+        cust.join(supp, $"c_nationkey" === $"s_nationkey", "full_outer")
+          .select(
+            coalesce($"c_nationkey", $"s_nationkey").as("nationkey"),
+            coalesce($"n_cust", lit(0L)).as("n_cust"),
+            coalesce($"n_supp", lit(0L)).as("n_supp"))
+      },
+      Some("""SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,
+          COALESCE(n_cust, 0) AS n_cust,
+          COALESCE(n_supp, 0) AS n_supp
+        FROM (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer
+              WHERE c_mktsegment = 'BUILDING' GROUP BY c_nationkey) c
+        FULL OUTER JOIN
+             (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier
+              WHERE s_acctbal > 8000.0 GROUP BY s_nationkey) s
+          ON c_nationkey = s_nationkey"""))
   )
 }

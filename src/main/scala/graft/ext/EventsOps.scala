@@ -266,6 +266,63 @@ object EventsOps {
           FROM events)
         SELECT cohort_month, active_month, COUNT(*) AS n_users
         FROM active JOIN cohort USING (user_id)
-        GROUP BY cohort_month, active_month"""))
+        GROUP BY cohort_month, active_month""")),
+
+    // ------------------------------------------------------------------
+    // Deterministic per-user modal event type via the custom
+    // mode_det TypedImperativeAggregate (ties broken by smaller
+    // value — stable under any partitioning, unlike engine mode()).
+    // Partial buffers are value→count maps merged map-side, so the
+    // shuffle carries one small map per (partition, user).
+    Q("ev_mode_event",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .groupBy($"user_id")
+          .agg(graft.functions.NativeFunctions.modeDet($"event_type")
+                 .as("mode_event"),
+               count(lit(1)).as("n_events"))
+      },
+      Some("""WITH c AS (
+          SELECT user_id, event_type, COUNT(*) AS n
+          FROM events GROUP BY user_id, event_type),
+        r AS (
+          SELECT user_id, event_type,
+            ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY n DESC, event_type ASC) AS rn
+          FROM c)
+        SELECT r.user_id, r.event_type AS mode_event, t.n_events
+        FROM r JOIN (SELECT user_id, COUNT(*) AS n_events
+                     FROM events GROUP BY user_id) t
+          ON r.user_id = t.user_id
+        WHERE r.rn = 1""")),
+
+    // ------------------------------------------------------------------
+    // Sequential-context window functions: gap to the previous event,
+    // the next event's type, and the event's quartile position in the
+    // user's history — lag/lead/ntile stacked over ONE
+    // (user_id, ts, event_id) window, so the plan is a single
+    // exchange + sort. (ts, event_id) is a total order per user,
+    // making all three deterministic.
+    Q("ev_lag_lead",
+      (s, d) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id").orderBy($"t_us", $"event_id")
+        Tables.events(s, d)
+          .select($"user_id", $"event_id", $"event_type",
+            unix_micros($"ts").as("t_us"))
+          .withColumn("gap_us", $"t_us" - lag($"t_us", 1).over(w))
+          .withColumn("next_type", lead($"event_type", 1).over(w))
+          .withColumn("quartile", ntile(4).over(w))
+          .select($"user_id", $"event_id", $"gap_us", $"next_type",
+            $"quartile")
+      },
+      Some("""SELECT user_id, event_id,
+          epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_us,
+          lead(event_type, 1) OVER w AS next_type,
+          ntile(4) OVER w AS quartile
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)"""))
   )
 }

@@ -245,10 +245,96 @@ object HashImpls {
   }
 }
 
+/** Deterministic mode: the most frequent value of a string column per
+  * group, ties broken by the smaller value — unlike a `mode()` whose
+  * survivor depends on row order, this is stable across partitionings
+  * and engines (DuckDB-oracle-comparable). A `TypedImperativeAggregate`:
+  * partial buffers are value→count maps, merged by summing — map-side
+  * combine works, so the shuffle carries one map per (partition, group),
+  * never raw rows. Buffer size is the group's distinct-value count:
+  * right for categorical columns (event types, languages, statuses); a
+  * wide-domain column at 100 TB needs a sketch (count-min / SpaceSaving)
+  * and gives up exactness.
+  */
+case class ModeDet(child: Expression,
+                   mutableAggBufferOffset: Int = 0,
+                   inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate
+      .TypedImperativeAggregate[scala.collection.mutable.HashMap[String, Long]] {
+  import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream}
+  import scala.collection.mutable
+
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "mode_det"
+
+  override def createAggregationBuffer(): mutable.HashMap[String, Long] =
+    mutable.HashMap.empty
+
+  override def update(buf: mutable.HashMap[String, Long],
+                      input: org.apache.spark.sql.catalyst.InternalRow)
+      : mutable.HashMap[String, Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val k = v.asInstanceOf[UTF8String].toString
+      buf.update(k, buf.getOrElse(k, 0L) + 1L)
+    }
+    buf
+  }
+
+  override def merge(b1: mutable.HashMap[String, Long],
+                     b2: mutable.HashMap[String, Long])
+      : mutable.HashMap[String, Long] = {
+    for ((k, n) <- b2) b1.update(k, b1.getOrElse(k, 0L) + n)
+    b1
+  }
+
+  override def eval(buf: mutable.HashMap[String, Long]): Any =
+    if (buf.isEmpty) null
+    else {
+      var bestK: String = null
+      var bestN = -1L
+      for ((k, n) <- buf)
+        if (n > bestN || (n == bestN && k < bestK)) { bestK = k; bestN = n }
+      UTF8String.fromString(bestK)
+    }
+
+  override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
+    val bytes = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bytes)
+    out.writeInt(buf.size)
+    for ((k, n) <- buf) { out.writeUTF(k); out.writeLong(n) }
+    out.flush()
+    bytes.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, Long] = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val size = in.readInt()
+    val buf = mutable.HashMap.empty[String, Long]
+    var i = 0
+    while (i < size) { buf.update(in.readUTF(), in.readLong()); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ModeDet =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ModeDet =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
 object NativeFunctions {
 
   def rollingMinHash(c: Column, k: Int = 8): Column =
     ColumnBridge.column(RollingMinHash(ColumnBridge.expression(c), k))
+
+  def modeDet(c: Column): Column =
+    ColumnBridge.column(
+      ModeDet(ColumnBridge.expression(c)).toAggregateExpression())
 
   def minHashSig(c: Column, k: Int = 5): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(c), k))
@@ -269,6 +355,8 @@ object NativeFunctions {
       exprs => IsNumericToken(exprs.head), "internal")
     registry.createOrReplaceTempFunction("farm_starts_with_name_native",
       exprs => StartsWithName(exprs.head), "internal")
+    registry.createOrReplaceTempFunction("mode_det",
+      exprs => ModeDet(exprs.head).toAggregateExpression(), "internal")
   }
 }
 

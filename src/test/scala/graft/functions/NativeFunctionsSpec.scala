@@ -110,4 +110,25 @@ class NativeFunctionsSpec extends AnyFunSuite {
       assert(math.abs(gotV - want) < 1e-12, s"doc$di: got $gotV want $want")
     }
   }
+
+  test("mode_det: deterministic ties, null skip, partitioning-invariant") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "b"), (1L, "b"), (1L, "a"), (1L, "a"), (1L, "c"), // tie a/b → a
+      (2L, "z"),                                             // singleton
+      (3L, null), (3L, null), (3L, "only"))                  // nulls skipped
+    for (parts <- Seq(1, 7)) {
+      val df = rows.toDF("k", "v").repartition(parts)
+      val got = df.groupBy($"k")
+        .agg(NativeFunctions.modeDet($"v").as("m"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == Map(1L -> "a", 2L -> "z", 3L -> "only"), s"parts=$parts")
+    }
+    // all-null group → null result; SQL registration path works
+    rows.toDF("k", "v").createOrReplaceTempView("modetest")
+    val viaSql = spark.sql(
+      "SELECT k, mode_det(v) AS m FROM modetest WHERE v IS NULL GROUP BY k")
+      .collect()
+    assert(viaSql.length == 1 && viaSql.head.isNullAt(1))
+  }
 }
