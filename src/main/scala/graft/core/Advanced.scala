@@ -198,6 +198,38 @@ object Advanced {
         FULL OUTER JOIN
              (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier
               WHERE s_acctbal > 8000.0 GROUP BY s_nationkey) s
-          ON c_nationkey = s_nationkey"""))
+          ON c_nationkey = s_nationkey""")),
+
+    // ------------------------------------------------------------------
+    // Data profiling: row count, exact distinct cardinalities, and
+    // min/max ranges in one aggregate. Multiple exact COUNT(DISTINCT)s
+    // plan as one Expand (rows duplicated per distinct column) + one
+    // shuffle — acceptable for scheduled profiling; an always-on 100 TB
+    // profile should switch to approx_count_distinct (single pass,
+    // mergeable HLL — see rel_approx_distinct).
+    Q("rel_profile_columns",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d).agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct($"l_orderkey").as("nd_orderkey"),
+          countDistinct($"l_partkey").as("nd_partkey"),
+          countDistinct($"l_shipdate").as("nd_shipdate"),
+          min($"l_shipdate").as("min_shipdate"),
+          max($"l_shipdate").as("max_shipdate"),
+          min($"l_quantity").as("min_qty"),
+          max($"l_quantity").as("max_qty"),
+          count(when($"l_returnflag".isNull, 1)).as("null_returnflag"))
+      },
+      Some("""SELECT COUNT(*) AS n_rows,
+        COUNT(DISTINCT l_orderkey) AS nd_orderkey,
+        COUNT(DISTINCT l_partkey) AS nd_partkey,
+        COUNT(DISTINCT l_shipdate) AS nd_shipdate,
+        MIN(l_shipdate) AS min_shipdate,
+        MAX(l_shipdate) AS max_shipdate,
+        MIN(l_quantity) AS min_qty,
+        MAX(l_quantity) AS max_qty,
+        COUNT(CASE WHEN l_returnflag IS NULL THEN 1 END) AS null_returnflag
+        FROM lineitem"""))
   )
 }

@@ -439,7 +439,35 @@ object TextAnalysis {
         FROM (SELECT doc_id, lang,
                 CAST(len(string_split_regex(trim(lower(text)), '\s+'))
                      AS BIGINT) AS n_tok
-              FROM documents) x"""))
+              FROM documents) x""")),
+
+    // ------------------------------------------------------------------
+    // Deterministic stratified sampling: at most 40 docs per language,
+    // chosen by md5 rank — unlike seeded Bernoulli sampling (whose
+    // survivors depend on row→partition placement), the sample is a
+    // pure function of the data, reproducible across runs, engines,
+    // and cluster sizes, and re-sampling a grown corpus keeps the
+    // selection stable for unchanged ranks. One shuffle on lang; the
+    // per-stratum sort is over hash values, not payloads.
+    Q("txt_stratified_sample",
+      (s, d) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"lang")
+          .orderBy(md5(concat(lit("sample:"), $"doc_id".cast("string"))).asc,
+            $"doc_id".asc)
+        Tables.documents(s, d)
+          .select($"doc_id", $"lang")
+          .withColumn("rnk", row_number().over(w))
+          .filter($"rnk" <= 40)
+      },
+      Some("""SELECT doc_id, lang, rnk FROM (
+          SELECT doc_id, lang,
+            ROW_NUMBER() OVER (PARTITION BY lang
+              ORDER BY md5('sample:' || CAST(doc_id AS VARCHAR)) ASC,
+                       doc_id ASC) AS rnk
+          FROM documents) x
+        WHERE rnk <= 40"""))
   )
 
   /** Library form of the quality/stat projections for reuse. */
