@@ -230,6 +230,31 @@ object Advanced {
         MIN(l_quantity) AS min_qty,
         MAX(l_quantity) AS max_qty,
         COUNT(CASE WHEN l_returnflag IS NULL THEN 1 END) AS null_returnflag
-        FROM lineitem"""))
+        FROM lineitem""")),
+
+    // ------------------------------------------------------------------
+    // Explicit GROUPING SETS — the general form under cube/rollup —
+    // with grouping_id disambiguating which set produced each row
+    // (a grouped NULL vs. a data NULL). One Expand + one shuffle:
+    // rows are duplicated once per grouping set before the partial
+    // aggregation, so the shuffle carries |sets| × |groups| partials,
+    // not |sets| × row count.
+    Q("rel_grouping_sets",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("ord_gs")
+        s.sql("""SELECT o_orderstatus, o_orderpriority,
+            CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS BIGINT)
+              AS gid,
+            COUNT(*) AS n_orders
+          FROM ord_gs
+          GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                  (o_orderstatus), ())""")
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority,
+          CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+          COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())"""))
   )
 }
