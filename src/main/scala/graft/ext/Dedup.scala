@@ -308,8 +308,13 @@ object Dedup {
         val edges = star
           .unionByName(star.select($"dst".as("src"), $"src".as("dst")))
           .persist()
-        var labels = edges.select($"src".as("v")).distinct()
-          .select($"v", $"v".as("cluster_id"))
+        // Init at min(self, neighbors) — the identity-label round is
+        // free here because with labels = id the first propagation is
+        // just the edge list itself (no join needed): one groupBy
+        // replaces a whole join+union+agg iteration.
+        var labels = edges.select($"src".as("v"), $"src".as("cluster_id"))
+          .unionByName(edges.select($"src".as("v"), $"dst".as("cluster_id")))
+          .groupBy($"v").agg(min($"cluster_id").as("cluster_id"))
           .localCheckpoint(true)
         var lastSum = -1L
         var iter = 0

@@ -300,11 +300,16 @@ case class ModeDet(child: Expression,
       UTF8String.fromString(bestK)
     }
 
+  // Length-prefixed UTF-8, not writeUTF: modified-UTF caps entries at
+  // 64 KB, which a long text value would hit mid-aggregation.
   override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
     val bytes = new ByteArrayOutputStream()
     val out = new DataOutputStream(bytes)
     out.writeInt(buf.size)
-    for ((k, n) <- buf) { out.writeUTF(k); out.writeLong(n) }
+    for ((k, n) <- buf) {
+      val kb = k.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length); out.write(kb); out.writeLong(n)
+    }
     out.flush()
     bytes.toByteArray
   }
@@ -314,7 +319,13 @@ case class ModeDet(child: Expression,
     val size = in.readInt()
     val buf = mutable.HashMap.empty[String, Long]
     var i = 0
-    while (i < size) { buf.update(in.readUTF(), in.readLong()); i += 1 }
+    while (i < size) {
+      val kb = new Array[Byte](in.readInt())
+      in.readFully(kb)
+      buf.update(new String(kb, java.nio.charset.StandardCharsets.UTF_8),
+        in.readLong())
+      i += 1
+    }
     buf
   }
 

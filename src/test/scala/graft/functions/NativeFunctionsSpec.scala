@@ -113,16 +113,20 @@ class NativeFunctionsSpec extends AnyFunSuite {
 
   test("mode_det: deterministic ties, null skip, partitioning-invariant") {
     import spark.implicits._
+    val big = "x" * 70000 // > writeUTF's 64 KB cap: pins the
+                          // length-prefixed partial serialization
     val rows = Seq(
       (1L, "b"), (1L, "b"), (1L, "a"), (1L, "a"), (1L, "c"), // tie a/b → a
       (2L, "z"),                                             // singleton
-      (3L, null), (3L, null), (3L, "only"))                  // nulls skipped
+      (3L, null), (3L, null), (3L, "only"),                  // nulls skipped
+      (4L, big), (4L, big), (4L, "small"))                   // 64 KB+ value
     for (parts <- Seq(1, 7)) {
       val df = rows.toDF("k", "v").repartition(parts)
       val got = df.groupBy($"k")
         .agg(NativeFunctions.modeDet($"v").as("m"))
         .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-      assert(got == Map(1L -> "a", 2L -> "z", 3L -> "only"), s"parts=$parts")
+      assert(got == Map(1L -> "a", 2L -> "z", 3L -> "only", 4L -> big),
+        s"parts=$parts")
     }
     // all-null group → null result; SQL registration path works
     rows.toDF("k", "v").createOrReplaceTempView("modetest")
