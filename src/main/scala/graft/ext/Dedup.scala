@@ -328,7 +328,10 @@ object Dedup {
           val next = labels.unionByName(prop).unionByName(jump)
             .groupBy($"v").agg(min($"cluster_id").as("cluster_id"))
             .localCheckpoint(true)
-          val sumNow = next.agg(sum($"cluster_id")).as[Long].head()
+          // coalesce: an edgeless corpus (no duplicate candidates)
+          // yields an empty label set — SUM over it is NULL.
+          val sumNow = next.agg(coalesce(sum($"cluster_id"), lit(0L)))
+            .as[Long].head()
           converged = sumNow == lastSum
           lastSum = sumNow
           labels = next
