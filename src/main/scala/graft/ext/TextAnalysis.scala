@@ -467,7 +467,48 @@ object TextAnalysis {
               ORDER BY md5('sample:' || CAST(doc_id AS VARCHAR)) ASC,
                        doc_id ASC) AS rnk
           FROM documents) x
-        WHERE rnk <= 40"""))
+        WHERE rnk <= 40""")),
+
+    // ------------------------------------------------------------------
+    // Decontamination check: which corpus docs share a token 8-gram
+    // with the benchmark set (stand-in: doc_id < 50) — the train/eval
+    // overlap scan run before training. Gram hashes via
+    // explode(sequence) + slice + md5 (all codegen'd — no
+    // higher-order-function fallback); the benchmark gram set is
+    // DISTINCT'd small and broadcast, so the corpus side — the 100 TB
+    // side — is a narrow scan + broadcast hash join with no shuffle:
+    // decontamination cost stays linear in corpus size regardless of
+    // corpus count.
+    Q("txt_contamination",
+      (s, d) => {
+        import s.implicits._
+        def grams(df: DataFrame): DataFrame = df
+          .select($"doc_id", tokens($"text").as("t"))
+          .filter(size($"t") >= 8)
+          .select($"doc_id", $"t",
+            explode(sequence(lit(1), size($"t") - 7)).as("i"))
+          .select($"doc_id",
+            md5(concat_ws(" ", slice($"t", $"i", lit(8)))).as("g"))
+        val all = Tables.documents(s, d)
+        val bench = grams(all.filter($"doc_id" < 50)).select($"g").distinct()
+        grams(all.filter($"doc_id" >= 50))
+          .join(broadcast(bench), "g")
+          .groupBy($"doc_id")
+          .agg(countDistinct($"g").as("n_shared_grams"))
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+          FROM documents),
+        grams AS (
+          SELECT doc_id, md5(array_to_string(t[i:i+7], ' ')) AS g
+          FROM (SELECT doc_id, t,
+                  unnest(generate_series(1, len(t) - 7)) AS i
+                FROM toks WHERE len(t) >= 8) x),
+        bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 50)
+        SELECT doc_id, COUNT(DISTINCT g) AS n_shared_grams
+        FROM grams JOIN bench USING (g)
+        WHERE doc_id >= 50
+        GROUP BY doc_id"""))
   )
 
   /** Library form of the quality/stat projections for reuse. */

@@ -135,6 +135,31 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming near-dup dedup: MinHashSig keys dropDuplicatesWithinWatermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    // The batch engine's native signature expression runs unchanged
+    // inside the micro-batch plan; dedup keys on the signature, so
+    // content-identical docs collapse across batches.
+    val docs = mem.toDF().toDF("doc_id", "text", "ts")
+      .withColumn("sig",
+        graft.functions.NativeFunctions.minHashSig(col("text"), 5)
+          .cast("string"))
+    val q = StreamingOps.dedupStream(docs, "sig")
+      .writeStream.format("memory").queryName("neardup")
+      .outputMode("append").start()
+    val body = "the quick brown fox jumps over the lazy dog again and again"
+    mem.addData((1L, body, ts("2024-01-01 10:00:00")),
+                (2L, "completely different content here", ts("2024-01-01 10:00:30")))
+    q.processAllAvailable()
+    mem.addData((3L, body, ts("2024-01-01 10:01:00"))) // dup, later batch
+    q.processAllAvailable()
+    val ids = spark.table("neardup").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L), ids.mkString(","))
+    q.stop()
+  }
+
   test("flatMapGroupsWithState emits sessions only when closed") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
