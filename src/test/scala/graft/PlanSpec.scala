@@ -114,6 +114,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), "map-side combine must precede shuffle")
   }
 
+  test("contamination scan broadcasts the benchmark gram set") {
+    val p = plan("txt_contamination")
+    assert(p.contains("BroadcastHashJoin"),
+      "benchmark grams must broadcast — the corpus side cannot shuffle")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("record assembly has exactly one exchange (the column grouping)") {
     import org.apache.spark.sql.functions._
     val blocks = graft.sources.BlockSource.fromRows(spark,
