@@ -90,6 +90,27 @@ object Advanced {
       None),
 
     // ------------------------------------------------------------------
+    // Approximate percentiles — the scale path rel_percentiles points
+    // at: t-digest-style mergeable partials with bounded memory per
+    // group, vs. the exact aggregate's value→count map. Sketch
+    // internals are engine-specific, so no oracle; AdvancedSpec pins
+    // the estimates against the exact interpolated percentiles.
+    Q("rel_approx_percentiles",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .groupBy($"l_returnflag")
+          .agg(
+            expr("approx_percentile(l_quantity, 0.5, 10000)")
+              .as("median_qty"),
+            expr("approx_percentile(l_extendedprice, 0.25, 10000)")
+              .as("p25_price"),
+            expr("approx_percentile(l_extendedprice, 0.75, 10000)")
+              .as("p75_price"))
+      },
+      None),
+
+    // ------------------------------------------------------------------
     // Pivot: priority values become columns. Values are passed
     // explicitly — with an inferred pivot Spark first runs a distinct
     // job over the column, an extra full scan a 100 TB pipeline with a

@@ -32,6 +32,24 @@ class AdvancedSpec extends AnyFunSuite {
     }
   }
 
+  test("approx_percentile within 1% of exact interpolated percentiles") {
+    val approx = SparkEntry.queries("rel_approx_percentiles")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val exact = SparkEntry.queries("rel_percentiles")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    for ((flag, (em, e25, e75)) <- exact) {
+      val (am, a25, a75) = approx(flag)
+      for (((a, e), lbl) <- Seq((am, em) -> "median", (a25, e25) -> "p25",
+                                (a75, e75) -> "p75"))
+        assert(math.abs(a - e) / math.max(math.abs(e), 1e-9) <= 0.01,
+          s"$flag $lbl: $a vs $e")
+    }
+  }
+
   test("saltedJoin equals the plain join") {
     import spark.implicits._
     val orders = Tables.orders(spark, sf)
