@@ -236,37 +236,39 @@ object EventsOps {
         LEFT JOIN t3 ON t1.user_id = t3.user_id""")),
 
     // ------------------------------------------------------------------
-    // Cohort retention matrix: users bucketed by first-seen month,
-    // counted in every month they were active. Both inputs are keyed
-    // on user_id, so the cohort⋈activity join is co-partitioned with
-    // the groupBys that feed it — one shuffle of one row per
-    // (user, month) regardless of event volume, then a small matrix
-    // aggregation. The per-user distinct runs BEFORE the join (events
-    // collapse early; never join raw events against cohorts).
+    // Cohort retention matrix: users bucketed by first-seen day,
+    // counted on every day they were active (day granularity — the
+    // testdata spans one month). No join at all: one groupBy(user_id)
+    // computes the cohort (min day) AND the distinct active-day set
+    // together — collect_set partials collapse days map-side, so the
+    // single wide shuffle carries one small set per (partition, user)
+    // regardless of event volume. Explode + the tiny matrix
+    // aggregation finish it: two exchanges total, versus the naive
+    // cohort⋈activity join's three plus a join that stops
+    // broadcasting once users outgrow one executor.
     Q("ev_retention",
       (s, d) => {
         import s.implicits._
-        val ev = Tables.events(s, d)
-        val cohort = ev.groupBy($"user_id")
-          .agg(date_trunc("month", min($"ts")).as("cohort_month"))
-        val active = ev
-          .select($"user_id", date_trunc("month", $"ts").as("active_month"))
-          .distinct()
-        active.join(cohort, "user_id")
-          .groupBy($"cohort_month", $"active_month")
+        Tables.events(s, d)
+          .select($"user_id", date_trunc("day", $"ts").as("dy"))
+          .groupBy($"user_id")
+          .agg(min($"dy").as("cohort_day"),
+               collect_set($"dy").as("days"))
+          .select($"cohort_day", explode($"days").as("active_day"))
+          .groupBy($"cohort_day", $"active_day")
           .agg(count(lit(1)).as("n_users"))
       },
       Some("""WITH cohort AS (
           SELECT user_id,
-            CAST(date_trunc('month', MIN(ts)) AS TIMESTAMP) AS cohort_month
+            CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS cohort_day
           FROM events GROUP BY user_id),
         active AS (
           SELECT DISTINCT user_id,
-            CAST(date_trunc('month', ts) AS TIMESTAMP) AS active_month
+            CAST(date_trunc('day', ts) AS TIMESTAMP) AS active_day
           FROM events)
-        SELECT cohort_month, active_month, COUNT(*) AS n_users
+        SELECT cohort_day, active_day, COUNT(*) AS n_users
         FROM active JOIN cohort USING (user_id)
-        GROUP BY cohort_month, active_month""")),
+        GROUP BY cohort_day, active_day""")),
 
     // ------------------------------------------------------------------
     // Deterministic per-user modal event type via the custom
