@@ -297,12 +297,16 @@ object Dedup {
     Q("dedup_cc",
       (s, d) => {
         import s.implicits._
-        val banded = bandedKeys(minhashSignatures(corpus(s, d)))
-        val roots = banded.groupBy($"band_idx", $"band_hash")
-          .agg(min($"doc_id").as("root"), count(lit(1)).as("n"))
-          .filter($"n" > 1)
-        val star = banded.join(roots, Seq("band_idx", "band_hash"))
-          .filter($"doc_id" =!= $"root")
+        // Bucket root + size via ONE whole-partition window over the
+        // banded keys — a groupBy-roots-then-join-back formulation
+        // recomputes the banded subtree (corpus scan + MinHash pass)
+        // twice, because Catalyst does not dedupe repeated subplans.
+        val wBand = org.apache.spark.sql.expressions.Window
+          .partitionBy($"band_idx", $"band_hash")
+        val star = bandedKeys(minhashSignatures(corpus(s, d)))
+          .withColumn("root", min($"doc_id").over(wBand))
+          .withColumn("n", count(lit(1)).over(wBand))
+          .filter($"n" > 1 && $"doc_id" =!= $"root")
           .select($"root".as("src"), $"doc_id".as("dst"))
           .distinct()
         val edges = star

@@ -345,26 +345,31 @@ object TextAnalysis {
         GROUP BY term HAVING COUNT(DISTINCT doc_id) >= 5""")),
 
     // ------------------------------------------------------------------
-    // Per-document top-k TF-IDF terms: tf per (doc, term), df per term
-    // (a count over the tf table — doc/term pairs are already unique),
-    // score = tf/df ranked per doc. Everything stays integer except
-    // the single ranking division (IEEE-exact both engines); the
-    // (score DESC, term ASC) order is total within a doc, so row_number
-    // is deterministic. Two partial-agg shuffles + one term-keyed join;
-    // the doc-partitioned window rides the join's output partitioning.
+    // Per-document top-k TF-IDF terms: tf per (doc, term), df per term,
+    // score = tf/df ranked per doc. df is a whole-partition window
+    // count over the tf frame — NOT a second aggregation joined back:
+    // Catalyst does not dedupe the repeated subtree, so the
+    // join formulation explodes and aggregates the entire corpus
+    // TWICE (two parquet scans of the dominant input). This form
+    // reads the corpus once: tf shuffle, term-window shuffle,
+    // doc-window shuffle — all of collapsed (doc, term) rows.
+    // Everything stays integer except the single ranking division
+    // (IEEE-exact both engines); the (score DESC, term ASC) order is
+    // total within a doc, so row_number is deterministic.
     Q("txt_tfidf_topk",
       (s, d) => {
         import s.implicits._
-        val w = org.apache.spark.sql.expressions.Window
+        val wTerm = org.apache.spark.sql.expressions.Window
+          .partitionBy($"term")
+        val wDoc = org.apache.spark.sql.expressions.Window
           .partitionBy($"doc_id")
           .orderBy(($"tf".cast("double") / $"df".cast("double")).desc,
             $"term".asc)
-        val tf = Tables.documents(s, d)
+        Tables.documents(s, d)
           .select($"doc_id", explode(tokens($"text")).as("term"))
           .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-        val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
-        tf.join(dfreq, "term")
-          .withColumn("rnk", row_number().over(w))
+          .withColumn("df", count(lit(1)).over(wTerm))
+          .withColumn("rnk", row_number().over(wDoc))
           .filter($"rnk" <= 3)
           .select($"doc_id", $"term", $"tf", $"df", $"rnk")
       },
