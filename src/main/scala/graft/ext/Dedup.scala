@@ -191,17 +191,23 @@ object Dedup {
             element_at($"toks", $"i"), element_at($"toks", $"i" + 1),
             element_at($"toks", $"i" + 2)).as("gram"))
           .distinct()
-        val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
-        val inter = grams.as("a")
-          .join(grams.as("b"),
+        // Each gram row carries its doc's gram count via a window on
+        // the grams frame itself — joining a separate sizes aggregate
+        // back would re-derive the whole grams subtree twice more
+        // (Catalyst does not dedupe repeated subplans), turning the
+        // dominant corpus scan+explode+distinct into 4 evaluations.
+        // The self-join's two sides remain (AQE reuses the identical
+        // gram-keyed exchange at runtime).
+        val wDoc = org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id")
+        val sized = grams.withColumn("n", count(lit(1)).over(wDoc))
+        sized.as("a")
+          .join(sized.as("b"),
             $"a.gram" === $"b.gram" && $"a.doc_id" < $"b.doc_id")
-          .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+          .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+            $"a.n".as("na"), $"b.n".as("nb"))
+          .groupBy($"doc_a", $"doc_b", $"na", $"nb")
           .agg(count(lit(1)).as("n_inter"))
-        inter
-          .join(sizes.withColumnRenamed("doc_id", "doc_a")
-            .withColumnRenamed("n_grams", "na"), "doc_a")
-          .join(sizes.withColumnRenamed("doc_id", "doc_b")
-            .withColumnRenamed("n_grams", "nb"), "doc_b")
           .withColumn("jaccard", $"n_inter".cast("double") /
             ($"na" + $"nb" - $"n_inter").cast("double"))
           .filter($"jaccard" >= 0.5)
