@@ -1,4 +1,7 @@
 package graft
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark (driver contract): times every registered
@@ -7,8 +10,38 @@ import org.apache.spark.sql.SparkSession
   * Each query is fully materialized through the noop sink — a bare
   * count() would let Catalyst prune the computed columns (hashes,
   * signatures, parsed structs) and under-measure the operators.
+  *
+  * Output-size constraint: the bench driver captures only the LAST
+  * ~2000 characters of this process's output and parses the JSON
+  * line out of that window (BENCH_r01/BENCH_r02 both ended
+  * `parsed: null` because the full 75-query map was ~2900 chars and
+  * the line start fell outside the window). The emitted line
+  * therefore carries the total, per-group subtotals, and per-query
+  * times for a headline subset only, and is shrunk until it fits a
+  * 1700-char budget (leaving room for sbt's `[success]` trailer).
+  * Complete per-query timings go to BENCH_FULL.json in the repo
+  * root, and the round table in BASELINE.md.
   */
 object Bench {
+
+  /** Queries whose individual times are worth the line budget: the
+    * historically slow ones plus representatives of every group.
+    * Any non-listed query that measures >2s is promoted into the
+    * line automatically (slow newcomers must be visible). */
+  private val headline: Seq[String] = Seq(
+    "rel_pricing_summary", "rel_profit_by_nation_year",
+    "rel_top_returned_customers", "rel_percentiles",
+    "rel_window_running_sum", "rel_correlated_max",
+    "rel_grouping_sets", "rel_profile_columns",
+    "ev_sessionize", "ev_funnel", "ev_retention", "ev_asof_last_click",
+    "txt_fingerprint", "txt_tfidf_topk", "txt_gopher_quality",
+    "txt_contamination", "txt_term_stats",
+    "dedup_exact", "dedup_minhash_sig", "dedup_lsh_pairs",
+    "dedup_ngram_jaccard", "dedup_simhash", "dedup_cc",
+    "sim_cosine_topk", "sim_embedding_neardup", "sim_ann_ivf",
+    "sim_lang_centroid",
+    "mm_frame_sample", "par_page_line_banding", "par_numeric_token_count")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -34,9 +67,11 @@ object Bench {
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
           catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: $e"); false }
+        val sec = (System.nanoTime() - t0) / 1e9
         // let the ContextCleaner release broadcasts/shuffle state
+        // (after the clock is read — a full GC is not query time)
         System.gc()
-        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        name -> (if (ok) sec else -1.0)
       }
     val s1 = sweep()
     val s2 = sweep()
@@ -44,12 +79,41 @@ object Bench {
       val (a, b) = (s1(n), s2(n))
       n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val ok = results.filter(_._2 >= 0)
     val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
-    spark.stop()
+    val total = ok.map(_._2).sum
+
+    // Complete per-query map → file (too long for the output window).
+    val fullJson = results.map { case (k, v) => s""""$k":$v""" }
+      .mkString(s"""{"metric":"total","value":$total,"unit":"sec","queries":{""",
+        ",", s"""},"errors":$errors,"sf":"$sfDir"}""")
+    try Files.write(Paths.get("BENCH_FULL.json"),
+      fullJson.getBytes(StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[bench] full dump failed: $e") }
+
+    // Compact line: headline + promoted-slow queries, per-group sums.
+    def fmt(v: Double, dec: Int) = ("%." + dec + "f").format(v).toDouble.toString
+    val groups = ok.groupBy(_._1.takeWhile(_ != '_'))
+      .toSeq.sortBy(_._1)
+      .map { case (g, qs) => s""""$g":${fmt(qs.map(_._2).sum, 2)}""" }
+      .mkString("{", ",", "}")
+    val wanted = results
+      .filter { case (n, v) => v >= 0 && (headline.contains(n) || v > 2.0) }
+      .sortBy(-_._2) // slowest first: kept longest if the line must shrink
+    def line(entries: Seq[(String, Double)]): String = {
+      val qs = entries.sortBy(_._1)
+        .map { case (k, v) => s""""$k":${fmt(v, 3)}""" }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,""" +
+        s""""groups":$groups,"n":${results.size},"errors":$errors,"sf":"$sfDir"}"""
+    }
+    var kept = wanted
+    while (line(kept).length > 1700 && kept.nonEmpty) kept = kept.dropRight(1)
+    val out = line(kept)
+
+    // Print AFTER stop(): shutdown-time WARN logging lands in the same
+    // captured window and must not push the line out of it.
+    try spark.stop() catch { case _: Throwable => () }
+    println(out)
   }
 }

@@ -396,6 +396,103 @@ object Relational {
                      CAST(n_nationkey AS DOUBLE) * 12.5 + 30.0 AS hi
               FROM nation) i
         JOIN events e ON e.value >= i.lo AND e.value < i.hi
-        GROUP BY i.int_id"""))
+        GROUP BY i.int_id""")),
+
+    // ------------------------------------------------------------------
+    // As-of join through core.Joins.asofJoin (the single-shuffle
+    // window-carry sort-merge form), verified against DuckDB's native
+    // ASOF LEFT JOIN: each order picks up the most recent prior
+    // "big day" (per-customer day whose max order topped 150k) —
+    // sparse right side, so matches genuinely reach back in time and
+    // the no-match null wing is exercised. Right side is unique per
+    // (key, ts) by construction, so tie-break order can't matter.
+    Q("rel_asof_join",
+      (s, d) => {
+        import s.implicits._
+        val orders = Tables.orders(s, d)
+        val left = orders.select($"o_orderkey", $"o_custkey", $"o_orderdate")
+        val bigDays = orders.groupBy($"o_custkey", $"o_orderdate")
+          .agg(max($"o_totalprice").as("day_max"))
+          .filter($"day_max" > 150000.0)
+        Joins.asofJoin(left, bigDays, "o_custkey", "o_orderdate",
+            Seq("day_max"))
+          .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"asof_day_max")
+      },
+      Some("""WITH big_days AS (
+          SELECT o_custkey, o_orderdate, MAX(o_totalprice) AS day_max
+          FROM orders GROUP BY o_custkey, o_orderdate
+          HAVING MAX(o_totalprice) > 150000.0)
+        SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+               b.day_max AS asof_day_max
+        FROM orders o ASOF LEFT JOIN big_days b
+          ON o.o_custkey = b.o_custkey AND o.o_orderdate >= b.o_orderdate""")),
+
+    // ------------------------------------------------------------------
+    // Salted skew join (core.Joins.saltedJoin): the hot-key-safe form
+    // must produce exactly the plain join's rows — the oracle IS the
+    // unsalted join. Aggregated so the check covers every joined row.
+    Q("rel_salted_skew_join",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+          .select($"l_suppkey".as("suppkey"), $"l_quantity")
+        val sup = Tables.supplier(s, d)
+          .select($"s_suppkey".as("suppkey"), $"s_nationkey")
+        Joins.saltedJoin(li, sup, "suppkey", factor = 8)
+          .groupBy($"s_nationkey")
+          .agg(dsum($"l_quantity", 2).as("sum_qty"),
+               count(lit(1)).as("n_items"))
+      },
+      Some("""SELECT s_nationkey,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty,
+          COUNT(*) AS n_items
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_nationkey""")),
+
+    // ------------------------------------------------------------------
+    // Unpivot/melt (Dataset.unpivot → Catalyst Expand: one pass, no
+    // join/union re-scan of the input).
+    Q("rel_unpivot",
+      (s, d) => {
+        import s.implicits._
+        Tables.part(s, d)
+          .select($"p_partkey", $"p_size".cast("double").as("p_size"),
+            $"p_retailprice")
+          .unpivot(Array($"p_partkey"),
+            Array($"p_size", $"p_retailprice"), "attr", "val")
+      },
+      Some("""SELECT p_partkey, 'p_size' AS attr,
+          CAST(p_size AS DOUBLE) AS val FROM part
+        UNION ALL
+        SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val
+        FROM part""")),
+
+    // ------------------------------------------------------------------
+    // RANGE-frame window: per-customer trailing-30-day revenue. The
+    // frame is a value range over epoch days (Spark rangeBetween
+    // needs a numeric ordering key), so same-day orders are peers and
+    // land in each other's frames — ROWS would not do that. One
+    // shuffle on the partition key; decimal window sum for
+    // bit-identical totals under any intra-frame order.
+    Q("rel_trailing_30d_revenue",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey")
+          .orderBy(datediff(to_date($"o_orderdate"), lit("1970-01-01")))
+          .rangeBetween(-30, 0)
+        Tables.orders(s, d)
+          .withColumn("rev_30d",
+            sum($"o_totalprice".cast(DecimalType(27, 2))).over(w)
+              .cast("double"))
+          .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"rev_30d")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderdate,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) OVER (
+            PARTITION BY o_custkey
+            ORDER BY datediff('day', DATE '1970-01-01',
+                              CAST(o_orderdate AS DATE))
+            RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
+            AS rev_30d
+        FROM orders"""))
   )
 }

@@ -294,12 +294,22 @@ object Dedup {
     // jumping: each round takes the min over self, neighbors, and
     // label-of-label (l(l(v)) — path-halving, so rounds are
     // O(log diameter) instead of O(diameter); chained buckets at
-    // sf0.1 need 9 plain rounds but 5 jumped ones). Every round is
-    // co-partitioned hash joins + a partial-agg min; labels are
-    // eagerly localCheckpoint'ed to cut the growing lineage (on a
-    // cluster, checkpoint to reliable storage instead). Convergence
-    // test is one scalar agg: labels only ever decrease, so an
-    // unchanged label sum is a fixpoint.
+    // sf0.1 need 9 plain rounds but 5 jumped ones).
+    //
+    // Each round costs exactly ONE Spark job: the new label frame is
+    // persisted and its convergence sum computed in the same action,
+    // and lineage is cut by re-rooting the frame on its own RDD (a
+    // LogicalRDD leaf) instead of a separate eager-checkpoint job —
+    // the label frame is referenced 3× per round, so an uncut plan
+    // grows ~4× per iteration. AQE is disabled for the loop's eager
+    // jobs: per-exchange stage materialization multiplies scheduler
+    // round-trips by the iteration count, which is what blew the
+    // round-2 driver bench to 63 s on a loaded host (warm local:
+    // 4.3 s). On a real cluster the per-round volume is known after
+    // round 1 (≤ one label row per vertex), so static partitioning
+    // by spark.sql.shuffle.partitions is the right call there too.
+    // Convergence test: labels only ever decrease, so an unchanged
+    // label sum is a fixpoint.
     Q("dedup_cc",
       (s, d) => {
         import s.implicits._
@@ -318,37 +328,68 @@ object Dedup {
         val edges = star
           .unionByName(star.select($"dst".as("src"), $"src".as("dst")))
           .persist()
-        // Init at min(self, neighbors) — the identity-label round is
-        // free here because with labels = id the first propagation is
-        // just the edge list itself (no join needed): one groupBy
-        // replaces a whole join+union+agg iteration.
-        var labels = edges.select($"src".as("v"), $"src".as("cluster_id"))
-          .unionByName(edges.select($"src".as("v"), $"dst".as("cluster_id")))
-          .groupBy($"v").agg(min($"cluster_id").as("cluster_id"))
-          .localCheckpoint(true)
-        var lastSum = -1L
-        var iter = 0
-        var converged = false
-        while (!converged && iter < 25) {
-          val prop = edges.join(labels.withColumnRenamed("v", "src"), "src")
-            .select($"dst".as("v"), $"cluster_id")
-          val jump = labels.as("x").join(labels.as("y"),
-              col("x.cluster_id") === col("y.v"))
-            .select(col("x.v").as("v"), col("y.cluster_id").as("cluster_id"))
-          val next = labels.unionByName(prop).unionByName(jump)
-            .groupBy($"v").agg(min($"cluster_id").as("cluster_id"))
-            .localCheckpoint(true)
+        // Lineage cut + cache; materialized by the caller's next
+        // action (the convergence sum), so no extra job here.
+        def pin(df: DataFrame): DataFrame = {
+          val cut = s.createDataFrame(df.rdd, df.schema)
+          cut.persist()
+          cut
+        }
+        def labelSum(df: DataFrame): Long =
           // coalesce: an edgeless corpus (no duplicate candidates)
           // yields an empty label set — SUM over it is NULL.
-          val sumNow = next.agg(coalesce(sum($"cluster_id"), lit(0L)))
-            .as[Long].head()
-          converged = sumNow == lastSum
-          lastSum = sumNow
-          labels = next
-          iter += 1
+          df.agg(coalesce(sum($"cluster_id"), lit(0L))).as[Long].head()
+        val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
+        val partsWas = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        try {
+          // Size the loop's parallelism ONCE from the measured edge
+          // count — the same decision AQE would make per exchange,
+          // but without paying a stage-materialization round-trip on
+          // every exchange of every iteration. ~1M edge rows per
+          // partition; the count also materializes the edge cache.
+          val nEdges = edges.count()
+          s.conf.set("spark.sql.shuffle.partitions",
+            math.max(1L, math.min(partsWas.toLong, nEdges / 1000000L)).toString)
+          // Init at min(self, neighbors) — the identity-label round
+          // is free here because with labels = id the first
+          // propagation is just the edge list itself (no join
+          // needed): one groupBy replaces a join+union+agg round.
+          var labels = pin(edges
+            .select($"src".as("v"), $"src".as("cluster_id"))
+            .unionByName(edges.select($"src".as("v"), $"dst".as("cluster_id")))
+            .groupBy($"v").agg(min($"cluster_id").as("cluster_id")))
+          var lastSum = labelSum(labels)
+          var iter = 0
+          var converged = false
+          while (!converged && iter < 25) {
+            // SHUFFLE_HASH: with AQE off and LogicalRDD leaves there
+            // are no stats, so Catalyst would default these to
+            // sort-merge — the hash join skips both sort passes and
+            // is the scale-correct choice for co-partitioned
+            // similar-size sides (neither side is broadcastable at
+            // 100 TB).
+            val prop = edges.hint("SHUFFLE_HASH")
+              .join(labels.withColumnRenamed("v", "src"), "src")
+              .select($"dst".as("v"), $"cluster_id")
+            val jump = labels.as("x").hint("SHUFFLE_HASH")
+              .join(labels.as("y"), col("x.cluster_id") === col("y.v"))
+              .select(col("x.v").as("v"), col("y.cluster_id").as("cluster_id"))
+            val next = pin(labels.unionByName(prop).unionByName(jump)
+              .groupBy($"v").agg(min($"cluster_id").as("cluster_id")))
+            val sumNow = labelSum(next)
+            converged = sumNow == lastSum
+            lastSum = sumNow
+            labels.unpersist()
+            labels = next
+            iter += 1
+          }
+          edges.unpersist()
+          labels.select($"v".as("doc_id"), $"cluster_id")
+        } finally {
+          s.conf.set("spark.sql.adaptive.enabled", aqeWas)
+          s.conf.set("spark.sql.shuffle.partitions", partsWas)
         }
-        edges.unpersist()
-        labels.select($"v".as("doc_id"), $"cluster_id")
       },
       Some(s"""WITH RECURSIVE $corpusSql, $signaturesSql, $bandsSql,
         edges AS (SELECT doc_a AS a, doc_b AS b FROM candidates
@@ -357,6 +398,58 @@ object Dedup {
           SELECT DISTINCT a AS v, a AS r FROM edges
           UNION
           SELECT e.b AS v, reach.r FROM reach JOIN edges e ON e.a = reach.v)
-        SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v"""))
+        SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v""")),
+
+    // ------------------------------------------------------------------
+    // LSH keep-best survivor set: a doc survives iff it is the best
+    // (longest normalized text, doc_id ascending as tiebreaker) in
+    // EVERY LSH bucket it lands in — the standard one-pass near-dup
+    // retention heuristic when full transitive clustering (dedup_cc)
+    // is not worth its iteration cost. One corpus scan: length and
+    // signature come from the same projection, bucket ranking is a
+    // window over the banded keys (same shuffle shape as the CC edge
+    // build), and the per-doc verdict is a partial-agg'd min — no
+    // joins at all. Docs whose text is shorter than one shingle have
+    // null band hashes; they are in no real bucket and survive by
+    // definition (the `when` bypasses the window's null partition,
+    // where all such docs would otherwise compete).
+    Q("dedup_lsh_keep_best",
+      (s, d) => {
+        import s.implicits._
+        val wBand = org.apache.spark.sql.expressions.Window
+          .partitionBy($"band_idx", $"band_hash")
+          .orderBy($"len".desc, $"doc_id")
+        val sized = corpus(s, d)
+          .select($"doc_id", norm($"text").as("nrm"))
+          .select($"doc_id", length($"nrm").as("len"),
+            graft.functions.NativeFunctions.minHashSig($"nrm", 5).as("sig"))
+          .select($"doc_id", $"len",
+            $"sig".getItem(0).as("h1"), $"sig".getItem(1).as("h2"),
+            $"sig".getItem(2).as("h3"), $"sig".getItem(3).as("h4"))
+        val banded = sized.select($"doc_id", $"len", posexplode(array(
+            concat($"h1".cast("string"), lit("_"), $"h2".cast("string")),
+            concat($"h3".cast("string"), lit("_"), $"h4".cast("string")))))
+          .toDF("doc_id", "len", "band_idx", "band_hash")
+        banded
+          .withColumn("rk", when($"band_hash".isNull, lit(1))
+            .otherwise(row_number().over(wBand)))
+          .groupBy($"doc_id")
+          .agg(first($"len").as("len"),
+               max(when($"rk" === 1, 0).otherwise(1)).as("beaten"))
+          .filter($"beaten" === 0)
+          .select($"doc_id", $"len")
+      },
+      Some(s"""WITH $corpusSql, $signaturesSql, $bandsSql,
+        lens AS (SELECT doc_id, length($normSql) AS len FROM corpus),
+        ranked AS (
+          SELECT b.doc_id, l.len, b.band_hash,
+            CASE WHEN b.band_hash IS NULL THEN 1
+                 ELSE ROW_NUMBER() OVER (
+                   PARTITION BY b.band_idx, b.band_hash
+                   ORDER BY l.len DESC, b.doc_id) END AS rk
+          FROM bands b JOIN lens l ON l.doc_id = b.doc_id)
+        SELECT doc_id, MIN(len) AS len FROM ranked
+        GROUP BY doc_id
+        HAVING MAX(CASE WHEN rk = 1 THEN 0 ELSE 1 END) = 0"""))
   )
 }

@@ -325,6 +325,48 @@ object EventsOps {
           lead(event_type, 1) OVER w AS next_type,
           ntile(4) OVER w AS quartile
         FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)"""))
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""")),
+
+    // ------------------------------------------------------------------
+    // Native session_window aggregation (Spark's merging-window
+    // operator, the same code path Structured Streaming session
+    // windows use): per-user sessions with a 30-minute gap, one
+    // shuffle on user_id. Spark merges two events into one session
+    // when the later start is strictly inside the earlier window
+    // [ts, ts+gap), i.e. a gap of exactly 30 min starts a NEW
+    // session — the oracle's sessionization flag is therefore >=.
+    // session end = last event + gap by definition on both sides.
+    // Same-timestamp events are peers (diff 0 < gap) so intra-tie
+    // ordering cannot change session assignment.
+    Q("ev_session_window",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .groupBy($"user_id", session_window($"ts", "30 minutes"))
+          .agg(count(lit(1)).as("n_events"),
+               sum($"value".cast(DecimalType(27, 6))).cast("double")
+                 .as("sum_value"))
+          .select($"user_id",
+            $"session_window.start".as("session_start"),
+            $"session_window.end".as("session_end"),
+            $"n_events", $"sum_value")
+      },
+      Some("""WITH flagged AS (
+          SELECT user_id, ts, value,
+            CASE WHEN LAG(ts) OVER w IS NULL
+                 OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                 THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        sess AS (
+          SELECT *, SUM(new_s) OVER (
+            PARTITION BY user_id ORDER BY ts
+            ROWS UNBOUNDED PRECEDING) AS sid
+          FROM flagged)
+        SELECT user_id, MIN(ts) AS session_start,
+          MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+          COUNT(*) AS n_events,
+          CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
+        FROM sess GROUP BY user_id, sid"""))
   )
 }

@@ -220,6 +220,43 @@ object Similarity {
         FROM embeddings e
         JOIN documents d ON d.doc_id = e.vec_id
         CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) g
-        GROUP BY d.lang, g.i"""))
+        GROUP BY d.lang, g.i""")),
+
+    // ------------------------------------------------------------------
+    // IVF cell assignment, oracle-checked: every vector mapped to its
+    // nearest of the 16 deterministic coarse centroids (cosine,
+    // centroid id ascending on ties). This is exactly the build step
+    // sim_ann_ivf runs before probing — verified here end-to-end
+    // against DuckDB since the full ANN query is only rows-checked.
+    // Broadcast centroids × corpus scan: narrow map + per-row top-1,
+    // no corpus shuffle — the shape that holds at 10⁹ vectors.
+    Q("sim_ivf_assign",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+        val cents = emb.filter($"vec_id" < 16)
+          .select($"vec_id".as("cid"), $"embedding".as("cemb"))
+        val w = Window.partitionBy($"vec_id")
+          .orderBy($"cos".desc, $"cid")
+        emb.crossJoin(broadcast(cents))
+          .withColumn("cos", cosine($"embedding", $"cemb"))
+          .withColumn("rk", row_number().over(w))
+          .filter($"rk" === 1)
+          .select($"vec_id", $"cid".as("centroid_id"))
+      },
+      Some(s"""WITH c AS (
+          SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+          WHERE vec_id < 16),
+        scored AS (
+          SELECT e.vec_id, c.cid,
+            ${dotSql("e.embedding", "c.cemb")} /
+            (sqrt(${dotSql("e.embedding", "e.embedding")}) *
+             sqrt(${dotSql("c.cemb", "c.cemb")})) AS cos
+          FROM embeddings e, c)
+        SELECT vec_id, cid AS centroid_id FROM (
+          SELECT vec_id, cid,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid)
+              AS rk
+          FROM scored) t WHERE rk = 1"""))
   )
 }

@@ -513,7 +513,38 @@ object TextAnalysis {
         SELECT doc_id, COUNT(DISTINCT g) AS n_shared_grams
         FROM grams JOIN bench USING (g)
         WHERE doc_id >= 50
-        GROUP BY doc_id"""))
+        GROUP BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // BPE-style token counting: the GPT-2 pre-tokenizer regex shape
+    // (contraction suffixes | space-prefixed letter runs | digit
+    // runs | punctuation runs | whitespace runs) evaluated as one
+    // codegen'd regexp_extract_all per row — a narrow map, no
+    // shuffle; the distinct-piece count adds insight into
+    // vocabulary pressure per document. Both engines use the same
+    // RE2-compatible pattern (no backrefs/lookahead), so Java regex
+    // and DuckDB's RE2 tokenize identically.
+    Q("txt_bpe_tokens",
+      (s, d) => {
+        import s.implicits._
+        val pat = "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+" +
+          "| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+        Tables.documents(s, d)
+          .withColumn("pieces", regexp_extract_all($"text", lit(pat), lit(0)))
+          .select($"doc_id",
+            size($"pieces").as("n_bpe"),
+            size(array_distinct($"pieces")).as("n_bpe_distinct"),
+            size(split(trim($"text"), "\\s+")).as("n_ws"))
+      },
+      Some("""SELECT doc_id,
+          len(regexp_extract_all(text,
+            '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+            AS n_bpe,
+          len(list_distinct(regexp_extract_all(text,
+            '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')))
+            AS n_bpe_distinct,
+          len(string_split_regex(trim(text), '\s+')) AS n_ws
+        FROM documents"""))
   )
 
   /** Library form of the quality/stat projections for reuse. */

@@ -43,6 +43,36 @@ class PlanSpec extends AnyFunSuite {
       readSchema)
   }
 
+  test("as-of join is the joinless window-carry form") {
+    val p = plan("rel_asof_join")
+    assert(p.contains("Window"), p.take(400))
+    assert(!p.contains("Join"), "as-of must not plan any join operator")
+  }
+
+  test("salted join replicates via Generate, never a cartesian") {
+    val p = plan("rel_salted_skew_join")
+    assert(p.contains("Generate"), "salt replication should be an explode")
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"), p.take(400))
+  }
+
+  test("unpivot lowers to a single-pass Expand") {
+    assert(plan("rel_unpivot").contains("Expand"))
+  }
+
+  test("keep-best survivor scan is joinless (window + partial agg)") {
+    val p = plan("dedup_lsh_keep_best")
+    assert(p.contains("Window") && !p.contains("Join"), p.take(400))
+  }
+
+  test("BPE token counting is a narrow map — no exchange at all") {
+    assert(!plan("txt_bpe_tokens").contains("Exchange"))
+  }
+
+  test("IVF assignment broadcasts the centroid side") {
+    assert(plan("sim_ivf_assign").contains("BroadcastNestedLoop"),
+      "16-row centroid set should broadcast under the cross product")
+  }
+
   test("small dimensions are broadcast in join queries") {
     for (q <- Seq("rel_top_revenue_orders", "rel_revenue_by_nation",
                   "rel_profit_by_nation_year", "rel_top_returned_customers"))

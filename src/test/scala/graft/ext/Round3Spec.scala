@@ -1,0 +1,137 @@
+package graft.ext
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, Tables}
+import graft.core.Joins
+
+/** Targeted semantics for the round-3 operators, beyond the DuckDB
+  * hash gate: as-of null wing + row atomicity, salted-join parity,
+  * unpivot shape, range-frame trailing sums, keep-best survivor
+  * rules, session-window accounting, BPE piece boundaries, and IVF
+  * assignment fixpoints.
+  */
+class Round3Spec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("asofJoin: latest <=, null wing when nothing precedes, atomic rows") {
+    import spark.implicits._
+    val left = Seq((1L, 10L), (1L, 5L), (2L, 7L)).toDF("k", "ts")
+    // right has a null-field row at ts=9 and an older complete row at
+    // ts=4: per-column carry would mix b=4's value into ts=9's match.
+    val right = Seq((1L, 4L, Some("a"), Some(100L)),
+                    (1L, 9L, Some("b"), None),
+                    (2L, 8L, Some("c"), Some(300L)))
+      .toDF("k", "ts", "v", "x")
+    val out = Joins.asofJoin(left, right, "k", "ts", Seq("v", "x"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)), Option(r.get(3)))).toSet
+    assert(out === Set(
+      (1L, 10L, Some("b"), None),      // atomic: ts=9 row as-is
+      (1L, 5L, Some("a"), Some(100L)), // reaches back past ts=9
+      (2L, 7L, None, None)))           // right ts=8 > 7: no match
+  }
+
+  test("saltedJoin equals the plain join") {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sf)
+      .select($"l_suppkey".as("suppkey"), $"l_quantity")
+    val sup = Tables.supplier(spark, sf)
+      .select($"s_suppkey".as("suppkey"), $"s_nationkey")
+    val salted = Joins.saltedJoin(li, sup, "suppkey", factor = 8)
+      .groupBy($"s_nationkey").count()
+    val plain = li.join(sup, "suppkey")
+      .groupBy($"s_nationkey").count()
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("unpivot emits one row per (row, measure) pair") {
+    val nPart = Tables.part(spark, sf).count()
+    val un = SparkEntry.queries("rel_unpivot")(spark, sf)
+    assert(un.count() === 2 * nPart)
+    assert(un.columns.toSeq === Seq("p_partkey", "attr", "val"))
+  }
+
+  test("trailing 30d revenue covers at least the row's own order") {
+    import spark.implicits._
+    val out = SparkEntry.queries("rel_trailing_30d_revenue")(spark, sf)
+      .join(Tables.orders(spark, sf).select($"o_orderkey", $"o_totalprice"),
+        Seq("o_orderkey"))
+    assert(out.filter($"rev_30d" < $"o_totalprice" - 0.01).count() === 0)
+    // spot-check one customer end-to-end against a driver-side fold
+    val ck = out.select($"o_custkey".as[Long]).head()
+    val rows = Tables.orders(spark, sf).filter($"o_custkey" === ck)
+      .select(to_date($"o_orderdate").as[java.sql.Date],
+        $"o_totalprice".as[Double], $"o_orderkey".as[Long])
+      .collect()
+    val expect = rows.map { case (d0, _, k) =>
+      k -> BigDecimal(rows.filter { case (d1, _, _) =>
+        val diff = (d0.toLocalDate.toEpochDay - d1.toLocalDate.toEpochDay)
+        diff >= 0 && diff <= 30
+      }.map { case (_, p, _) => BigDecimal(p).setScale(2, BigDecimal.RoundingMode.HALF_UP) }.sum.toDouble)
+    }.toMap
+    val got = out.filter($"o_custkey" === ck)
+      .select($"o_orderkey".as[Long], $"rev_30d".as[Double])
+      .collect().toMap
+    assert(got.keySet === expect.keySet)
+    for ((k, v) <- got) assert(math.abs(v - expect(k).toDouble) < 1e-6, s"order $k")
+  }
+
+  test("keep-best: exact-duplicate copies never survive") {
+    import spark.implicits._
+    val survivors = SparkEntry.queries("dedup_lsh_keep_best")(spark, sf)
+    // corpus adds doc_id+100000 as byte-identical copies: same
+    // signature, same buckets, same length — the higher id always
+    // loses the tiebreak (whether or not something longer also wins).
+    assert(survivors.filter($"doc_id" >= 100000L && $"doc_id" < 200000L)
+      .count() === 0)
+    assert(survivors.count() > 0)
+  }
+
+  test("session windows partition every event exactly once") {
+    import spark.implicits._
+    val sessions = SparkEntry.queries("ev_session_window")(spark, sf)
+    val nEvents = Tables.events(spark, sf).count()
+    assert(sessions.agg(sum($"n_events")).as[Long].head() === nEvents)
+    assert(sessions.filter($"session_end" <= $"session_start").count() === 0)
+    // gap invariant: consecutive sessions of one user start at least
+    // 30 minutes after the previous session's last event
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"session_start")
+    val overlaps = sessions
+      .withColumn("prev_end", lag($"session_end", 1).over(w))
+      .filter($"prev_end".isNotNull && $"session_start" < $"prev_end")
+    assert(overlaps.count() === 0)
+  }
+
+  test("BPE pieces match the hand-tokenized example") {
+    import spark.implicits._
+    val pat = "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+    val pieces = Seq("Hello's  world 123!").toDF("text")
+      .select(regexp_extract_all($"text", lit(pat), lit(0)).as("p"))
+      .as[Seq[String]].head()
+    assert(pieces === Seq("Hello", "'s", "  ", "world", " 123", "!"))
+    val stats = SparkEntry.queries("txt_bpe_tokens")(spark, sf)
+    assert(stats.filter($"n_bpe" < $"n_ws").count() === 0)
+    assert(stats.filter($"n_bpe_distinct" > $"n_bpe").count() === 0)
+  }
+
+  test("IVF assignment: total and centroid fixpoints") {
+    import spark.implicits._
+    val assigned = SparkEntry.queries("sim_ivf_assign")(spark, sf)
+    assert(assigned.count() === Tables.embeddings(spark, sf).count())
+    // a centroid's nearest centroid is itself (cosine 1.0)
+    assert(assigned.filter($"vec_id" < 16 && $"vec_id" =!= $"centroid_id")
+      .count() === 0)
+  }
+}
