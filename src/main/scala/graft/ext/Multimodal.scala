@@ -114,6 +114,45 @@ object Multimodal {
           unnest(generate_series(0, n_frames - 1, 4)) AS frame_idx
         FROM (SELECT doc_id,
                 1 + octet_length(encode(text)) % 32 AS n_frames
-              FROM documents WHERE doc_id % 3 = 2) x"""))
+              FROM documents WHERE doc_id % 3 = 2) x""")),
+
+    // ------------------------------------------------------------------
+    // Resize planning through the decode path: image rows flow through
+    // the batched stub decode, then each source frame (dims derived
+    // from byte_len — the oracle reconstructs them from octet_length,
+    // like mm_frame_sample's n_frames) is fitted into a 224×224 box
+    // preserving aspect ratio. The geometry math (min-scale, floor,
+    // 1-pixel floor) is the real resize contract a codec UDF plugs
+    // into; output bytes estimated at RGB24. Narrow map end-to-end —
+    // no shuffle, payloads never leave their partition.
+    Q("mm_resize_plan",
+      (s, d) => {
+        import s.implicits._
+        decodeFeatures(mediaFromDocuments(s, d)).toDF()
+          .filter($"kind" === "image")
+          .select($"doc_id",
+            (lit(16L) + $"byte_len".cast("long") % 1024).as("src_w"),
+            (lit(16L) + ($"byte_len".cast("long") / 7).cast("long") % 1024)
+              .as("src_h"))
+          .withColumn("scale",
+            least(lit(224.0) / $"src_w", lit(224.0) / $"src_h"))
+          .select($"doc_id", $"src_w", $"src_h",
+            greatest(lit(1L), floor($"src_w" * $"scale")).as("out_w"),
+            greatest(lit(1L), floor($"src_h" * $"scale")).as("out_h"))
+          .withColumn("out_bytes", $"out_w" * $"out_h" * 3)
+      },
+      Some("""SELECT doc_id, src_w, src_h,
+          greatest(1, CAST(floor(src_w * least(224.0 / src_w, 224.0 / src_h))
+            AS BIGINT)) AS out_w,
+          greatest(1, CAST(floor(src_h * least(224.0 / src_w, 224.0 / src_h))
+            AS BIGINT)) AS out_h,
+          greatest(1, CAST(floor(src_w * least(224.0 / src_w, 224.0 / src_h))
+            AS BIGINT)) *
+          greatest(1, CAST(floor(src_h * least(224.0 / src_w, 224.0 / src_h))
+            AS BIGINT)) * 3 AS out_bytes
+        FROM (SELECT doc_id,
+                16 + octet_length(encode(text)) % 1024 AS src_w,
+                16 + (octet_length(encode(text)) // 7) % 1024 AS src_h
+              FROM documents WHERE doc_id % 3 = 0) x"""))
   )
 }

@@ -68,6 +68,10 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan("txt_bpe_tokens").contains("Exchange"))
   }
 
+  test("resize planning stays narrow through the decode path") {
+    assert(!plan("mm_resize_plan").contains("Exchange"))
+  }
+
   test("IVF assignment broadcasts the centroid side") {
     assert(plan("sim_ivf_assign").contains("BroadcastNestedLoop"),
       "16-row centroid set should broadcast under the cross product")
