@@ -276,6 +276,47 @@ object Advanced {
           COUNT(*) AS n_orders
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
-                                (o_orderstatus), ())"""))
+                                (o_orderstatus), ())""")),
+
+    // ------------------------------------------------------------------
+    // SQL-frontend round trip: temp views + the session's registered
+    // custom aggregate (mode_det, a TypedImperativeAggregate) driven
+    // entirely through spark.sql — the surface a SQL-first user of
+    // the library sees. Catalyst plans it like the DataFrame form
+    // (broadcast dims, partial-agg'd custom buffers); the oracle
+    // recomputes the deterministic mode relationally.
+    Q("rel_sql_frontend",
+      (s, d) => {
+        graft.functions.NativeFunctions.register(s)
+        Tables.orders(s, d).createOrReplaceTempView("orders_sqlv")
+        Tables.customer(s, d).createOrReplaceTempView("customer_sqlv")
+        Tables.nation(s, d).createOrReplaceTempView("nation_sqlv")
+        s.sql("""WITH cust AS (
+            SELECT c_custkey, n_name
+            FROM customer_sqlv JOIN nation_sqlv ON c_nationkey = n_nationkey)
+          SELECT n_name, COUNT(*) AS n_orders,
+                 mode_det(o_orderpriority) AS mode_priority,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE)
+                   AS revenue
+          FROM orders_sqlv JOIN cust ON o_custkey = c_custkey
+          GROUP BY n_name""")
+      },
+      Some("""WITH cust AS (
+          SELECT c_custkey, n_name
+          FROM customer JOIN nation ON c_nationkey = n_nationkey),
+        j AS (SELECT n_name, o_orderpriority, o_totalprice
+              FROM orders JOIN cust ON o_custkey = c_custkey),
+        pc AS (SELECT n_name, o_orderpriority, COUNT(*) AS n
+               FROM j GROUP BY n_name, o_orderpriority),
+        md AS (SELECT n_name, o_orderpriority AS mode_priority,
+                 ROW_NUMBER() OVER (PARTITION BY n_name
+                   ORDER BY n DESC, o_orderpriority ASC) AS rn
+               FROM pc)
+        SELECT a.n_name, a.n_orders, md.mode_priority, a.revenue
+        FROM (SELECT n_name, COUNT(*) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE)
+                  AS revenue
+              FROM j GROUP BY n_name) a
+        JOIN md ON md.n_name = a.n_name AND md.rn = 1"""))
   )
 }

@@ -367,6 +367,62 @@ object EventsOps {
           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
           COUNT(*) AS n_events,
           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
-        FROM sess GROUP BY user_id, sid"""))
+        FROM sess GROUP BY user_id, sid""")),
+
+    // ------------------------------------------------------------------
+    // Merged-interval coverage (gaps-and-islands): each view event
+    // claims [ts, ts+5min); per user, total covered time with
+    // overlaps collapsed. Island start = a row whose start exceeds
+    // the running max end of all PRIOR rows (touching intervals
+    // merge); island id = running sum of starts; coverage = Σ per
+    // island (max end − min start). All integer-microsecond
+    // arithmetic — exact on both engines — and one (user_id)
+    // shuffle feeding window + two aggs over the same partitioning.
+    // Interval ends are start+constant, so equal starts tie-break
+    // identically under any intra-peer order.
+    Q("ev_interval_coverage",
+      (s, d) => {
+        import s.implicits._
+        val W = org.apache.spark.sql.expressions.Window
+        val w = W.partitionBy($"user_id").orderBy($"s0")
+        val spans = Tables.events(s, d)
+          .filter($"event_type" === "view")
+          .select($"user_id", unix_micros($"ts").as("s0"))
+          .withColumn("e0", $"s0" + 300000000L)
+        spans
+          .withColumn("prev_end",
+            max($"e0").over(w.rowsBetween(W.unboundedPreceding, -1)))
+          .withColumn("new_island",
+            when($"prev_end".isNull || $"s0" > $"prev_end", 1).otherwise(0))
+          .withColumn("island",
+            sum($"new_island").over(w.rowsBetween(W.unboundedPreceding, 0)))
+          .groupBy($"user_id", $"island")
+          .agg(min($"s0").as("i_start"), max($"e0").as("i_end"))
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_islands"),
+               sum($"i_end" - $"i_start").as("covered_us"))
+      },
+      Some("""WITH spans AS (
+          SELECT user_id, epoch_us(ts) AS s0, epoch_us(ts) + 300000000 AS e0
+          FROM events WHERE event_type = 'view'),
+        flagged AS (
+          SELECT user_id, s0, e0,
+            CASE WHEN MAX(e0) OVER (PARTITION BY user_id ORDER BY s0
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                 OR s0 > MAX(e0) OVER (PARTITION BY user_id ORDER BY s0
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 THEN 1 ELSE 0 END AS new_island
+          FROM spans),
+        islands AS (
+          SELECT user_id, s0, e0,
+            SUM(new_island) OVER (PARTITION BY user_id ORDER BY s0
+              ROWS UNBOUNDED PRECEDING) AS island
+          FROM flagged),
+        per_island AS (
+          SELECT user_id, island, MIN(s0) AS i_start, MAX(e0) AS i_end
+          FROM islands GROUP BY user_id, island)
+        SELECT user_id, COUNT(*) AS n_islands,
+          CAST(SUM(i_end - i_start) AS BIGINT) AS covered_us
+        FROM per_island GROUP BY user_id"""))
   )
 }

@@ -68,6 +68,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan("txt_bpe_tokens").contains("Exchange"))
   }
 
+  test("SQL frontend plans like the DataFrame form (broadcast dims)") {
+    assert(plan("rel_sql_frontend").contains("BroadcastHashJoin"))
+  }
+
+  test("interval coverage shuffles once, aggs reuse the window partitioning") {
+    val p = plan("ev_interval_coverage")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges === 1, s"expected 1 exchange, plan:\n${p.take(600)}")
+  }
+
   test("resize planning stays narrow through the decode path") {
     assert(!plan("mm_resize_plan").contains("Exchange"))
   }

@@ -126,6 +126,24 @@ class Round3Spec extends AnyFunSuite {
     assert(stats.filter($"n_bpe_distinct" > $"n_bpe").count() === 0)
   }
 
+  test("SQL frontend accounts for every order exactly once") {
+    import spark.implicits._
+    val out = SparkEntry.queries("rel_sql_frontend")(spark, sf)
+    assert(out.agg(sum($"n_orders")).as[Long].head() ===
+      Tables.orders(spark, sf).count())
+  }
+
+  test("interval coverage bounds: one span <= coverage <= n*span") {
+    import spark.implicits._
+    val cov = SparkEntry.queries("ev_interval_coverage")(spark, sf)
+    val views = Tables.events(spark, sf).filter($"event_type" === "view")
+      .groupBy($"user_id").count()
+    val joined = cov.join(views, "user_id")
+    assert(cov.count() === views.count())
+    assert(joined.filter($"covered_us" < 300000000L ||
+      $"covered_us" > $"count" * 300000000L).count() === 0)
+  }
+
   test("IVF assignment: total and centroid fixpoints") {
     import spark.implicits._
     val assigned = SparkEntry.queries("sim_ivf_assign")(spark, sf)
