@@ -450,6 +450,49 @@ object Dedup {
           FROM bands b JOIN lens l ON l.doc_id = b.doc_id)
         SELECT doc_id, MIN(len) AS len FROM ranked
         GROUP BY doc_id
-        HAVING MAX(CASE WHEN rk = 1 THEN 0 ELSE 1 END) = 0"""))
+        HAVING MAX(CASE WHEN rk = 1 THEN 0 ELSE 1 END) = 0""")),
+
+    // ------------------------------------------------------------------
+    // Edit-distance verification of LSH candidates: levenshtein over
+    // 64-char normalized prefixes, only for pairs that share a band
+    // bucket — the verify step of a candidate/verify dedup pipeline,
+    // costed per candidate, never corpus². Prefixes ride along with
+    // the banded keys (same single corpus pass as the candidate
+    // generation), so no join back to the corpus for text.
+    Q("dedup_fuzzy_verify",
+      (s, d) => {
+        import s.implicits._
+        val sized = corpus(s, d)
+          .select($"doc_id", norm($"text").as("nrm"))
+          .select($"doc_id", substring($"nrm", 1, 64).as("pfx"),
+            graft.functions.NativeFunctions.minHashSig($"nrm", 5).as("sig"))
+          .select($"doc_id", $"pfx",
+            $"sig".getItem(0).as("h1"), $"sig".getItem(1).as("h2"),
+            $"sig".getItem(2).as("h3"), $"sig".getItem(3).as("h4"))
+        val banded = sized.select($"doc_id", $"pfx", posexplode(array(
+            concat($"h1".cast("string"), lit("_"), $"h2".cast("string")),
+            concat($"h3".cast("string"), lit("_"), $"h4".cast("string")))))
+          .toDF("doc_id", "pfx", "band_idx", "band_hash")
+        banded.as("a")
+          .join(banded.as("b"),
+            $"a.band_idx" === $"b.band_idx" &&
+            $"a.band_hash" === $"b.band_hash" &&
+            $"a.doc_id" < $"b.doc_id")
+          .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+            $"a.pfx".as("pfx_a"), $"b.pfx".as("pfx_b"))
+          .distinct()
+          .withColumn("lev_prefix", levenshtein($"pfx_a", $"pfx_b"))
+          .filter($"lev_prefix" <= 8)
+          .select($"doc_a", $"doc_b", $"lev_prefix")
+      },
+      Some(s"""WITH $corpusSql, $signaturesSql, $bandsSql,
+        pfx AS (
+          SELECT doc_id, substr($normSql, 1, 64) AS pfx FROM corpus)
+        SELECT doc_a, doc_b,
+          levenshtein(pa.pfx, pb.pfx) AS lev_prefix
+        FROM candidates
+        JOIN pfx pa ON pa.doc_id = doc_a
+        JOIN pfx pb ON pb.doc_id = doc_b
+        WHERE levenshtein(pa.pfx, pb.pfx) <= 8"""))
   )
 }

@@ -423,6 +423,36 @@ object EventsOps {
           FROM islands GROUP BY user_id, island)
         SELECT user_id, COUNT(*) AS n_islands,
           CAST(SUM(i_end - i_start) AS BIGINT) AS covered_us
-        FROM per_island GROUP BY user_id"""))
+        FROM per_island GROUP BY user_id""")),
+
+    // ------------------------------------------------------------------
+    // Full ranking-window family — rank, dense_rank, percent_rank,
+    // cume_dist, first_value — stacked over ONE (event_type) window
+    // ordered by (value, event_id): a single exchange + sort serves
+    // all five. The event_id tiebreaker makes first_value
+    // deterministic; rank metrics are tie-stable by definition, and
+    // percent_rank/cume_dist are exact integer ratios so the doubles
+    // are IEEE-identical across engines.
+    Q("ev_rank_metrics",
+      (s, d) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"event_type").orderBy($"value", $"event_id")
+        Tables.events(s, d)
+          .select($"event_type", $"event_id", $"value")
+          .withColumn("rnk", rank().over(w))
+          .withColumn("drnk", dense_rank().over(w))
+          .withColumn("pct_rank", percent_rank().over(w))
+          .withColumn("cume", cume_dist().over(w))
+          .withColumn("first_id", first_value($"event_id").over(w))
+      },
+      Some("""SELECT event_type, event_id, value,
+          RANK() OVER w AS rnk,
+          DENSE_RANK() OVER w AS drnk,
+          PERCENT_RANK() OVER w AS pct_rank,
+          CUME_DIST() OVER w AS cume,
+          FIRST_VALUE(event_id) OVER w AS first_id
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)"""))
   )
 }

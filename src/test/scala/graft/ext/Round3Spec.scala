@@ -144,6 +144,28 @@ class Round3Spec extends AnyFunSuite {
       $"covered_us" > $"count" * 300000000L).count() === 0)
   }
 
+  test("rank metrics: ratios bounded, first_value constant per partition") {
+    import spark.implicits._
+    val r = SparkEntry.queries("ev_rank_metrics")(spark, sf)
+    assert(r.filter($"pct_rank" < 0 || $"pct_rank" > 1 ||
+      $"cume" <= 0 || $"cume" > 1).count() === 0)
+    assert(r.groupBy($"event_type")
+      .agg(countDistinct($"first_id").as("nf"))
+      .filter($"nf" =!= 1).count() === 0)
+  }
+
+  test("fuzzy verify: exact-copy candidate pairs have distance zero") {
+    import spark.implicits._
+    val pairs = SparkEntry.queries("dedup_fuzzy_verify")(spark, sf)
+    assert(pairs.count() > 0)
+    // true copy pairs only: (d, d+100000) with d an original id —
+    // (d+100000, d+200000) also differs by 100000 but is copy vs
+    // near-dup, which legitimately has distance 5 on short docs
+    assert(pairs.filter($"doc_a" < 100000L &&
+      $"doc_b" === $"doc_a" + 100000L &&
+      $"lev_prefix" =!= 0).count() === 0)
+  }
+
   test("IVF assignment: total and centroid fixpoints") {
     import spark.implicits._
     val assigned = SparkEntry.queries("sim_ivf_assign")(spark, sf)
