@@ -453,6 +453,29 @@ object EventsOps {
           CUME_DIST() OVER w AS cume,
           FIRST_VALUE(event_id) OVER w AS first_id
         FROM events
-        WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)"""))
+        WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)""")),
+
+    // ------------------------------------------------------------------
+    // Ordered sequence aggregation: each user's event-type journey as
+    // one delimited string. collect_list has no cross-partition
+    // order, so the aggregate gathers (ts, event_id, type) structs
+    // and array_sort imposes the total order AFTER collection —
+    // deterministic under any partitioning, matching the oracle's
+    // string_agg(... ORDER BY ts, event_id). One shuffle; per-group
+    // state bounded by the user's history.
+    Q("ev_user_journey",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_events"),
+               concat_ws(">", transform(
+                 array_sort(collect_list(
+                   struct($"ts", $"event_id", $"event_type"))),
+                 x => x.getField("event_type"))).as("journey"))
+      },
+      Some("""SELECT user_id, COUNT(*) AS n_events,
+          string_agg(event_type, '>' ORDER BY ts, event_id) AS journey
+        FROM events GROUP BY user_id"""))
   )
 }

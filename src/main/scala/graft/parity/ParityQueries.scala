@@ -255,6 +255,51 @@ object ParityQueries {
               THEN regexp_extract(trim(x), '\b(\d{1,6})\b', 1)
               ELSE '-' END
           END), '|') AS extracted
-        FROM documents"""))
+        FROM documents""")),
+
+    // ------------------------------------------------------------------
+    // analyze_column_structure (:96-131, dead code revived as
+    // ColumnStructure.columnThresholds): per-document 20-bin
+    // histogram of line x-positions, split threshold = center of the
+    // emptiest bin among bins 5-14 (ties -> lowest bin), fallbacks
+    // (<10 lines or x-range <0.1) -> 0.5. Lines synthesized from
+    // events like par_page_line_banding; every float op (bin width,
+    // bin index, center) is the same IEEE expression on both sides.
+    Q("par_column_threshold",
+      (s, d) => {
+        import s.implicits._
+        val lines = Tables.events(s, d)
+          .select($"user_id".cast("string").as("doc"),
+            ($"value" / 100.0).as("left"))
+        ColumnStructure.columnThresholds(lines)
+      },
+      Some("""WITH lines AS (
+          SELECT CAST(user_id AS VARCHAR) AS doc, value / 100.0 AS pos
+          FROM events),
+        stats AS (
+          SELECT doc, COUNT(*) AS n, MIN(pos) AS mn, MAX(pos) AS mx
+          FROM lines GROUP BY doc),
+        elig AS (
+          SELECT doc, mn, (mx - mn) / 20.0 AS bs
+          FROM stats WHERE n >= 10 AND (mx - mn) >= 0.1),
+        binned AS (
+          SELECT l.doc,
+            least(19, CAST(floor((l.pos - e.mn) / e.bs) AS INT)) AS bin,
+            COUNT(*) AS cnt
+          FROM lines l JOIN elig e USING (doc)
+          GROUP BY l.doc, least(19, CAST(floor((l.pos - e.mn) / e.bs) AS INT))),
+        cand AS (
+          SELECT e.doc, e.mn, e.bs, g.bin, COALESCE(b.cnt, 0) AS cnt
+          FROM elig e
+          CROSS JOIN (SELECT unnest(generate_series(5, 14)) AS bin) g
+          LEFT JOIN binned b ON b.doc = e.doc AND b.bin = g.bin),
+        gap AS (
+          SELECT doc, mn + (bin + 0.5) * bs AS threshold
+          FROM (SELECT doc, mn, bs, bin,
+                  ROW_NUMBER() OVER (PARTITION BY doc
+                    ORDER BY cnt, bin) AS rn
+                FROM cand) r WHERE rn = 1)
+        SELECT s.doc, COALESCE(g.threshold, 0.5) AS threshold
+        FROM stats s LEFT JOIN gap g USING (doc)"""))
   )
 }

@@ -166,6 +166,28 @@ class Round3Spec extends AnyFunSuite {
       $"lev_prefix" =!= 0).count() === 0)
   }
 
+  test("user journey has exactly n_events legs in timestamp order") {
+    import spark.implicits._
+    val j = SparkEntry.queries("ev_user_journey")(spark, sf)
+    assert(j.filter(size(split($"journey", ">")) =!= $"n_events")
+      .count() === 0)
+  }
+
+  test("column thresholds: every doc gets one threshold, fallback is 0.5") {
+    import spark.implicits._
+    val t = SparkEntry.queries("par_column_threshold")(spark, sf)
+    val lines = Tables.events(spark, sf)
+      .select($"user_id".cast("string").as("doc"), ($"value" / 100.0).as("pos"))
+    val stats = lines.groupBy($"doc")
+      .agg(min($"pos").as("mn"), max($"pos").as("mx"))
+    assert(t.count() === stats.count())
+    // a computed threshold lies inside the doc's x-range; 0.5 is the
+    // ineligible-doc fallback
+    assert(t.join(stats, "doc")
+      .filter($"threshold" =!= 0.5 &&
+        ($"threshold" < $"mn" || $"threshold" > $"mx")).count() === 0)
+  }
+
   test("IVF assignment: total and centroid fixpoints") {
     import spark.implicits._
     val assigned = SparkEntry.queries("sim_ivf_assign")(spark, sf)
