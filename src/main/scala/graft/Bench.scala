@@ -40,7 +40,10 @@ object Bench {
     "dedup_ngram_jaccard", "dedup_simhash", "dedup_cc",
     "sim_cosine_topk", "sim_embedding_neardup", "sim_ann_ivf",
     "sim_lang_centroid",
-    "mm_frame_sample", "par_page_line_banding", "par_numeric_token_count")
+    "mm_frame_sample", "par_page_line_banding", "par_numeric_token_count",
+    "rel_asof_join", "rel_trailing_30d_revenue", "dedup_lsh_keep_best",
+    "dedup_fuzzy_verify", "ev_session_window", "ev_interval_coverage",
+    "txt_bpe_tokens", "sim_ivf_assign")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
