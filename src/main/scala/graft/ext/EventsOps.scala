@@ -476,6 +476,70 @@ object EventsOps {
       },
       Some("""SELECT user_id, COUNT(*) AS n_events,
           string_agg(event_type, '>' ORDER BY ts, event_id) AS journey
-        FROM events GROUP BY user_id"""))
+        FROM events GROUP BY user_id""")),
+
+    // ------------------------------------------------------------------
+    // Typed JSON parsing: from_json with an explicit schema (the
+    // Jackson-backed native parser, one pass, malformed → null) —
+    // versus ev_json_extract's regex form. Narrow map, no shuffle.
+    Q("ev_json_typed",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .select($"event_id",
+            from_json($"props", lit("k BIGINT")).getField("k").as("k"))
+      },
+      Some("""SELECT event_id,
+          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events""")),
+
+    // ------------------------------------------------------------------
+    // Calendar gap-fill with forward fill: each user's daily value
+    // series densified over their [first, last] day (per-user
+    // calendar via sequence — no global calendar broadcast, spans
+    // scale with each user's own history), missing days carry the
+    // last observed value via last(_, ignoreNulls) over a running
+    // frame. Days as epoch-day integers end-to-end: no date-type
+    // or timezone ambiguity in the oracle compare. The leading
+    // window has no null prefix by construction (the calendar
+    // starts on an observed day).
+    Q("ev_gap_fill",
+      (s, d) => {
+        import s.implicits._
+        val daily = Tables.events(s, d)
+          .groupBy($"user_id", to_date($"ts").as("day"))
+          .agg(sum($"value".cast(DecimalType(27, 6))).cast("double")
+            .as("day_value"))
+        val calendar = daily.groupBy($"user_id")
+          .agg(min($"day").as("mn"), max($"day").as("mx"))
+          .select($"user_id", explode(sequence($"mn", $"mx")).as("day"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id").orderBy($"day")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        calendar.join(daily, Seq("user_id", "day"), "left")
+          .withColumn("filled_value",
+            last($"day_value", ignoreNulls = true).over(w))
+          .select($"user_id",
+            datediff($"day", lit("1970-01-01")).cast("long").as("day_num"),
+            $"filled_value")
+      },
+      Some("""WITH daily AS (
+          SELECT user_id, CAST(ts AS DATE) AS day,
+            CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS day_value
+          FROM events GROUP BY user_id, CAST(ts AS DATE)),
+        cal AS (
+          SELECT user_id,
+            CAST(unnest(generate_series(CAST(mn AS TIMESTAMP),
+              CAST(mx AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+          FROM (SELECT user_id, MIN(day) AS mn, MAX(day) AS mx
+                FROM daily GROUP BY user_id) b)
+        SELECT c.user_id,
+          datediff('day', DATE '1970-01-01', c.day) AS day_num,
+          last_value(d.day_value IGNORE NULLS) OVER (
+            PARTITION BY c.user_id ORDER BY c.day
+            ROWS UNBOUNDED PRECEDING) AS filled_value
+        FROM cal c LEFT JOIN daily d
+          ON d.user_id = c.user_id AND d.day = c.day"""))
   )
 }

@@ -188,6 +188,23 @@ class Round3Spec extends AnyFunSuite {
         ($"threshold" < $"mn" || $"threshold" > $"mx")).count() === 0)
   }
 
+  test("gap fill: contiguous per-user calendar, no unfilled days") {
+    import spark.implicits._
+    val g = SparkEntry.queries("ev_gap_fill")(spark, sf)
+    assert(g.filter($"filled_value".isNull).count() === 0)
+    val spans = g.groupBy($"user_id")
+      .agg((max($"day_num") - min($"day_num") + 1).as("span"),
+           count(lit(1)).as("n"))
+    assert(spans.filter($"span" =!= $"n").count() === 0)
+  }
+
+  test("typed JSON parse finds k in every event") {
+    import spark.implicits._
+    val t = SparkEntry.queries("ev_json_typed")(spark, sf)
+    assert(t.filter($"k".isNull).count() === 0)
+    assert(t.count() === Tables.events(spark, sf).count())
+  }
+
   test("IVF assignment: total and centroid fixpoints") {
     import spark.implicits._
     val assigned = SparkEntry.queries("sim_ivf_assign")(spark, sf)
