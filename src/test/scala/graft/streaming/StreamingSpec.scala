@@ -63,6 +63,36 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("native session windows merge within gap and close on watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val events = mem.toDF().toDF("ts", "user_id")
+    val out = StreamingOps.sessionWindows(events, gap = "30 minutes")
+    val q = out.writeStream.format("memory").queryName("sess_win")
+      .outputMode("append").start()
+    // user 7: two events 10 min apart (one session), then one 40 min
+    // later (a second session); the far-future event advances the
+    // watermark so both sessions close and emit.
+    mem.addData(
+      (ts("2024-01-01 10:00:00"), 7L),
+      (ts("2024-01-01 10:10:00"), 7L),
+      (ts("2024-01-01 10:50:00"), 7L))
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-02 00:00:00"), 99L))
+    q.processAllAvailable()
+    val got = spark.table("sess_win").collect()
+      .filter(_.getAs[Long]("user_id") == 7L)
+      .map(r => (r.getAs[java.sql.Timestamp]("session_start").toString,
+        r.getAs[java.sql.Timestamp]("session_end").toString,
+        r.getAs[Long]("n_events")))
+      .toSet
+    assert(got === Set(
+      ("2024-01-01 10:00:00.0", "2024-01-01 10:40:00.0", 2L),
+      ("2024-01-01 10:50:00.0", "2024-01-01 11:20:00.0", 1L)))
+    q.stop()
+  }
+
   test("stateful sessionization carries state across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
