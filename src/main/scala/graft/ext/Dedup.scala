@@ -144,6 +144,125 @@ object Dedup {
         ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
        AND a.doc_id < b.doc_id)"""
 
+  /** Connected components of an undirected edge list (both
+    * directions present as (src, dst) rows); every edge endpoint is
+    * labeled with the minimum vertex id of its component.
+    *
+    * Path selection follows the measured edge count — the same kind
+    * of runtime decision AQE makes per exchange, taken once:
+    *
+    *  - `nEdges <= smallGraphEdges` (default 1M ≈ ~100 MB of DSU
+    *    state): union-find in ONE executor task (repartition(1) +
+    *    mapPartitions). Three Spark jobs total, no iteration — the
+    *    iterative form's 5–9 driver-coordinated rounds are pure
+    *    scheduler overhead at this size and hypersensitive to host
+    *    load (observed 5–22 s for the identical 20k-edge graph on a
+    *    busy machine; the fast path is stable at ~1 s). Union always
+    *    attaches the larger root under the smaller, so each DSU root
+    *    IS the component minimum — no relabel pass.
+    *
+    *  - larger graphs: distributed min-label propagation with
+    *    pointer jumping (l(l(v)) path-halving → O(log diameter)
+    *    rounds). Each round costs exactly ONE job: the new label
+    *    frame is persisted and its convergence sum computed in the
+    *    same action, lineage cut by re-rooting on the frame's own
+    *    RDD (LogicalRDD leaf — the frame is referenced 3× per round,
+    *    an uncut plan grows ~4×/round). AQE stays off inside the
+    *    loop (per-exchange stage materialization × iterations blew
+    *    the round-2 driver bench to 63 s) and the loop's shuffle
+    *    partitioning is sized once from nEdges. SHUFFLE_HASH hints:
+    *    stats-less LogicalRDD leaves would otherwise plan sort-merge
+    *    — hash skips both sorts, and neither side broadcasts at
+    *    100 TB. Labels only decrease, so an unchanged sum is a
+    *    fixpoint.
+    */
+  def connectedComponents(edges0: DataFrame,
+                          smallGraphEdges: Long = 1000000L): DataFrame = {
+    val s = edges0.sparkSession
+    import s.implicits._
+    val edges = edges0.persist()
+    val nEdges = edges.count()
+    // Lineage cut + cache; materialized by the caller's next action.
+    def pin(df: DataFrame): DataFrame = {
+      val cut = s.createDataFrame(df.rdd, df.schema)
+      cut.persist()
+      cut
+    }
+    if (nEdges <= smallGraphEdges) {
+      val comp = edges.select($"src", $"dst").as[(Long, Long)]
+        .repartition(1)
+        .mapPartitions { it =>
+          val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrElse(r, r) != r) r = parent(r)
+            var c = x
+            while (parent.getOrElse(c, c) != c) {
+              val n = parent(c); parent(c) = r; c = n
+            }
+            r
+          }
+          val verts = scala.collection.mutable.LinkedHashSet.empty[Long]
+          it.foreach { case (a, b) =>
+            verts += a; verts += b
+            val ra = find(a); val rb = find(b)
+            if (ra != rb) {
+              if (ra < rb) parent(rb) = ra else parent(ra) = rb
+            }
+          }
+          verts.iterator.map(v => (v, find(v)))
+        }
+        .toDF("doc_id", "cluster_id")
+      val out = pin(comp)
+      out.count() // materialize before the edge cache goes away
+      edges.unpersist()
+      out
+    } else {
+      def labelSum(df: DataFrame): Long =
+        // coalesce: an edgeless graph yields an empty label set —
+        // SUM over it is NULL.
+        df.agg(coalesce(sum($"cluster_id"), lit(0L))).as[Long].head()
+      val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
+      val partsWas = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions",
+          math.max(1L, math.min(partsWas.toLong, nEdges / 1000000L)).toString)
+        // Init at min(self, neighbors) — the identity-label round is
+        // free: with labels = id the first propagation is just the
+        // edge list itself, one groupBy instead of a join round.
+        var labels = pin(edges
+          .select($"src".as("v"), $"src".as("cluster_id"))
+          .unionByName(edges.select($"src".as("v"), $"dst".as("cluster_id")))
+          .groupBy($"v").agg(min($"cluster_id").as("cluster_id")))
+        var lastSum = labelSum(labels)
+        var iter = 0
+        var converged = false
+        while (!converged && iter < 25) {
+          val prop = edges.hint("SHUFFLE_HASH")
+            .join(labels.withColumnRenamed("v", "src"), "src")
+            .select($"dst".as("v"), $"cluster_id")
+          val jump = labels.as("x").hint("SHUFFLE_HASH")
+            .join(labels.as("y"), col("x.cluster_id") === col("y.v"))
+            .select(col("x.v").as("v"), col("y.cluster_id").as("cluster_id"))
+          val next = pin(labels.unionByName(prop).unionByName(jump)
+            .groupBy($"v").agg(min($"cluster_id").as("cluster_id")))
+          val sumNow = labelSum(next)
+          converged = sumNow == lastSum
+          lastSum = sumNow
+          labels.unpersist()
+          labels = next
+          iter += 1
+        }
+        edges.unpersist()
+        labels.select($"v".as("doc_id"), $"cluster_id")
+      } finally {
+        s.conf.set("spark.sql.adaptive.enabled", aqeWas)
+        s.conf.set("spark.sql.shuffle.partitions", partsWas)
+      }
+    }
+  }
+
   val all: Seq[Q] = Seq(
     // ------------------------------------------------------------------
     // Exact dedup: content-hash groupBy, canonical = min id.
@@ -291,25 +410,8 @@ object Dedup {
     // identical output.
     //
     // Labels converge by distributed min propagation with pointer
-    // jumping: each round takes the min over self, neighbors, and
-    // label-of-label (l(l(v)) — path-halving, so rounds are
-    // O(log diameter) instead of O(diameter); chained buckets at
-    // sf0.1 need 9 plain rounds but 5 jumped ones).
-    //
-    // Each round costs exactly ONE Spark job: the new label frame is
-    // persisted and its convergence sum computed in the same action,
-    // and lineage is cut by re-rooting the frame on its own RDD (a
-    // LogicalRDD leaf) instead of a separate eager-checkpoint job —
-    // the label frame is referenced 3× per round, so an uncut plan
-    // grows ~4× per iteration. AQE is disabled for the loop's eager
-    // jobs: per-exchange stage materialization multiplies scheduler
-    // round-trips by the iteration count, which is what blew the
-    // round-2 driver bench to 63 s on a loaded host (warm local:
-    // 4.3 s). On a real cluster the per-round volume is known after
-    // round 1 (≤ one label row per vertex), so static partitioning
-    // by spark.sql.shuffle.partitions is the right call there too.
-    // Convergence test: labels only ever decrease, so an unchanged
-    // label sum is a fixpoint.
+    // jumping — see [[connectedComponents]], which also carries the
+    // small-graph fast path the bench-scale graph takes.
     Q("dedup_cc",
       (s, d) => {
         import s.implicits._
@@ -327,69 +429,7 @@ object Dedup {
           .distinct()
         val edges = star
           .unionByName(star.select($"dst".as("src"), $"src".as("dst")))
-          .persist()
-        // Lineage cut + cache; materialized by the caller's next
-        // action (the convergence sum), so no extra job here.
-        def pin(df: DataFrame): DataFrame = {
-          val cut = s.createDataFrame(df.rdd, df.schema)
-          cut.persist()
-          cut
-        }
-        def labelSum(df: DataFrame): Long =
-          // coalesce: an edgeless corpus (no duplicate candidates)
-          // yields an empty label set — SUM over it is NULL.
-          df.agg(coalesce(sum($"cluster_id"), lit(0L))).as[Long].head()
-        val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
-        val partsWas = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.adaptive.enabled", "false")
-        try {
-          // Size the loop's parallelism ONCE from the measured edge
-          // count — the same decision AQE would make per exchange,
-          // but without paying a stage-materialization round-trip on
-          // every exchange of every iteration. ~1M edge rows per
-          // partition; the count also materializes the edge cache.
-          val nEdges = edges.count()
-          s.conf.set("spark.sql.shuffle.partitions",
-            math.max(1L, math.min(partsWas.toLong, nEdges / 1000000L)).toString)
-          // Init at min(self, neighbors) — the identity-label round
-          // is free here because with labels = id the first
-          // propagation is just the edge list itself (no join
-          // needed): one groupBy replaces a join+union+agg round.
-          var labels = pin(edges
-            .select($"src".as("v"), $"src".as("cluster_id"))
-            .unionByName(edges.select($"src".as("v"), $"dst".as("cluster_id")))
-            .groupBy($"v").agg(min($"cluster_id").as("cluster_id")))
-          var lastSum = labelSum(labels)
-          var iter = 0
-          var converged = false
-          while (!converged && iter < 25) {
-            // SHUFFLE_HASH: with AQE off and LogicalRDD leaves there
-            // are no stats, so Catalyst would default these to
-            // sort-merge — the hash join skips both sort passes and
-            // is the scale-correct choice for co-partitioned
-            // similar-size sides (neither side is broadcastable at
-            // 100 TB).
-            val prop = edges.hint("SHUFFLE_HASH")
-              .join(labels.withColumnRenamed("v", "src"), "src")
-              .select($"dst".as("v"), $"cluster_id")
-            val jump = labels.as("x").hint("SHUFFLE_HASH")
-              .join(labels.as("y"), col("x.cluster_id") === col("y.v"))
-              .select(col("x.v").as("v"), col("y.cluster_id").as("cluster_id"))
-            val next = pin(labels.unionByName(prop).unionByName(jump)
-              .groupBy($"v").agg(min($"cluster_id").as("cluster_id")))
-            val sumNow = labelSum(next)
-            converged = sumNow == lastSum
-            lastSum = sumNow
-            labels.unpersist()
-            labels = next
-            iter += 1
-          }
-          edges.unpersist()
-          labels.select($"v".as("doc_id"), $"cluster_id")
-        } finally {
-          s.conf.set("spark.sql.adaptive.enabled", aqeWas)
-          s.conf.set("spark.sql.shuffle.partitions", partsWas)
-        }
+        connectedComponents(edges)
       },
       Some(s"""WITH RECURSIVE $corpusSql, $signaturesSql, $bandsSql,
         edges AS (SELECT doc_a AS a, doc_b AS b FROM candidates

@@ -87,6 +87,23 @@ class Round3Spec extends AnyFunSuite {
     for ((k, v) <- got) assert(math.abs(v - expect(k).toDouble) < 1e-6, s"order $k")
   }
 
+  test("connectedComponents: fast path and iterative path agree") {
+    import spark.implicits._
+    // chain (1-2-3-4), a pair, a star — labels are component minima
+    val raw = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (20L, 21L), (20L, 22L))
+    val e0 = raw.toDF("src", "dst")
+    val edges = e0.unionByName(e0.select($"dst".as("src"), $"src".as("dst")))
+    val expect = Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (10L, 10L), (11L, 10L), (20L, 20L), (21L, 20L), (22L, 20L))
+    val fast = Dedup.connectedComponents(edges, smallGraphEdges = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val iterative = Dedup.connectedComponents(edges, smallGraphEdges = -1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast === expect)
+    assert(iterative === expect)
+  }
+
   test("keep-best: exact-duplicate copies never survive") {
     import spark.implicits._
     val survivors = SparkEntry.queries("dedup_lsh_keep_best")(spark, sf)
