@@ -83,8 +83,14 @@ object Bench {
       n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val ok = results.filter(_._2 >= 0)
-    val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
+    val failed = results.collect { case (k, v) if v < 0 => k }
+    val errors = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // The emitted LINE carries at most 8 failure names (+ count) so a
+    // mass-failure run cannot blow past the capture window — the full
+    // list still lands in BENCH_FULL.json.
+    val errorsCapped = (failed.take(8).map("\"" + _ + "\"") ++
+      (if (failed.size > 8) Seq("\"+" + (failed.size - 8) + " more\"")
+       else Nil)).mkString("[", ",", "]")
     val total = ok.map(_._2).sum
 
     // Complete per-query map → file (too long for the output window).
@@ -96,7 +102,11 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] full dump failed: $e") }
 
     // Compact line: headline + promoted-slow queries, per-group sums.
-    def fmt(v: Double, dec: Int) = ("%." + dec + "f").format(v).toDouble.toString
+    // Locale.ROOT: a comma-decimal default locale would make
+    // format+toDouble throw after the sweeps already ran.
+    def fmt(v: Double, dec: Int) =
+      String.format(java.util.Locale.ROOT, "%." + dec + "f",
+        Double.box(v)).toDouble.toString
     val groups = ok.groupBy(_._1.takeWhile(_ != '_'))
       .toSeq.sortBy(_._1)
       .map { case (g, qs) => s""""$g":${fmt(qs.map(_._2).sum, 2)}""" }
@@ -108,7 +118,8 @@ object Bench {
       val qs = entries.sortBy(_._1)
         .map { case (k, v) => s""""$k":${fmt(v, 3)}""" }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,""" +
-        s""""groups":$groups,"n":${results.size},"errors":$errors,"sf":"$sfDir"}"""
+        s""""groups":$groups,"n":${results.size},"n_errors":${failed.size},""" +
+        s""""errors":$errorsCapped,"sf":"$sfDir"}"""
     }
     var kept = wanted
     while (line(kept).length > 1700 && kept.nonEmpty) kept = kept.dropRight(1)

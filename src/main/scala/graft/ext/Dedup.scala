@@ -105,15 +105,20 @@ object Dedup {
     * shuffles only (doc_id, band_idx, band_hash) rows — 2 per
     * document — so candidate generation scales with collision count,
     * never corpus². */
-  /** (doc_id, band_idx, band_hash) rows — 2 per document. */
-  private def bandedKeys(signatures: DataFrame): DataFrame = {
+  /** (doc_id [, carry...], band_idx, band_hash) rows — 2 per
+    * document. The single definition of the band layout; `carry`
+    * columns (e.g. a length or prefix) ride along so callers that
+    * need per-doc attributes inside buckets don't re-derive the
+    * banding or join back to the corpus. */
+  private def bandedKeys(signatures: DataFrame,
+                         carry: Seq[String] = Nil): DataFrame = {
     val s = signatures.sparkSession
     import s.implicits._
     def bandKey(x: Column, y: Column): Column =
       concat(x.cast("string"), lit("_"), y.cast("string"))
-    signatures.select($"doc_id",
-      posexplode(array(bandKey($"h1", $"h2"), bandKey($"h3", $"h4"))))
-      .toDF("doc_id", "band_idx", "band_hash")
+    signatures.select((col("doc_id") +: carry.map(col)) :+
+        posexplode(array(bandKey($"h1", $"h2"), bandKey($"h3", $"h4"))): _*)
+      .toDF(("doc_id" +: carry) ++ Seq("band_idx", "band_hash"): _*)
   }
 
   def lshCandidates(signatures: DataFrame): DataFrame = {
@@ -167,14 +172,19 @@ object Dedup {
     *    frame is persisted and its convergence sum computed in the
     *    same action, lineage cut by re-rooting on the frame's own
     *    RDD (LogicalRDD leaf — the frame is referenced 3× per round,
-    *    an uncut plan grows ~4×/round). AQE stays off inside the
-    *    loop (per-exchange stage materialization × iterations blew
-    *    the round-2 driver bench to 63 s) and the loop's shuffle
-    *    partitioning is sized once from nEdges. SHUFFLE_HASH hints:
+    *    an uncut plan grows ~4×/round). SHUFFLE_HASH hints: the
     *    stats-less LogicalRDD leaves would otherwise plan sort-merge
     *    — hash skips both sorts, and neither side broadcasts at
     *    100 TB. Labels only decrease, so an unchanged sum is a
-    *    fixpoint.
+    *    fixpoint. The loop runs under the session's own AQE/shuffle
+    *    conf — per-exchange AQE overhead only ever dominated on tiny
+    *    graphs, which now take the single-task path, and a library
+    *    call must not flip session-global conf under concurrent
+    *    queries.
+    *
+    * The returned frame is persisted (its lineage re-derives the
+    * whole computation); callers invoking this repeatedly in one
+    * session should unpersist it when done.
     */
   def connectedComponents(edges0: DataFrame,
                           smallGraphEdges: Long = 1000000L): DataFrame = {
@@ -213,28 +223,24 @@ object Dedup {
           verts.iterator.map(v => (v, find(v)))
         }
         .toDF("doc_id", "cluster_id")
-      val out = pin(comp)
-      out.count() // materialize before the edge cache goes away
-      edges.unpersist()
-      out
+      try {
+        val out = pin(comp)
+        out.count() // materialize before the edge cache goes away
+        out
+      } finally edges.unpersist()
     } else {
       def labelSum(df: DataFrame): Long =
         // coalesce: an edgeless graph yields an empty label set —
         // SUM over it is NULL.
         df.agg(coalesce(sum($"cluster_id"), lit(0L))).as[Long].head()
-      val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
-      val partsWas = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.adaptive.enabled", "false")
+      // Init at min(self, neighbors) — the identity-label round is
+      // free: with labels = id the first propagation is just the
+      // edge list itself, one groupBy instead of a join round.
+      var labels = pin(edges
+        .select($"src".as("v"), $"src".as("cluster_id"))
+        .unionByName(edges.select($"src".as("v"), $"dst".as("cluster_id")))
+        .groupBy($"v").agg(min($"cluster_id").as("cluster_id")))
       try {
-        s.conf.set("spark.sql.shuffle.partitions",
-          math.max(1L, math.min(partsWas.toLong, nEdges / 1000000L)).toString)
-        // Init at min(self, neighbors) — the identity-label round is
-        // free: with labels = id the first propagation is just the
-        // edge list itself, one groupBy instead of a join round.
-        var labels = pin(edges
-          .select($"src".as("v"), $"src".as("cluster_id"))
-          .unionByName(edges.select($"src".as("v"), $"dst".as("cluster_id")))
-          .groupBy($"v").agg(min($"cluster_id").as("cluster_id")))
         var lastSum = labelSum(labels)
         var iter = 0
         var converged = false
@@ -254,12 +260,11 @@ object Dedup {
           labels = next
           iter += 1
         }
-        edges.unpersist()
         labels.select($"v".as("doc_id"), $"cluster_id")
-      } finally {
-        s.conf.set("spark.sql.adaptive.enabled", aqeWas)
-        s.conf.set("spark.sql.shuffle.partitions", partsWas)
-      }
+      } catch {
+        // a failed round must not pin the in-flight label cache
+        case e: Throwable => labels.unpersist(); throw e
+      } finally edges.unpersist()
     }
   }
 
@@ -466,10 +471,7 @@ object Dedup {
           .select($"doc_id", $"len",
             $"sig".getItem(0).as("h1"), $"sig".getItem(1).as("h2"),
             $"sig".getItem(2).as("h3"), $"sig".getItem(3).as("h4"))
-        val banded = sized.select($"doc_id", $"len", posexplode(array(
-            concat($"h1".cast("string"), lit("_"), $"h2".cast("string")),
-            concat($"h3".cast("string"), lit("_"), $"h4".cast("string")))))
-          .toDF("doc_id", "len", "band_idx", "band_hash")
+        val banded = bandedKeys(sized, carry = Seq("len"))
         banded
           .withColumn("rk", when($"band_hash".isNull, lit(1))
             .otherwise(row_number().over(wBand)))

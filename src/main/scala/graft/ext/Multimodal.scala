@@ -134,25 +134,30 @@ object Multimodal {
             (lit(16L) + $"byte_len".cast("long") % 1024).as("src_w"),
             (lit(16L) + ($"byte_len".cast("long") / 7).cast("long") % 1024)
               .as("src_h"))
-          .withColumn("scale",
-            least(lit(224.0) / $"src_w", lit(224.0) / $"src_h"))
+          // the limiting (larger) dimension lands on exactly 224 —
+          // floor(src * (224.0/src)) rounds to 223 for ~9% of sizes
+          // under IEEE division, which a real codec resize never does
           .select($"doc_id", $"src_w", $"src_h",
-            greatest(lit(1L), floor($"src_w" * $"scale")).as("out_w"),
-            greatest(lit(1L), floor($"src_h" * $"scale")).as("out_h"))
+            when($"src_w" >= $"src_h", lit(224L))
+              .otherwise(greatest(lit(1L),
+                floor($"src_w" * lit(224.0) / $"src_h"))).as("out_w"),
+            when($"src_h" >= $"src_w", lit(224L))
+              .otherwise(greatest(lit(1L),
+                floor($"src_h" * lit(224.0) / $"src_w"))).as("out_h"))
           .withColumn("out_bytes", $"out_w" * $"out_h" * 3)
       },
-      Some("""SELECT doc_id, src_w, src_h,
-          greatest(1, CAST(floor(src_w * least(224.0 / src_w, 224.0 / src_h))
-            AS BIGINT)) AS out_w,
-          greatest(1, CAST(floor(src_h * least(224.0 / src_w, 224.0 / src_h))
-            AS BIGINT)) AS out_h,
-          greatest(1, CAST(floor(src_w * least(224.0 / src_w, 224.0 / src_h))
-            AS BIGINT)) *
-          greatest(1, CAST(floor(src_h * least(224.0 / src_w, 224.0 / src_h))
-            AS BIGINT)) * 3 AS out_bytes
-        FROM (SELECT doc_id,
-                16 + octet_length(encode(text)) % 1024 AS src_w,
-                16 + (octet_length(encode(text)) // 7) % 1024 AS src_h
-              FROM documents WHERE doc_id % 3 = 0) x"""))
+      Some("""SELECT doc_id, src_w, src_h, out_w, out_h,
+          out_w * out_h * 3 AS out_bytes
+        FROM (SELECT doc_id, src_w, src_h,
+                CASE WHEN src_w >= src_h THEN 224
+                     ELSE greatest(1, CAST(floor(src_w * 224.0 / src_h)
+                       AS BIGINT)) END AS out_w,
+                CASE WHEN src_h >= src_w THEN 224
+                     ELSE greatest(1, CAST(floor(src_h * 224.0 / src_w)
+                       AS BIGINT)) END AS out_h
+              FROM (SELECT doc_id,
+                      16 + octet_length(encode(text)) % 1024 AS src_w,
+                      16 + (octet_length(encode(text)) // 7) % 1024 AS src_h
+                    FROM documents WHERE doc_id % 3 = 0) x) y"""))
   )
 }
