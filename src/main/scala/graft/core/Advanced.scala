@@ -2,6 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
 
 import graft.{Q, Tables}
@@ -317,6 +318,72 @@ object Advanced {
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE)
                   AS revenue
               FROM j GROUP BY n_name) a
-        JOIN md ON md.n_name = a.n_name AND md.rn = 1"""))
+        JOIN md ON md.n_name = a.n_name AND md.rn = 1""")),
+
+    // ------------------------------------------------------------------
+    // SCD type-2 dimension build (gaps-and-islands): collapse each
+    // customer's order history into contiguous runs of equal order
+    // status, with [valid_from, valid_to) day ranges — the standard
+    // change-capture shape a warehouse build emits. One shuffle on
+    // custkey; the change-flag window, the run rollup and the
+    // valid_to lead all reuse that partitioning. Days as epoch-day
+    // integers (no date/timezone ambiguity in the compare); ordering
+    // tiebroken by orderkey so runs are deterministic under same-day
+    // orders.
+    Q("rel_scd2_dimension",
+      (s, d) => {
+        import s.implicits._
+        val wOrd = Window.partitionBy($"o_custkey")
+          .orderBy($"day_num", $"o_orderkey")
+        val runs = Tables.orders(s, d)
+          .select($"o_custkey", $"o_orderkey", $"o_orderstatus",
+            datediff($"o_orderdate", lit("1970-01-01")).cast("long")
+              .as("day_num"))
+          .withColumn("chg",
+            when(lag($"o_orderstatus", 1).over(wOrd).isNull ||
+              lag($"o_orderstatus", 1).over(wOrd) =!= $"o_orderstatus", 1)
+              .otherwise(0))
+          .withColumn("run_id", sum($"chg").over(
+            wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy($"o_custkey", $"run_id")
+          .agg(min($"o_orderstatus").as("status"),
+            min($"day_num").as("valid_from_day"),
+            max($"day_num").as("last_seen_day"),
+            count(lit(1)).as("n_orders"))
+        val wRun = Window.partitionBy($"o_custkey").orderBy($"run_id")
+        runs
+          .withColumn("valid_to_day", lead($"valid_from_day", 1).over(wRun))
+          .withColumn("is_current", $"valid_to_day".isNull)
+          .select($"o_custkey", $"run_id", $"status", $"valid_from_day",
+            $"valid_to_day", $"last_seen_day", $"n_orders", $"is_current")
+      },
+      Some("""WITH ord AS (
+          SELECT o_custkey, o_orderkey, o_orderstatus,
+            datediff('day', DATE '1970-01-01', o_orderdate) AS day_num
+          FROM orders),
+        flagged AS (
+          SELECT *, CASE WHEN LAG(o_orderstatus) OVER w IS NULL
+                      OR LAG(o_orderstatus) OVER w <> o_orderstatus
+                     THEN 1 ELSE 0 END AS chg
+          FROM ord
+          WINDOW w AS (PARTITION BY o_custkey
+                       ORDER BY day_num, o_orderkey)),
+        runs0 AS (
+          SELECT *, SUM(chg) OVER (PARTITION BY o_custkey
+              ORDER BY day_num, o_orderkey
+              ROWS UNBOUNDED PRECEDING) AS run_id
+          FROM flagged),
+        runs AS (
+          SELECT o_custkey, run_id, MIN(o_orderstatus) AS status,
+            MIN(day_num) AS valid_from_day,
+            MAX(day_num) AS last_seen_day,
+            COUNT(*) AS n_orders
+          FROM runs0 GROUP BY o_custkey, run_id)
+        SELECT o_custkey, run_id, status, valid_from_day,
+          LEAD(valid_from_day) OVER w2 AS valid_to_day,
+          last_seen_day, n_orders,
+          LEAD(valid_from_day) OVER w2 IS NULL AS is_current
+        FROM runs
+        WINDOW w2 AS (PARTITION BY o_custkey ORDER BY run_id)"""))
   )
 }

@@ -540,6 +540,105 @@ object EventsOps {
             PARTITION BY c.user_id ORDER BY c.day
             ROWS UNBOUNDED PRECEDING) AS filled_value
         FROM cal c LEFT JOIN daily d
-          ON d.user_id = c.user_id AND d.day = c.day"""))
+          ON d.user_id = c.user_id AND d.day = c.day""")),
+
+    // ------------------------------------------------------------------
+    // Trailing-window anomaly detection: hourly event counts per
+    // type, each hour z-scored against its trailing 24 observations.
+    // The window carries only exact integer sums (count, sum,
+    // sum-of-squares — associative, order-insensitive, map-side
+    // combinable); the z-score is derived from those integers by one
+    // fixed sequence of IEEE double ops identical on both engines, so
+    // the compare is bit-exact. Hours as epoch-hour integers: no
+    // timestamp/timezone ambiguity. One shuffle (hour rollup); the
+    // window reuses the event_type partitioning.
+    Q("ev_anomaly_zscore",
+      (s, d) => {
+        import s.implicits._
+        val hourly = Tables.events(s, d)
+          .groupBy($"event_type",
+            expr("unix_micros(ts) div 3600000000").as("hour_num"))
+          .agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy($"event_type").orderBy($"hour_num")
+          .rowsBetween(-24, -1)
+        val n = count(lit(1)).over(w)
+        val sSum = sum($"c").over(w)
+        val sSq = sum($"c" * $"c").over(w)
+        val mean = sSum.cast("double") / n.cast("double")
+        val varExpr = (sSq.cast("double") -
+          (sSum.cast("double") * sSum.cast("double")) / n.cast("double")) /
+          (n - 1).cast("double")
+        hourly
+          .withColumn("n_prev", n)
+          .withColumn("z",
+            when(varExpr > 0.0,
+              ($"c".cast("double") - mean) / sqrt(varExpr)))
+          .filter($"n_prev" >= 12)
+          .withColumn("is_anomaly",
+            coalesce(abs($"z") > 3.0, lit(false)))
+          .select($"event_type", $"hour_num", $"c", $"z", $"is_anomaly")
+      },
+      Some("""WITH hourly AS (
+          SELECT event_type, epoch_us(ts) // 3600000000 AS hour_num,
+            COUNT(*) AS c
+          FROM events GROUP BY 1, 2),
+        win AS (
+          SELECT event_type, hour_num, c,
+            COUNT(*) OVER tw AS n_prev,
+            SUM(c) OVER tw AS s,
+            SUM(c * c) OVER tw AS ssq
+          FROM hourly
+          WINDOW tw AS (PARTITION BY event_type ORDER BY hour_num
+                        ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        SELECT event_type, hour_num, c,
+          CASE WHEN (CAST(ssq AS DOUBLE) -
+              (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / CAST(n_prev AS DOUBLE))
+              / CAST(n_prev - 1 AS DOUBLE) > 0.0
+            THEN (CAST(c AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n_prev AS DOUBLE))
+              / sqrt((CAST(ssq AS DOUBLE) -
+                  (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / CAST(n_prev AS DOUBLE))
+                / CAST(n_prev - 1 AS DOUBLE))
+          END AS z,
+          COALESCE(abs(CASE WHEN (CAST(ssq AS DOUBLE) -
+              (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / CAST(n_prev AS DOUBLE))
+              / CAST(n_prev - 1 AS DOUBLE) > 0.0
+            THEN (CAST(c AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n_prev AS DOUBLE))
+              / sqrt((CAST(ssq AS DOUBLE) -
+                  (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / CAST(n_prev AS DOUBLE))
+                / CAST(n_prev - 1 AS DOUBLE))
+          END) > 3.0, false) AS is_anomaly
+        FROM win WHERE n_prev >= 12""")),
+
+    // ------------------------------------------------------------------
+    // Conversion lag: per user, first `view` to first `purchase`.
+    // Single shuffle — both firsts come out of one conditional
+    // aggregation (no self-join of two filtered scans); all outputs
+    // are exact integer microseconds.
+    Q("ev_conversion_lag",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .groupBy($"user_id")
+          .agg(
+            min(when($"event_type" === "view", unix_micros($"ts")))
+              .as("first_view_us"),
+            min(when($"event_type" === "purchase", unix_micros($"ts")))
+              .as("first_purchase_us"))
+          .filter($"first_view_us".isNotNull && $"first_purchase_us".isNotNull)
+          .withColumn("lag_us", $"first_purchase_us" - $"first_view_us")
+          .withColumn("converted_after_view", $"lag_us" > 0L)
+      },
+      Some("""SELECT user_id, first_view_us, first_purchase_us,
+          first_purchase_us - first_view_us AS lag_us,
+          (first_purchase_us - first_view_us) > 0 AS converted_after_view
+        FROM (
+          SELECT user_id,
+            MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+              AS first_view_us,
+            MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+              AS first_purchase_us
+          FROM events GROUP BY user_id) t
+        WHERE first_view_us IS NOT NULL
+          AND first_purchase_us IS NOT NULL"""))
   )
 }

@@ -257,6 +257,47 @@ object Similarity {
           SELECT vec_id, cid,
             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid)
               AS rk
-          FROM scored) t WHERE rk = 1"""))
+          FROM scored) t WHERE rk = 1""")),
+
+    // ------------------------------------------------------------------
+    // Exact k-NN graph within coarse blocks: 3 nearest neighbors per
+    // vector by cosine, candidates restricted to the vector's label
+    // block (the IVF-cell blocking sim_ivf_assign produces — at 10⁹
+    // vectors the same shape runs per-cell after coarse assignment;
+    // all-pairs-unblocked would be n² and is exactly what the ANN
+    // paths exist to avoid). Norms computed once per row before the
+    // self-join; per-vector top-k via window on the block join's own
+    // partitioning. Tiebreak on neighbor id for determinism.
+    Q("sim_knn_graph",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+          .select($"vec_id", $"label", $"embedding")
+          .withColumn("nrm", sqrt(dot($"embedding", $"embedding")))
+        val w = Window.partitionBy(col("a.vec_id"))
+          .orderBy($"cos".desc, col("b.vec_id"))
+        emb.as("a").join(emb.as("b"),
+            col("a.label") === col("b.label") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+          .withColumn("cos", dot(col("a.embedding"), col("b.embedding")) /
+            (col("a.nrm") * col("b.nrm")))
+          .withColumn("rk", row_number().over(w))
+          .filter($"rk" <= 3)
+          .select(col("a.vec_id").as("vec_id"),
+            col("b.vec_id").as("neighbor_id"), $"cos", $"rk")
+      },
+      Some(s"""WITH scored AS (
+          SELECT a.vec_id, b.vec_id AS neighbor_id,
+            ${dotSql("a.embedding", "b.embedding")} /
+            (sqrt(${dotSql("a.embedding", "a.embedding")}) *
+             sqrt(${dotSql("b.embedding", "b.embedding")})) AS cos
+          FROM embeddings a JOIN embeddings b
+            ON a.label = b.label AND a.vec_id <> b.vec_id)
+        SELECT vec_id, neighbor_id, cos, rk FROM (
+          SELECT vec_id, neighbor_id, cos,
+            ROW_NUMBER() OVER (PARTITION BY vec_id
+              ORDER BY cos DESC, neighbor_id) AS rk
+          FROM scored) t
+        WHERE rk <= 3"""))
   )
 }

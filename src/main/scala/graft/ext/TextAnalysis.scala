@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import graft.{Q, Tables}
 
@@ -544,7 +545,67 @@ object TextAnalysis {
             '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')))
             AS n_bpe_distinct,
           len(string_split_regex(trim(text), '\s+')) AS n_ws
-        FROM documents"""))
+        FROM documents""")),
+
+    // ------------------------------------------------------------------
+    // Corpus bigram language-model table: top-20 bigrams per language
+    // with counts and the corpus-level conditional-probability
+    // ingredients (bigram count + left-unigram count — both exact
+    // integers; the division is one IEEE op for ranking display).
+    // Scale: the bigram explode is a narrow generate feeding ONE hash
+    // aggregation (map-side partials); the left-unigram count is a
+    // window sum over the already-collapsed bigram table — not a
+    // second aggregation of the exploded frame joined back (the
+    // repeated-subtree trap: Catalyst does not dedupe repeated
+    // subplans, so that shape scans and explodes the corpus twice).
+    // The per-language top-20 runs on the collapsed table too. This
+    // is the LM-statistics sibling of txt_term_stats (unigram df/tf).
+    Q("txt_bigram_lm",
+      (s, d) => {
+        import s.implicits._
+        val base = Tables.documents(s, d)
+          .select($"lang", tokens($"text").as("toks"))
+          .filter(size($"toks") >= 2)
+        val bigrams = base
+          .select($"lang", $"toks",
+            explode(sequence(lit(1), size($"toks") - 1)).as("i"))
+          .select($"lang",
+            element_at($"toks", $"i").as("w1"),
+            element_at($"toks", $"i" + 1).as("w2"))
+        val bg = bigrams.groupBy($"lang", $"w1", $"w2")
+          .agg(count(lit(1)).as("c_bigram"))
+        val wLeft = Window.partitionBy($"lang", $"w1")
+        val wTop = Window.partitionBy($"lang")
+          .orderBy($"c_bigram".desc, $"w1", $"w2")
+        bg.withColumn("c_left", sum($"c_bigram").over(wLeft))
+          .withColumn("rk", row_number().over(wTop))
+          .filter($"rk" <= 20)
+          .withColumn("p_cond",
+            $"c_bigram".cast("double") / $"c_left".cast("double"))
+          .select($"lang", $"w1", $"w2", $"c_bigram", $"c_left",
+            $"p_cond", $"rk")
+      },
+      Some("""WITH base AS (
+          SELECT lang, string_split_regex(trim(lower(text)), '\s+') AS toks
+          FROM documents
+          WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 2),
+        bigrams AS (
+          SELECT lang, toks[i] AS w1, toks[i + 1] AS w2
+          FROM (SELECT lang, toks,
+                  unnest(generate_series(1, len(toks) - 1)) AS i
+                FROM base) x),
+        bg AS (
+          SELECT lang, w1, w2, COUNT(*) AS c_bigram
+          FROM bigrams GROUP BY lang, w1, w2)
+        SELECT lang, w1, w2, c_bigram, c_left,
+          CAST(c_bigram AS DOUBLE) / CAST(c_left AS DOUBLE) AS p_cond, rk
+        FROM (
+          SELECT lang, w1, w2, c_bigram,
+            SUM(c_bigram) OVER (PARTITION BY lang, w1) AS c_left,
+            ROW_NUMBER() OVER (PARTITION BY lang
+              ORDER BY c_bigram DESC, w1, w2) AS rk
+          FROM bg) t
+        WHERE rk <= 20"""))
   )
 
   /** Library form of the quality/stat projections for reuse. */

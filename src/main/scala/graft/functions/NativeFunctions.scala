@@ -388,5 +388,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[StartsWithName].getName,
         "farm_starts_with_name_native"),
       (exprs: Seq[Expression]) => StartsWithName(exprs.head)))
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinThresholdRule)
   }
 }

@@ -176,4 +176,34 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1,
       s"expected a single shuffle for the fold, got $exchanges")
   }
+
+  test("SCD2 build reuses one custkey shuffle across windows and rollup") {
+    // chg window, run_id window, (custkey, run_id) rollup and the
+    // valid_to lead all cluster by custkey: HashPartitioning(custkey)
+    // satisfies every downstream distribution, so exactly one
+    // exchange survives.
+    val p = plan("rel_scd2_dimension")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"expected one custkey shuffle, got $exchanges\n$p")
+    assert(!p.contains("Join"), "gaps-and-islands must not plan a join")
+  }
+
+  test("bigram LM is joinless: left-unigram count via window, no re-explode") {
+    val p = plan("txt_bigram_lm")
+    assert(!p.contains("Join"),
+      "c_left must come from a window over the collapsed bigram table")
+    // One Generate only — the corpus is exploded exactly once.
+    val generates = p.linesIterator.count(_.contains("Generate"))
+    assert(generates == 1, s"expected a single explode, got $generates")
+  }
+
+  test("anomaly z-score window reuses the hourly rollup partitioning") {
+    val p = plan("ev_anomaly_zscore")
+    assert(!p.contains("Join"), p.take(400))
+    // hourly agg shuffles on (event_type, hour); the trailing window
+    // needs event_type — one more exchange of the tiny collapsed
+    // table, nothing else.
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2, s"got $exchanges exchanges\n$p")
+  }
 }

@@ -1,0 +1,117 @@
+package graft.ext
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, Tables}
+
+/** Targeted semantics for the round-3 third wave, beyond the DuckDB
+  * hash gate: anomaly-window accounting, conversion-lag arithmetic,
+  * SCD2 run structure, bigram-LM ranking, and k-NN graph shape.
+  */
+class Round3cSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("ev_anomaly_zscore: warmup rows dropped, flag ⇔ |z| > 3") {
+    import spark.implicits._
+    val out = run("ev_anomaly_zscore").collect()
+    assert(out.nonEmpty)
+    // Exactly the first 12 observations per type are warmup-dropped.
+    val hoursPerType = Tables.events(spark, sf)
+      .groupBy($"event_type",
+        expr("unix_micros(ts) div 3600000000").as("h"))
+      .count().groupBy($"event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val outPerType = out.groupBy(_.getString(0)).view.mapValues(_.length)
+    for ((t, n) <- hoursPerType)
+      assert(outPerType.getOrElse(t, 0) === (n - 12).max(0L).toInt, t)
+    for (r <- out) {
+      val z = if (r.isNullAt(3)) None else Some(r.getDouble(3))
+      assert(r.getBoolean(4) === z.exists(v => math.abs(v) > 3.0))
+    }
+  }
+
+  test("ev_conversion_lag: lag equals first-purchase minus first-view") {
+    import spark.implicits._
+    val out = run("ev_conversion_lag").collect()
+    assert(out.nonEmpty)
+    for (r <- out)
+      assert(r.getLong(3) === r.getLong(2) - r.getLong(1))
+    // Cross-check one user against a direct filter.
+    val u = out.head.getLong(0)
+    val ev = Tables.events(spark, sf)
+      .filter($"user_id" === u)
+      .groupBy($"event_type").agg(min(unix_micros($"ts")).as("first"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.head.getLong(1) === ev("view"))
+    assert(out.head.getLong(2) === ev("purchase"))
+  }
+
+  test("rel_scd2_dimension: contiguous runs, one current, chained validity") {
+    val out = run("rel_scd2_dimension").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getBoolean(7)))
+    val byCust = out.groupBy(_._1)
+    for ((_, runs0) <- byCust) {
+      val runs = runs0.sortBy(_._2)
+      assert(runs.map(_._2) === (1L to runs.length).toSeq, "contiguous run ids")
+      assert(runs.count(_._6) === 1, "exactly one current run")
+      assert(runs.last._6 && runs.last._5.isEmpty, "current = last, open-ended")
+      for (Array(a, b) <- runs.sliding(2) if runs.length > 1) {
+        assert(a._5.contains(b._4), "valid_to chains to next valid_from")
+        assert(a._3 != b._3, "consecutive runs change status")
+      }
+    }
+    // Total orders conserved.
+    val n = run("rel_scd2_dimension").agg(sum("n_orders")).head.getLong(0)
+    assert(n === Tables.orders(spark, sf).count())
+  }
+
+  test("txt_bigram_lm: dense ranks, counts non-increasing, exact p_cond") {
+    val out = run("txt_bigram_lm").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getInt(6)))
+    assert(out.nonEmpty)
+    for ((_, rows0) <- out.groupBy(_._1)) {
+      val rows = rows0.sortBy(_._7)
+      assert(rows.map(_._7) === (1 to rows.length).toSeq)
+      assert(rows.length <= 20)
+      for (Array(a, b) <- rows.sliding(2) if rows.length > 1)
+        assert(a._4 >= b._4, "counts non-increasing in rank")
+    }
+    for (r <- out) {
+      assert(r._5 >= r._4, "left-unigram count covers the bigram")
+      assert(r._6 === r._4.toDouble / r._5.toDouble)
+    }
+  }
+
+  test("sim_knn_graph: 3 in-block neighbors, self excluded, cos ordered") {
+    import spark.implicits._
+    val out = run("sim_knn_graph").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val labels = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val blockSizes = labels.groupBy(_._2).view.mapValues(_.size).toMap
+    for ((vec, rows0) <- out.groupBy(_._1)) {
+      val rows = rows0.sortBy(_._4)
+      val expectK = math.min(3, blockSizes(labels(vec)) - 1)
+      assert(rows.length === expectK, s"vec $vec")
+      assert(rows.forall(_._2 != vec), "no self edge")
+      assert(rows.forall(r => labels(r._2) === labels(vec)), "in-block only")
+      for (Array(a, b) <- rows.sliding(2) if rows.length > 1)
+        assert(a._3 >= b._3, "cosine non-increasing in rank")
+    }
+  }
+}
