@@ -384,6 +384,47 @@ object Advanced {
           last_seen_day, n_orders,
           LEAD(valid_from_day) OVER w2 IS NULL AS is_current
         FROM runs
-        WINDOW w2 AS (PARTITION BY o_custkey ORDER BY run_id)"""))
+        WINDOW w2 AS (PARTITION BY o_custkey ORDER BY run_id)""")),
+
+    // ------------------------------------------------------------------
+    // Latest-wins merge upsert (the compaction step of an
+    // incremental-ingest table): a change batch (here every 10th
+    // order re-priced, version 1) merged into the snapshot
+    // (version 0), newest version per key surviving. One shuffle on
+    // the key; the per-key pick is a window top-1, which Spark
+    // lowers to WindowGroupLimit partial filtering BEFORE the
+    // shuffle — no full sort of the union. At 100 TB this is the
+    // shape that replaces read-modify-write: both sides stay
+    // columnar, nothing collects.
+    Q("rel_merge_upsert",
+      (s, d) => {
+        import s.implicits._
+        val snapshot = Tables.orders(s, d)
+          .select($"o_orderkey", $"o_totalprice", $"o_orderstatus",
+            lit(0).as("version"))
+        val changes = Tables.orders(s, d)
+          .filter($"o_orderkey" % 10 === 0)
+          .select($"o_orderkey",
+            ($"o_totalprice" * 2).as("o_totalprice"),
+            lit("U").as("o_orderstatus"), lit(1).as("version"))
+        val w = Window.partitionBy($"o_orderkey").orderBy($"version".desc)
+        snapshot.unionByName(changes)
+          .withColumn("rk", row_number().over(w))
+          .filter($"rk" === 1)
+          .select($"o_orderkey", $"o_totalprice", $"o_orderstatus",
+            $"version")
+      },
+      Some("""WITH unioned AS (
+          SELECT o_orderkey, o_totalprice, o_orderstatus, 0 AS version
+          FROM orders
+          UNION ALL
+          SELECT o_orderkey, o_totalprice * 2 AS o_totalprice,
+            'U' AS o_orderstatus, 1 AS version
+          FROM orders WHERE o_orderkey % 10 = 0)
+        SELECT o_orderkey, o_totalprice, o_orderstatus, version FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+            ORDER BY version DESC) AS rk
+          FROM unioned) t
+        WHERE rk = 1"""))
   )
 }

@@ -639,6 +639,43 @@ object EventsOps {
               AS first_purchase_us
           FROM events GROUP BY user_id) t
         WHERE first_view_us IS NOT NULL
-          AND first_purchase_us IS NOT NULL"""))
+          AND first_purchase_us IS NOT NULL""")),
+
+    // ------------------------------------------------------------------
+    // Event-type transition matrix (first-order Markov chain over
+    // each user's ordered stream): lag window on the user_id shuffle,
+    // then the (prev, cur) rollup collapses to at most |types|² cells
+    // via map-side partials — the wide input never shuffles twice.
+    // Row-normalized probability from two exact integers, one IEEE
+    // division. Ordering tiebroken by event_id (ts collisions exist).
+    Q("ev_markov_transitions",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id")
+          .orderBy($"ts", $"event_id")
+        val wRow = Window.partitionBy($"prev_type")
+        Tables.events(s, d)
+          .select($"user_id", $"event_id", $"ts", $"event_type")
+          .withColumn("prev_type", lag($"event_type", 1).over(w))
+          .filter($"prev_type".isNotNull)
+          .groupBy($"prev_type", $"event_type".as("cur_type"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("row_total", sum($"n").over(wRow))
+          .withColumn("p", $"n".cast("double") / $"row_total".cast("double"))
+      },
+      Some("""WITH seq AS (
+          SELECT user_id, event_type,
+            LAG(event_type) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS prev_type
+          FROM events),
+        cells AS (
+          SELECT prev_type, event_type AS cur_type, COUNT(*) AS n
+          FROM seq WHERE prev_type IS NOT NULL
+          GROUP BY prev_type, event_type)
+        SELECT prev_type, cur_type, n,
+          SUM(n) OVER (PARTITION BY prev_type) AS row_total,
+          CAST(n AS DOUBLE) /
+            CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+        FROM cells"""))
   )
 }

@@ -298,6 +298,57 @@ object Similarity {
             ROW_NUMBER() OVER (PARTITION BY vec_id
               ORDER BY cos DESC, neighbor_id) AS rk
           FROM scored) t
-        WHERE rk <= 3"""))
+        WHERE rk <= 3""")),
+
+    // ------------------------------------------------------------------
+    // One k-means (Lloyd) iteration: assign every vector to its
+    // nearest coarse centroid (the sim_ivf_assign map — broadcast
+    // centroids, no corpus shuffle), then recompute each centroid as
+    // the elementwise mean of its members. The mean uses the
+    // quantized-long trick (floor(x·10⁶) summed as BIGINT — exact,
+    // associative, map-side combinable) so the result is
+    // bit-identical to DuckDB regardless of partial-agg order; one
+    // IEEE division at the end. Output is (centroid, component) rows
+    // — the update table an iterative k-means driver would loop on.
+    Q("sim_kmeans_step",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+        val cents = emb.filter($"vec_id" < 16)
+          .select($"vec_id".as("cid"), $"embedding".as("cemb"))
+        val wAssign = Window.partitionBy($"vec_id")
+          .orderBy($"cos".desc, $"cid")
+        val assigned = emb.crossJoin(broadcast(cents))
+          .withColumn("cos", cosine($"embedding", $"cemb"))
+          .withColumn("rk", row_number().over(wAssign))
+          .filter($"rk" === 1)
+          .select($"cid", $"vec_id", $"embedding")
+        assigned
+          .select($"cid", posexplode($"embedding"))
+          .toDF("cid", "pos", "e")
+          .groupBy($"cid", $"pos")
+          .agg(count(lit(1)).as("n"),
+               sum(floor($"e".cast("double") * 1000000).cast("long")).as("q"))
+          .select($"cid", $"pos", $"n",
+            ($"q".cast("double") / (lit(1000000.0) * $"n")).as("new_centroid"))
+      },
+      Some(s"""WITH c AS (
+          SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+          WHERE vec_id < 16),
+        assign AS (
+          SELECT vec_id, cid, embedding FROM (
+            SELECT e.vec_id, c.cid, e.embedding,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                ${dotSql("e.embedding", "c.cemb")} /
+                (sqrt(${dotSql("e.embedding", "e.embedding")}) *
+                 sqrt(${dotSql("c.cemb", "c.cemb")})) DESC, c.cid) AS rk
+            FROM embeddings e, c) t
+          WHERE rk = 1)
+        SELECT cid, g.i - 1 AS pos, COUNT(*) AS n,
+          CAST(SUM(CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1000000)
+            AS BIGINT)) AS DOUBLE) / (1000000.0 * COUNT(*)) AS new_centroid
+        FROM assign
+        CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) g
+        GROUP BY cid, g.i"""))
   )
 }

@@ -183,4 +183,47 @@ object StreamingOps {
 
   final case class SessionBuf(startMicros: Long, lastMicros: Long,
                               nEvents: Long, sumValue: Double)
+
+  final case class AnomalousEvent(user_id: Long, ts_micros: Long,
+                                  value: Double, z: Double)
+  final case class RunningStats(n: Long, sum: Double, sumSq: Double)
+
+  /** Streaming anomaly detection — the streaming twin of the batch
+    * `ev_anomaly_zscore`: per key, each value is z-scored against the
+    * running statistics of all PRIOR events (state carries only
+    * (n, Σx, Σx²) — O(1) per key, never the history), and anomalous
+    * events are emitted as they arrive. The fold order inside a
+    * micro-batch is pinned (ts, value), so re-execution after failure
+    * reproduces identical flags — required for exactly-once sinks.
+    * State never times out by design: the keys are a bounded set of
+    * entities (event types, tenants), not an unbounded id space; key
+    * by a bounded column or add a TTL before pointing this at one.
+    */
+  def anomalyStream(events: Dataset[Event], minN: Long = 12,
+                    threshold: Double = 3.0): Dataset[AnomalousEvent] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[RunningStats, AnomalousEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, batch: Iterator[Event], state: GroupState[RunningStats]) =>
+          var st = state.getOption.getOrElse(RunningStats(0L, 0.0, 0.0))
+          val out = Seq.newBuilder[AnomalousEvent]
+          for (e <- batch.toSeq.sortBy(e => (e.ts.getTime, e.value))) {
+            if (st.n >= minN) {
+              val mean = st.sum / st.n
+              val variance =
+                (st.sumSq - st.sum * st.sum / st.n) / (st.n - 1)
+              if (variance > 0.0) {
+                val z = (e.value - mean) / math.sqrt(variance)
+                if (math.abs(z) > threshold)
+                  out += AnomalousEvent(key, e.ts.getTime * 1000L, e.value, z)
+              }
+            }
+            st = RunningStats(st.n + 1, st.sum + e.value,
+              st.sumSq + e.value * e.value)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
 }

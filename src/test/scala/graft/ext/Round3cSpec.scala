@@ -96,6 +96,51 @@ class Round3cSpec extends AnyFunSuite {
     }
   }
 
+  test("ev_markov_transitions: per-row normalization over exact counts") {
+    val out = run("ev_markov_transitions").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(out.nonEmpty)
+    for ((_, rows) <- out.groupBy(_._1)) {
+      val total = rows.head._4
+      assert(rows.map(_._3).sum === total, "row_total = sum of cells")
+      for (r <- rows) assert(r._5 === r._3.toDouble / total.toDouble)
+    }
+    // n(prev→cur) summed over all cells = events with a predecessor.
+    import spark.implicits._
+    val nEvents = Tables.events(spark, sf).count()
+    val nUsers = Tables.events(spark, sf).select($"user_id").distinct().count()
+    assert(out.map(_._3).sum === nEvents - nUsers)
+  }
+
+  test("rel_merge_upsert: changed keys take version 1, others keep 0") {
+    import spark.implicits._
+    val out = run("rel_merge_upsert").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2), r.getInt(3)))
+    val orders = Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_totalprice").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.length === orders.size, "one surviving row per key")
+    for ((k, price, status, v) <- out) {
+      if (k % 10 == 0) {
+        assert(v === 1 && status === "U" && price === orders(k) * 2, s"key $k")
+      } else {
+        assert(v === 0 && price === orders(k), s"key $k")
+      }
+    }
+  }
+
+  test("sim_kmeans_step: 16×64 update table conserving membership") {
+    val out = run("sim_kmeans_step").collect()
+      .map(r => (r.getLong(0) -> r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val nVecs = graft.Tables.embeddings(spark, sf).count()
+    assert(out.map(_._1).distinct.length === out.length, "unique (cid,pos)")
+    assert(out.map(_._1._2).forall(p => p >= 0 && p < 64))
+    // Each component position partitions the corpus across centroids.
+    for ((_, rows) <- out.groupBy(_._1._2))
+      assert(rows.map(_._2).sum === nVecs, "membership conserved per pos")
+  }
+
   test("sim_knn_graph: 3 in-block neighbors, self excluded, cos ordered") {
     import spark.implicits._
     val out = run("sim_knn_graph").collect()

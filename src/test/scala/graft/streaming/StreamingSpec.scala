@@ -217,4 +217,35 @@ class StreamingSpec extends AnyFunSuite {
       micros("2024-01-01 10:10:00"), 2L, 3.0)), got.mkString(","))
     q.stop()
   }
+
+  test("streaming anomaly z-score flags outliers against prior state only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val events = mem.toDS()
+      .map { case (u, t, v) => StreamingOps.Event(u, t, v) }
+    val q = StreamingOps.anomalyStream(events, minN = 4, threshold = 3.0)
+      .writeStream.format("memory").queryName("anom")
+      .outputMode("append").start()
+    // Warmup: 5 alternating values (mean 10.5, sd ~0.55) — none can be
+    // flagged (first 4 are under minN; the 5th is within 1 sd).
+    mem.addData((1L, ts("2024-01-01 10:00:00"), 10.0),
+                (1L, ts("2024-01-01 10:01:00"), 11.0),
+                (1L, ts("2024-01-01 10:02:00"), 10.0),
+                (1L, ts("2024-01-01 10:03:00"), 11.0),
+                (1L, ts("2024-01-01 10:04:00"), 10.0))
+    q.processAllAvailable()
+    assert(spark.table("anom").isEmpty, "warmup must not flag")
+    // Batch 2: a huge outlier for user 1, a normal value for user 1,
+    // and an identical outlier value for user 2 (still under minN
+    // there — state is strictly per-key).
+    mem.addData((1L, ts("2024-01-01 10:05:00"), 50.0),
+                (1L, ts("2024-01-01 10:06:00"), 10.0),
+                (2L, ts("2024-01-01 10:05:00"), 50.0))
+    q.processAllAvailable()
+    val got = spark.table("anom").collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(got.toSet === Set((1L, 50.0)), got.mkString(","))
+    q.stop()
+  }
 }
