@@ -676,6 +676,60 @@ object EventsOps {
           SUM(n) OVER (PARTITION BY prev_type) AS row_total,
           CAST(n AS DOUBLE) /
             CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
-        FROM cells"""))
+        FROM cells""")),
+
+    // ------------------------------------------------------------------
+    // RFM (recency / frequency / monetary) customer scoring: one
+    // conditional rollup per user, then quartile buckets via ntile
+    // with a user_id tiebreak (total order ⇒ identical buckets on
+    // any engine). The global ntile is a single-partition sort of
+    // the ALREADY-AGGREGATED user table (one row per user) — fine
+    // into the millions of users; beyond that swap in approx
+    // percentile cutoffs and give up bucket-boundary exactness.
+    // Fixed reference date so the metric is reproducible.
+    Q("ev_rfm_segments",
+      (s, d) => {
+        import s.implicits._
+        val per = Tables.events(s, d)
+          .filter($"event_type" === "purchase")
+          .groupBy($"user_id")
+          .agg(max(to_date($"ts")).as("last_day"),
+               count(lit(1)).as("frequency"),
+               sum($"value".cast(DecimalType(27, 6))).cast("double")
+                 .as("monetary"))
+          .withColumn("recency_days",
+            datediff(lit("2024-02-01").cast("date"), $"last_day"))
+        val rW = Window.orderBy($"recency_days".asc, $"user_id")
+        val fW = Window.orderBy($"frequency".desc, $"user_id")
+        val mW = Window.orderBy($"monetary".desc, $"user_id")
+        per.withColumn("r", ntile(4).over(rW))
+          .withColumn("f", ntile(4).over(fW))
+          .withColumn("m", ntile(4).over(mW))
+          .withColumn("segment",
+            concat($"r".cast("string"), $"f".cast("string"),
+              $"m".cast("string")))
+          .select($"user_id", $"recency_days", $"frequency", $"monetary",
+            $"r", $"f", $"m", $"segment")
+      },
+      Some("""WITH per AS (
+          SELECT user_id, MAX(CAST(ts AS DATE)) AS last_day,
+            COUNT(*) AS frequency,
+            CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS monetary
+          FROM events WHERE event_type = 'purchase'
+          GROUP BY user_id),
+        scored AS (
+          SELECT user_id,
+            datediff('day', last_day, DATE '2024-02-01') AS recency_days,
+            frequency, monetary
+          FROM per)
+        SELECT user_id, recency_days, frequency, monetary,
+          NTILE(4) OVER (ORDER BY recency_days ASC, user_id) AS r,
+          NTILE(4) OVER (ORDER BY frequency DESC, user_id) AS f,
+          NTILE(4) OVER (ORDER BY monetary DESC, user_id) AS m,
+          CAST(NTILE(4) OVER (ORDER BY recency_days ASC, user_id) AS VARCHAR)
+            || CAST(NTILE(4) OVER (ORDER BY frequency DESC, user_id) AS VARCHAR)
+            || CAST(NTILE(4) OVER (ORDER BY monetary DESC, user_id) AS VARCHAR)
+            AS segment
+        FROM scored"""))
   )
 }

@@ -158,6 +158,47 @@ object Multimodal {
               FROM (SELECT doc_id,
                       16 + octet_length(encode(text)) % 1024 AS src_w,
                       16 + (octet_length(encode(text)) // 7) % 1024 AS src_h
-                    FROM documents WHERE doc_id % 3 = 0) x) y"""))
+                    FROM documents WHERE doc_id % 3 = 0) x) y""")),
+
+    // ------------------------------------------------------------------
+    // Export shard manifest: greedy byte-budget bin packing of media
+    // payloads into ~64 KB shards per modality (the WebDataset/
+    // tfrecord export planning step). shard = exclusive-prefix-bytes
+    // div budget — pure integer arithmetic over ONE window per kind;
+    // items crossing a boundary start the next shard (standard
+    // streaming bin-pack: shards may overflow by < one item). The
+    // manifest is tiny metadata; payload bytes never move — writers
+    // later stream each (kind, shard) group directly to its object.
+    Q("mm_shard_manifest",
+      (s, d) => {
+        import s.implicits._
+        val target = 65536L
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"kind").orderBy($"doc_id")
+        val wPrev = w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        mediaFromDocuments(s, d).toDF()
+          .select($"doc_id", $"kind",
+            octet_length($"payload").cast("long").as("byte_len"))
+          .withColumn("prev_bytes",
+            coalesce(sum($"byte_len").over(wPrev), lit(0L)))
+          .withColumn("shard_id", expr(s"prev_bytes div ${target}L"))
+          .withColumn("pos_in_kind", row_number().over(w))
+          .select($"doc_id", $"kind", $"byte_len", $"shard_id",
+            $"pos_in_kind")
+      },
+      Some("""WITH media AS (
+          SELECT doc_id,
+            (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INTEGER)]
+              AS kind,
+            CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+          FROM documents)
+        SELECT doc_id, kind, byte_len,
+          COALESCE(SUM(byte_len) OVER (PARTITION BY kind ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            // 65536 AS shard_id,
+          CAST(ROW_NUMBER() OVER (PARTITION BY kind ORDER BY doc_id)
+            AS INTEGER) AS pos_in_kind
+        FROM media"""))
   )
 }

@@ -141,6 +141,35 @@ class Round3cSpec extends AnyFunSuite {
       assert(rows.map(_._2).sum === nVecs, "membership conserved per pos")
   }
 
+  test("ev_rfm_segments: balanced quartiles, segment is the digit triple") {
+    val out = run("ev_rfm_segments").collect()
+      .map(r => (r.getLong(0), r.getInt(4), r.getInt(5), r.getInt(6),
+        r.getString(7)))
+    assert(out.nonEmpty)
+    for (dim <- Seq[((Long, Int, Int, Int, String)) => Int](_._2, _._3, _._4)) {
+      val sizes = out.groupBy(dim).view.mapValues(_.length).values.toSeq
+      assert(sizes.max - sizes.min <= 1, s"ntile balance: $sizes")
+      assert(out.map(dim).toSet.subsetOf(Set(1, 2, 3, 4)))
+    }
+    for (r <- out) assert(r._5 === s"${r._2}${r._3}${r._4}")
+  }
+
+  test("mm_shard_manifest: greedy byte bin-pack reproduced exactly") {
+    val out = run("mm_shard_manifest").collect()
+      .map(r => (r.getString(1), r.getInt(4), r.getLong(0), r.getLong(2),
+        r.getLong(3)))
+    assert(out.nonEmpty)
+    for ((_, rows0) <- out.groupBy(_._1)) {
+      val rows = rows0.sortBy(_._2)
+      assert(rows.map(_._3) === rows.map(_._3).sorted, "doc order = pos order")
+      var cum = 0L
+      for (r <- rows) {
+        assert(r._5 === cum / 65536L, s"shard of doc ${r._3}")
+        cum += r._4
+      }
+    }
+  }
+
   test("sim_knn_graph: 3 in-block neighbors, self excluded, cos ordered") {
     import spark.implicits._
     val out = run("sim_knn_graph").collect()
