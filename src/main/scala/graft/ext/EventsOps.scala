@@ -730,6 +730,31 @@ object EventsOps {
             || CAST(NTILE(4) OVER (ORDER BY frequency DESC, user_id) AS VARCHAR)
             || CAST(NTILE(4) OVER (ORDER BY monetary DESC, user_id) AS VARCHAR)
             AS segment
-        FROM scored"""))
+        FROM scored""")),
+
+    // ------------------------------------------------------------------
+    // Heavy hitters via the custom SpaceSaving aggregate
+    // (graft.functions.ApproxTopK): fixed-size summaries merge
+    // map-side, so the shuffle carries one sketch per partition —
+    // the wide-domain replacement for exact count+sort. Here
+    // capacity (64) exceeds the event-type domain (5), where
+    // SpaceSaving provably degenerates to exact counts with zero
+    // error — making THIS configuration DuckDB-checkable; the
+    // sketch regime (capacity < domain) is pinned by
+    // NativeFunctionsSpec on constructed skew.
+    Q("ev_heavy_hitters",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .agg(graft.functions.NativeFunctions
+            .approxTopK($"event_type", 3, 64).as("top"))
+          .select(explode($"top").as("t"))
+          .select($"t.value".as("value"), $"t.est".as("est"),
+            $"t.err".as("err"))
+      },
+      Some("""SELECT event_type AS value, COUNT(*) AS est,
+          CAST(0 AS BIGINT) AS err
+        FROM events GROUP BY event_type
+        ORDER BY est DESC, value ASC LIMIT 3"""))
   )
 }

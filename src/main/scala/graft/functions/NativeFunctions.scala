@@ -338,6 +338,134 @@ case class ModeDet(child: Expression,
     copy(child = newChildren.head)
 }
 
+/** SpaceSaving heavy hitters (`approx_top_k`): top-k values of a
+  * string column with estimated counts and error bounds, in bounded
+  * memory. The buffer holds at most `capacity` counters; a full
+  * buffer evicts its minimum counter, charging its count to the
+  * newcomer as `err` (Metwally et al.). Partials merge by summing,
+  * with the absent side's minimum counter as that side's
+  * contribution bound (mergeable-summaries form), then truncating
+  * back to `capacity` — so the shuffle carries one fixed-size
+  * summary per partition, never raw rows: the 100 TB replacement
+  * for ModeDet's exact map when the value domain is wide.
+  * Guarantees: est - err <= true count <= est for every reported
+  * value, and any value with true count > est(min surviving counter)
+  * is present. With capacity >= distinct(domain) the sketch
+  * degenerates to EXACT counts with err = 0 — the DuckDB-checkable
+  * configuration (`ev_heavy_hitters`); the sketch regime is pinned
+  * by spec on constructed skew. Ties and truncation order break by
+  * (count desc, value asc): deterministic output for a given merge
+  * tree.
+  */
+case class ApproxTopK(child: Expression, k: Int, capacity: Int,
+                      mutableAggBufferOffset: Int = 0,
+                      inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate
+      .TypedImperativeAggregate[scala.collection.mutable.HashMap[String, (Long, Long)]] {
+  import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream}
+  import scala.collection.mutable
+  import org.apache.spark.sql.types._
+
+  require(k >= 1 && capacity >= k, "need capacity >= k >= 1")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def prettyName: String = "approx_top_k"
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("value", StringType), StructField("est", LongType),
+    StructField("err", LongType))), containsNull = false)
+
+  override def createAggregationBuffer(): mutable.HashMap[String, (Long, Long)] =
+    mutable.HashMap.empty
+
+  /** Smallest counter, by (count, value) — the eviction victim. */
+  private def minEntry(buf: mutable.HashMap[String, (Long, Long)])
+      : (String, (Long, Long)) =
+    buf.minBy { case (v, (c, _)) => (c, v) }
+
+  override def update(buf: mutable.HashMap[String, (Long, Long)],
+                      input: org.apache.spark.sql.catalyst.InternalRow)
+      : mutable.HashMap[String, (Long, Long)] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val key = v.asInstanceOf[UTF8String].toString
+      buf.get(key) match {
+        case Some((c, e)) => buf.update(key, (c + 1L, e))
+        case None if buf.size < capacity => buf.update(key, (1L, 0L))
+        case None =>
+          val (victim, (minC, _)) = minEntry(buf)
+          buf.remove(victim)
+          buf.update(key, (minC + 1L, minC))
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: mutable.HashMap[String, (Long, Long)],
+                     b2: mutable.HashMap[String, (Long, Long)])
+      : mutable.HashMap[String, (Long, Long)] = {
+    val min1 = if (b1.size < capacity) 0L else minEntry(b1)._2._1
+    val min2 = if (b2.size < capacity) 0L else minEntry(b2)._2._1
+    val merged = mutable.HashMap.empty[String, (Long, Long)]
+    for (key <- b1.keySet ++ b2.keySet) {
+      val (c1, e1) = b1.getOrElse(key, (min1, min1))
+      val (c2, e2) = b2.getOrElse(key, (min2, min2))
+      merged.update(key, (c1 + c2, e1 + e2))
+    }
+    if (merged.size <= capacity) merged
+    else {
+      val kept = merged.toSeq
+        .sortBy { case (v, (c, _)) => (-c, v) }.take(capacity)
+      mutable.HashMap(kept: _*)
+    }
+  }
+
+  override def eval(buf: mutable.HashMap[String, (Long, Long)]): Any = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val top = buf.toSeq.sortBy { case (v, (c, _)) => (-c, v) }.take(k)
+    new GenericArrayData(top.map { case (v, (c, e)) =>
+      InternalRow(UTF8String.fromString(v), c, e)
+    }.toArray[Any])
+  }
+
+  override def serialize(buf: mutable.HashMap[String, (Long, Long)]): Array[Byte] = {
+    val bytes = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bytes)
+    out.writeInt(buf.size)
+    for ((key, (c, e)) <- buf) {
+      val kb = key.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length); out.write(kb)
+      out.writeLong(c); out.writeLong(e)
+    }
+    out.flush()
+    bytes.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, (Long, Long)] = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val size = in.readInt()
+    val buf = mutable.HashMap.empty[String, (Long, Long)]
+    var i = 0
+    while (i < size) {
+      val kb = new Array[Byte](in.readInt())
+      in.readFully(kb)
+      val key = new String(kb, java.nio.charset.StandardCharsets.UTF_8)
+      buf.update(key, (in.readLong(), in.readLong()))
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ApproxTopK =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ApproxTopK =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
 object NativeFunctions {
 
   def rollingMinHash(c: Column, k: Int = 8): Column =
@@ -346,6 +474,11 @@ object NativeFunctions {
   def modeDet(c: Column): Column =
     ColumnBridge.column(
       ModeDet(ColumnBridge.expression(c)).toAggregateExpression())
+
+  def approxTopK(c: Column, k: Int, capacity: Int): Column =
+    ColumnBridge.column(
+      ApproxTopK(ColumnBridge.expression(c), k, capacity)
+        .toAggregateExpression())
 
   def minHashSig(c: Column, k: Int = 5): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(c), k))
@@ -368,6 +501,11 @@ object NativeFunctions {
       exprs => StartsWithName(exprs.head), "internal")
     registry.createOrReplaceTempFunction("mode_det",
       exprs => ModeDet(exprs.head).toAggregateExpression(), "internal")
+    registry.createOrReplaceTempFunction("approx_top_k_ss",
+      exprs => ApproxTopK(exprs.head,
+        k = exprs(1).eval().asInstanceOf[Int],
+        capacity = exprs(2).eval().asInstanceOf[Int])
+        .toAggregateExpression(), "internal")
   }
 }
 

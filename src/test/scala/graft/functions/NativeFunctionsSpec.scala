@@ -2,6 +2,7 @@ package graft.functions
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.explode
 import org.scalatest.funsuite.AnyFunSuite
 
 import scala.jdk.CollectionConverters._
@@ -134,5 +135,48 @@ class NativeFunctionsSpec extends AnyFunSuite {
       "SELECT k, mode_det(v) AS m FROM modetest WHERE v IS NULL GROUP BY k")
       .collect()
     assert(viaSql.length == 1 && viaSql.head.isNullAt(1))
+  }
+
+  test("approx_top_k: exact under capacity, bounded error over it") {
+    import spark.implicits._
+    // Skewed stream: value v_i appears weight(i) times; domain 40.
+    def weight(i: Int): Int =
+      if (i == 0) 500 else if (i == 1) 300 else if (i == 2) 200 else 3
+    val rows = (0 until 40).flatMap(i =>
+      Seq.fill(weight(i))(f"v$i%02d"))
+    val trueCounts = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+    // Capacity >= domain: exact counts, zero error, any partitioning.
+    for (parts <- Seq(1, 8)) {
+      val got = rows.toDF("v").repartition(parts)
+        .agg(NativeFunctions.approxTopK($"v", 3, 64).as("t"))
+        .select(explode($"t").as("e"))
+        .select("e.value", "e.est", "e.err").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(got.toSeq === Seq(("v00", 500L, 0L), ("v01", 300L, 0L),
+        ("v02", 200L, 0L)), s"parts=$parts")
+    }
+
+    // Capacity (16) < domain (40): sketch regime. The SpaceSaving
+    // guarantee est - err <= true <= est must hold for every reported
+    // value, and the clear heavy hitters must surface in order.
+    val sk = rows.toDF("v").repartition(8)
+      .agg(NativeFunctions.approxTopK($"v", 3, 16).as("t"))
+      .select(explode($"t").as("e"))
+      .select("e.value", "e.est", "e.err").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(sk.map(_._1).take(3) === Seq("v00", "v01", "v02"), sk.mkString(","))
+    for ((v, est, err) <- sk) {
+      val t = trueCounts(v)
+      assert(t <= est && est - err <= t, s"$v: est=$est err=$err true=$t")
+    }
+
+    // SQL registration path.
+    rows.toDF("v").createOrReplaceTempView("topktest")
+    NativeFunctions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT approx_top_k_ss(v, 1, 64) AS t FROM topktest").collect()
+    assert(viaSql.head.getSeq[org.apache.spark.sql.Row](0)
+      .head.getString(0) === "v00")
   }
 }
