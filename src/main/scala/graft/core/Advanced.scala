@@ -425,6 +425,38 @@ object Advanced {
           SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
             ORDER BY version DESC) AS rk
           FROM unioned) t
-        WHERE rk = 1"""))
+        WHERE rk = 1""")),
+
+    // ------------------------------------------------------------------
+    // Key-skew profile — the diagnosis step before choosing a join
+    // strategy (salt? broadcast? AQE skew split?): per-key counts
+    // collapsed map-side, then one-row summary with max/median/share
+    // concentration measures. Exact integer counts; the two ratios
+    // are single IEEE divisions; the median is the interpolated
+    // exact percentile both engines define identically. At 100 TB
+    // the per-key rollup is the same scan a shuffle would do anyway
+    // — run it once, cache the histogram, size the salt from it.
+    Q("rel_data_skew_profile",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .groupBy($"l_suppkey").agg(count(lit(1)).as("c"))
+          .agg(count(lit(1)).as("n_keys"),
+               sum($"c").as("total_rows"),
+               max($"c").as("max_c"),
+               min($"c").as("min_c"),
+               percentile($"c", lit(0.5)).as("median_c"))
+          .select($"n_keys", $"total_rows", $"max_c", $"min_c", $"median_c",
+            ($"max_c".cast("double") / $"total_rows".cast("double"))
+              .as("top_key_share"),
+            ($"max_c".cast("double") / $"median_c").as("skew_ratio"))
+      },
+      Some("""WITH per AS (
+          SELECT l_suppkey, COUNT(*) AS c FROM lineitem GROUP BY l_suppkey)
+        SELECT COUNT(*) AS n_keys, SUM(c) AS total_rows, MAX(c) AS max_c,
+          MIN(c) AS min_c, quantile_cont(c, 0.5) AS median_c,
+          CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_key_share,
+          CAST(MAX(c) AS DOUBLE) / quantile_cont(c, 0.5) AS skew_ratio
+        FROM per"""))
   )
 }

@@ -755,6 +755,34 @@ object EventsOps {
       Some("""SELECT event_type AS value, COUNT(*) AS est,
           CAST(0 AS BIGINT) AS err
         FROM events GROUP BY event_type
-        ORDER BY est DESC, value ASC LIMIT 3"""))
+        ORDER BY est DESC, value ASC LIMIT 3""")),
+
+    // ------------------------------------------------------------------
+    // Sliding-window counts (1 h window, 15 min slide) — the batch
+    // twin of StreamingOps.windowedCounts' tumbling form: Spark's
+    // native `window()` generator replicates each event into its 4
+    // covering windows (a narrow Expand — rows × windows/slide, no
+    // shuffle), then one hash aggregation with map-side partials.
+    // Window starts as epoch-micros integers; Spark's epoch-aligned
+    // grid is mirrored exactly by integer modulus in the oracle.
+    Q("ev_sliding_window_counts",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .groupBy(window($"ts", "1 hour", "15 minutes"), $"event_type")
+          .agg(count(lit(1)).as("n"),
+            sum($"value".cast(DecimalType(27, 6))).cast("double").as("v"))
+          .select(unix_micros($"window.start").as("win_start_us"),
+            $"event_type", $"n", $"v")
+      },
+      Some("""WITH slid AS (
+          SELECT epoch_us(ts) - epoch_us(ts) % 900000000
+              - i * 900000000 AS win_start_us,
+            event_type, value
+          FROM events
+          CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) g)
+        SELECT win_start_us, event_type, COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS v
+        FROM slid GROUP BY win_start_us, event_type"""))
   )
 }

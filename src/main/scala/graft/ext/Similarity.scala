@@ -37,6 +37,14 @@ object Similarity {
     s"""(SELECT SUM(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))
         FROM generate_series(1, 64) t(i))"""
 
+  /** Oracle fragment for [[graft.functions.FloatVecDotQ]]: integer
+    * term-sums are associative, so this is parallelism-proof —
+    * required whenever the score is OUTPUT, not just ranked on. */
+  private def dotQSql(a: String, b: String): String =
+    s"""(SELECT SUM(CAST(floor(CAST($a[i] AS DOUBLE) *
+          CAST($b[i] AS DOUBLE) * 1000000000.0) AS BIGINT))
+        FROM generate_series(1, 64) t(i))"""
+
   /** Deterministic ±1 hyperplane for plane j: component i is the
     * parity of the first hex digit of md5("j_i"). Computed once on
     * the driver and shipped as a literal vector — the per-row md5
@@ -268,19 +276,31 @@ object Similarity {
     // paths exist to avoid). Norms computed once per row before the
     // self-join; per-vector top-k via window on the block join's own
     // partitioning. Tiebreak on neighbor id for determinism.
+    //
+    // The OUTPUT score uses the quantized integer dot (FloatVecDotQ:
+    // Σ floor(aᵢbᵢ·10⁹) as BIGINT) rather than the IEEE double sum:
+    // an exported double is only hash-comparable if every engine sums
+    // in the same order, and a SQL oracle's decorrelated aggregate
+    // does not guarantee that under parallelism (observed 1-ulp
+    // cosine flutter at sf0.1). Integer term-sums are associative —
+    // the exported cosine is bit-identical by construction, and the
+    // ranking it induces is engine-independent.
     Q("sim_knn_graph",
       (s, d) => {
         import s.implicits._
+        val dq = graft.functions.NativeFunctions.floatVecDotQ _
         val emb = Tables.embeddings(s, d)
           .select($"vec_id", $"label", $"embedding")
-          .withColumn("nrm", sqrt(dot($"embedding", $"embedding")))
+          .withColumn("qnrm", dq($"embedding", $"embedding"))
         val w = Window.partitionBy(col("a.vec_id"))
           .orderBy($"cos".desc, col("b.vec_id"))
         emb.as("a").join(emb.as("b"),
             col("a.label") === col("b.label") &&
             col("a.vec_id") =!= col("b.vec_id"))
-          .withColumn("cos", dot(col("a.embedding"), col("b.embedding")) /
-            (col("a.nrm") * col("b.nrm")))
+          .withColumn("cos",
+            dq(col("a.embedding"), col("b.embedding")).cast("double") /
+            (sqrt(col("a.qnrm").cast("double")) *
+             sqrt(col("b.qnrm").cast("double"))))
           .withColumn("rk", row_number().over(w))
           .filter($"rk" <= 3)
           .select(col("a.vec_id").as("vec_id"),
@@ -288,9 +308,10 @@ object Similarity {
       },
       Some(s"""WITH scored AS (
           SELECT a.vec_id, b.vec_id AS neighbor_id,
-            ${dotSql("a.embedding", "b.embedding")} /
-            (sqrt(${dotSql("a.embedding", "a.embedding")}) *
-             sqrt(${dotSql("b.embedding", "b.embedding")})) AS cos
+            CAST(${dotQSql("a.embedding", "b.embedding")} AS DOUBLE) /
+            (sqrt(CAST(${dotQSql("a.embedding", "a.embedding")} AS DOUBLE)) *
+             sqrt(CAST(${dotQSql("b.embedding", "b.embedding")} AS DOUBLE)))
+              AS cos
           FROM embeddings a JOIN embeddings b
             ON a.label = b.label AND a.vec_id <> b.vec_id)
         SELECT vec_id, neighbor_id, cos, rk FROM (

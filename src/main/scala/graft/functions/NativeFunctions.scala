@@ -98,6 +98,59 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Quantized dot product: Σ floor(aᵢ·bᵢ·10⁹) as BIGINT. Each f32×f32
+  * product is exact in f64 and floor-quantization is per-term, so the
+  * sum is an INTEGER sum — associative, order-insensitive, identical
+  * on every engine and under any parallelism. Use this instead of
+  * [[FloatVecDot]] whenever the score itself is OUTPUT and compared
+  * across engines: an IEEE double sum is deterministic per engine
+  * only for a fixed summation order, and a SQL oracle's
+  * decorrelated-aggregate order can shift with its own parallelism
+  * (observed: same DuckDB query, same data, 1-ulp different cosine
+  * between runs). Costs 1e-9 per-term precision — irrelevant for
+  * ranking scores.
+  */
+case class FloatVecDotQ(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "float_vec_dot_q"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var sum = 0L
+    var i = 0
+    while (i < n) {
+      sum += math.floor(
+        x.getFloat(i).toDouble * y.getFloat(i).toDouble * 1e9).toLong
+      i += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val sum = ctx.freshName("sum")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        long $sum = 0L;
+        for (int $i = 0; $i < $n; $i++) {
+          $sum += (long) java.lang.Math.floor(
+            ((double) $a.getFloat($i)) * ((double) $b.getFloat($i)) * 1.0E9);
+        }
+        ${ev.value} = $sum;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Winnowing fingerprint via a polynomial rolling hash: the minimum
   * over all k-code-point windows of
   * `sum(cp[i+j] * B^(k-1-j)) mod M` (B=31, M=1e9+7). Evaluated in
@@ -485,6 +538,10 @@ object NativeFunctions {
 
   def floatVecDot(a: Column, b: Column): Column =
     ColumnBridge.column(FloatVecDot(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def floatVecDotQ(a: Column, b: Column): Column =
+    ColumnBridge.column(FloatVecDotQ(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def isNumericToken(c: Column): Column =

@@ -170,6 +170,25 @@ class Round3cSpec extends AnyFunSuite {
     }
   }
 
+  test("ev_sliding_window_counts: every event covered by exactly 4 windows") {
+    import spark.implicits._
+    val out = run("ev_sliding_window_counts").collect()
+    val nEvents = Tables.events(spark, sf).count()
+    assert(out.map(_.getLong(2)).sum === 4 * nEvents)
+    // Window starts sit on the 15-minute epoch grid.
+    assert(out.forall(_.getLong(0) % 900000000L === 0L))
+  }
+
+  test("rel_data_skew_profile: one-row summary with ordered stats") {
+    val r = run("rel_data_skew_profile").collect().head
+    val (nKeys, total, maxC, minC, median) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+    assert(nKeys > 0 && total > 0)
+    assert(minC <= median && median <= maxC)
+    assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0, "top_key_share")
+    assert(r.getDouble(6) >= 1.0, "skew_ratio")
+  }
+
   test("sim_knn_graph: 3 in-block neighbors, self excluded, cos ordered") {
     import spark.implicits._
     val out = run("sim_knn_graph").collect()
