@@ -43,7 +43,9 @@ object Bench {
     "mm_frame_sample", "par_page_line_banding", "par_numeric_token_count",
     "rel_asof_join", "rel_trailing_30d_revenue", "dedup_lsh_keep_best",
     "dedup_fuzzy_verify", "ev_session_window", "ev_interval_coverage",
-    "txt_bpe_tokens", "sim_ivf_assign")
+    "txt_bpe_tokens", "sim_ivf_assign",
+    "sim_knn_graph", "sim_kmeans_step", "rel_scd2_dimension",
+    "rel_merge_upsert", "txt_bigram_lm", "ev_sliding_window_counts")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
