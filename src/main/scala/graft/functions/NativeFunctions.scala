@@ -151,6 +151,42 @@ case class FloatVecDotQ(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Minimum md5 over all k-char windows of a string — the winnowing
+  * fingerprint of `txt_fingerprint`, fused into ONE expression call
+  * per row: windows i = 0 until max(len-k+1, 1), window text
+  * `substr(s, i, k)` (clamped at the end like SQL substr), min taken
+  * over the HEX digests lexicographically. Equal to
+  * `MIN(md5(substr(s, i, k)))` over an exploded series, but with no
+  * Generate, no 10⁶-row aggregation, no shuffle — and one REUSED
+  * MessageDigest instead of a JCA lookup per window (Spark's `md5`
+  * goes through DigestUtils.getInstance each call). Min is tracked
+  * over raw digest bytes (unsigned compare ≡ hex-string order) and
+  * hex-encoded once at the end.
+  *
+  * Byte-slice windows equal character windows only for ASCII input;
+  * the expression detects any non-ASCII byte and falls back to
+  * per-window character substrings, so semantics match the SQL form
+  * for arbitrary input.
+  */
+case class MinMd5Window(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "min_md5_window"
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      HashImpls.minMd5Window(input.asInstanceOf[UTF8String].toString, k))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"""UTF8String.fromString(
+            graft.functions.HashImpls.minMd5Window($c.toString(), $k))""")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Winnowing fingerprint via a polynomial rolling hash: the minimum
   * over all k-code-point windows of
   * `sum(cp[i+j] * B^(k-1-j)) mod M` (B=31, M=1e9+7). Evaluated in
@@ -234,6 +270,61 @@ case class MinHashSig(child: Expression, k: Int)
 object HashImpls {
   val B = 31L
   val M = 1000000007L
+
+  private val HEX = "0123456789abcdef".toCharArray
+
+  /** See [[MinMd5Window]]. Windows over bytes when the input is pure
+    * ASCII (== char windows there), per-window char substrings
+    * otherwise. */
+  def minMd5Window(s: String, k: Int): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var ascii = true
+    var j = 0
+    while (ascii && j < bytes.length) { if (bytes(j) < 0) ascii = false; j += 1 }
+    var min: Array[Byte] = null
+    if (ascii) {
+      val n = math.max(bytes.length - k + 1, 1)
+      var i = 0
+      while (i < n) {
+        md.update(bytes, i, math.min(k, bytes.length - i))
+        val d = md.digest() // digest() resets for reuse
+        if (min == null || unsignedLess(d, min)) min = d
+        i += 1
+      }
+    } else {
+      // Code-point windows (SQL substr semantics), not UTF-16 units.
+      val cps = s.codePoints().toArray
+      val n = math.max(cps.length - k + 1, 1)
+      var i = 0
+      while (i < n) {
+        val w = new String(cps, i, math.min(k, cps.length - i))
+        md.update(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val d = md.digest()
+        if (min == null || unsignedLess(d, min)) min = d
+        i += 1
+      }
+    }
+    val out = new Array[Char](32)
+    var b = 0
+    while (b < 16) {
+      out(2 * b) = HEX((min(b) >> 4) & 0xf)
+      out(2 * b + 1) = HEX(min(b) & 0xf)
+      b += 1
+    }
+    new String(out)
+  }
+
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < 16) {
+      val x = a(i) & 0xff
+      val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
 
   /** Affine seeds (a_s, b_s); mirrored literally in the DuckDB oracle
     * SQL (Dedup.signaturesSql). a_s < M keeps a_s * h < M² < 2^63. */
@@ -535,6 +626,9 @@ object NativeFunctions {
 
   def minHashSig(c: Column, k: Int = 5): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(c), k))
+
+  def minMd5Window(c: Column, k: Int = 8): Column =
+    ColumnBridge.column(MinMd5Window(ColumnBridge.expression(c), k))
 
   def floatVecDot(a: Column, b: Column): Column =
     ColumnBridge.column(FloatVecDot(

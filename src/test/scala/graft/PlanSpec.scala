@@ -188,6 +188,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "gaps-and-islands must not plan a join")
   }
 
+  test("fused fingerprint is a pure narrow map — no explode, agg or shuffle") {
+    val p = plan("txt_fingerprint")
+    assert(!p.contains("Exchange"), p.take(400))
+    assert(!p.contains("Generate"), "windows fused into MinMd5Window")
+    assert(!p.contains("HashAggregate"), "min tracked inside the expression")
+  }
+
   test("bigram LM is joinless: left-unigram count via window, no re-explode") {
     val p = plan("txt_bigram_lm")
     assert(!p.contains("Join"),

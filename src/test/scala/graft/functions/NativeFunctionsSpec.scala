@@ -137,6 +137,28 @@ class NativeFunctionsSpec extends AnyFunSuite {
     assert(viaSql.length == 1 && viaSql.head.isNullAt(1))
   }
 
+  test("min_md5_window equals the exploded MIN(md5(substr)) form") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // Edge cases: empty, shorter than k, exactly k, ASCII long, and a
+    // non-ASCII string (exercises the code-point fallback; "é" and a
+    // supplementary-plane char make byte and UTF-16 windows diverge).
+    val docs = Seq("", "abc", "abcdefgh", "the quick brown fox 123",
+      "café con leche por favor", "x😀yzabcdefg")
+      .toDF("norm")
+    val fused = docs.select($"norm",
+      NativeFunctions.minMd5Window($"norm", 8).as("fp"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val exploded = docs
+      .select($"norm", explode(
+        sequence(lit(1), greatest(length($"norm") - lit(7), lit(1))))
+        .as("i"))
+      .select($"norm", md5($"norm".substr($"i", lit(8))).as("h"))
+      .groupBy($"norm").agg(min($"h").as("fp"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(fused === exploded)
+  }
+
   test("approx_top_k: exact under capacity, bounded error over it") {
     import spark.implicits._
     // Skewed stream: value v_i appears weight(i) times; domain 40.
