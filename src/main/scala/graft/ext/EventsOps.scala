@@ -783,6 +783,71 @@ object EventsOps {
           CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) g)
         SELECT win_start_us, event_type, COUNT(*) AS n,
           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS v
-        FROM slid GROUP BY win_start_us, event_type"""))
+        FROM slid GROUP BY win_start_us, event_type""")),
+
+    // ------------------------------------------------------------------
+    // Inter-event regularity ("bot score"): the coefficient of
+    // variation of each user's event gaps — automated traffic fires
+    // on near-constant timers (cv → 0), humans are bursty (cv ≈ 1).
+    // Gaps are exact integer microseconds from one lag window; the
+    // rollup carries only integer sums (n, Σgap, Σgap² — map-side
+    // combinable), and mean/cv derive from them by one fixed IEEE
+    // formula, bit-exact vs the oracle. Both window and rollup share
+    // the user_id shuffle.
+    Q("ev_bot_score",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        // Whole seconds, not micros: the Σgap² sum must stay inside
+        // int64 (a multi-day gap in µs squared already overflows it,
+        // which Spark wraps silently and DuckDB raises on).
+        val gaps = Tables.events(s, d)
+          .select($"user_id", $"event_id", $"ts",
+            expr("unix_micros(ts) div 1000000").as("sec"))
+          .withColumn("gap_s", $"sec" - lag($"sec", 1).over(w))
+          .filter($"gap_s".isNotNull)
+        val agg = gaps.groupBy($"user_id")
+          .agg(count(lit(1)).as("n_gaps"),
+               sum($"gap_s").as("s"),
+               sum($"gap_s" * $"gap_s").as("ssq"))
+          .filter($"n_gaps" >= 5)
+        val mean = $"s".cast("double") / $"n_gaps".cast("double")
+        val variance = ($"ssq".cast("double") -
+          ($"s".cast("double") * $"s".cast("double")) /
+            $"n_gaps".cast("double")) / ($"n_gaps" - 1).cast("double")
+        agg
+          .withColumn("mean_gap_s", mean)
+          .withColumn("cv",
+            when(mean > 0.0, sqrt(variance) / mean))
+          .withColumn("is_regular", coalesce($"cv" < 0.1, lit(false)))
+          .select($"user_id", $"n_gaps", $"mean_gap_s", $"cv",
+            $"is_regular")
+      },
+      Some("""WITH gaps AS (
+          SELECT user_id,
+            epoch_us(ts) // 1000000 - LAG(epoch_us(ts) // 1000000)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+          FROM events),
+        agg AS (
+          SELECT user_id, COUNT(*) AS n_gaps, SUM(gap_s) AS s,
+            SUM(gap_s * gap_s) AS ssq
+          FROM gaps WHERE gap_s IS NOT NULL
+          GROUP BY user_id
+          HAVING COUNT(*) >= 5)
+        SELECT user_id, n_gaps,
+          CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_gap_s,
+          CASE WHEN CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE) > 0.0 THEN
+            sqrt((CAST(ssq AS DOUBLE) -
+              (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / CAST(n_gaps AS DOUBLE))
+              / CAST(n_gaps - 1 AS DOUBLE))
+            / (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+          END AS cv,
+          COALESCE(CASE WHEN CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE) > 0.0 THEN
+            sqrt((CAST(ssq AS DOUBLE) -
+              (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / CAST(n_gaps AS DOUBLE))
+              / CAST(n_gaps - 1 AS DOUBLE))
+            / (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+          END < 0.1, false) AS is_regular
+        FROM agg"""))
   )
 }

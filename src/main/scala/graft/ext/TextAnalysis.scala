@@ -602,7 +602,70 @@ object TextAnalysis {
             ROW_NUMBER() OVER (PARTITION BY lang
               ORDER BY c_bigram DESC, w1, w2) AS rk
           FROM bg) t
-        WHERE rk <= 20"""))
+        WHERE rk <= 20""")),
+
+    // ------------------------------------------------------------------
+    // Content-defined chunking stats (FastCDC-style): boundaries
+    // where the rolling 8-gram polyhash ≡ 0 (mod 64) — expected
+    // chunk ≈ 64 chars, boundaries survive insertions/deletions
+    // (the storage-dedup property fixed-size blocks lack). The O(n)
+    // RollingModCount expression keeps this a pure narrow map; the
+    // oracle recomputes every window hash quadratically with the
+    // same polynomial. n_chunks = boundaries + 1; the mean length is
+    // one IEEE division for display.
+    Q("txt_cdc_chunking",
+      (s, d) => {
+        import s.implicits._
+        val norm = trim(regexp_replace(
+          regexp_replace(lower($"text"), "[^a-z0-9\\s]", ""), "\\s+", " "))
+        Tables.documents(s, d)
+          .select($"doc_id", norm.as("norm"))
+          .select($"doc_id", length($"norm").cast("long").as("n_chars"),
+            graft.functions.NativeFunctions.rollingModCount($"norm", 8, 64L)
+              .as("n_boundaries"))
+          .withColumn("n_chunks", $"n_boundaries" + 1L)
+          .withColumn("mean_chunk_len",
+            $"n_chars".cast("double") / $"n_chunks".cast("double"))
+      },
+      Some("""SELECT doc_id, CAST(length(norm) AS BIGINT) AS n_chars,
+          COUNT(CASE WHEN length(norm) >= 8 AND
+            (ord(substr(norm, i, 1)) * CAST(pow(31, 7) AS BIGINT)
+             + ord(substr(norm, i + 1, 1)) * CAST(pow(31, 6) AS BIGINT)
+             + ord(substr(norm, i + 2, 1)) * CAST(pow(31, 5) AS BIGINT)
+             + ord(substr(norm, i + 3, 1)) * CAST(pow(31, 4) AS BIGINT)
+             + ord(substr(norm, i + 4, 1)) * CAST(pow(31, 3) AS BIGINT)
+             + ord(substr(norm, i + 5, 1)) * CAST(pow(31, 2) AS BIGINT)
+             + ord(substr(norm, i + 6, 1)) * 31
+             + ord(substr(norm, i + 7, 1))) % 1000000007 % 64 = 0
+            THEN 1 END) AS n_boundaries,
+          COUNT(CASE WHEN length(norm) >= 8 AND
+            (ord(substr(norm, i, 1)) * CAST(pow(31, 7) AS BIGINT)
+             + ord(substr(norm, i + 1, 1)) * CAST(pow(31, 6) AS BIGINT)
+             + ord(substr(norm, i + 2, 1)) * CAST(pow(31, 5) AS BIGINT)
+             + ord(substr(norm, i + 3, 1)) * CAST(pow(31, 4) AS BIGINT)
+             + ord(substr(norm, i + 4, 1)) * CAST(pow(31, 3) AS BIGINT)
+             + ord(substr(norm, i + 5, 1)) * CAST(pow(31, 2) AS BIGINT)
+             + ord(substr(norm, i + 6, 1)) * 31
+             + ord(substr(norm, i + 7, 1))) % 1000000007 % 64 = 0
+            THEN 1 END) + 1 AS n_chunks,
+          CAST(length(norm) AS DOUBLE) /
+            CAST(COUNT(CASE WHEN length(norm) >= 8 AND
+              (ord(substr(norm, i, 1)) * CAST(pow(31, 7) AS BIGINT)
+               + ord(substr(norm, i + 1, 1)) * CAST(pow(31, 6) AS BIGINT)
+               + ord(substr(norm, i + 2, 1)) * CAST(pow(31, 5) AS BIGINT)
+               + ord(substr(norm, i + 3, 1)) * CAST(pow(31, 4) AS BIGINT)
+               + ord(substr(norm, i + 4, 1)) * CAST(pow(31, 3) AS BIGINT)
+               + ord(substr(norm, i + 5, 1)) * CAST(pow(31, 2) AS BIGINT)
+               + ord(substr(norm, i + 6, 1)) * 31
+               + ord(substr(norm, i + 7, 1))) % 1000000007 % 64 = 0
+              THEN 1 END) + 1 AS DOUBLE) AS mean_chunk_len
+        FROM (SELECT doc_id, norm,
+          unnest(generate_series(1, greatest(length(norm) - 7, 1))) AS i
+        FROM (SELECT doc_id,
+          trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+               '\s+', ' ', 'g')) AS norm
+        FROM documents) y) x
+        GROUP BY doc_id, norm"""))
   )
 
   /** Library form of the quality/stat projections for reuse. */

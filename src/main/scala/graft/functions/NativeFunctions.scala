@@ -187,6 +187,30 @@ case class MinMd5Window(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Content-defined-chunking boundary count: how many k-code-point
+  * windows of the input have `polyhash % div == 0` (the FastCDC-style
+  * boundary test with expected chunk length ≈ div). Same B=31,
+  * M=1e9+7 polynomial as [[RollingMinHash]], computed O(n) rolling;
+  * the oracle recomputes every window quadratically. 0 when no full
+  * window exists.
+  */
+case class RollingModCount(child: Expression, k: Int, div: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "rolling_mod_count"
+
+  override def nullSafeEval(input: Any): Any =
+    HashImpls.rollingModCount(input.asInstanceOf[UTF8String].toString, k, div)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashImpls.rollingModCount($c.toString(), $k, ${div}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Winnowing fingerprint via a polynomial rolling hash: the minimum
   * over all k-code-point windows of
   * `sum(cp[i+j] * B^(k-1-j)) mod M` (B=31, M=1e9+7). Evaluated in
@@ -353,6 +377,31 @@ object HashImpls {
       i += 1
     }
     minH
+  }
+
+  /** Count of k-code-point windows whose polynomial hash (same
+    * B/M as [[rollingMinHash]]) is divisible by `div` — the
+    * content-defined-chunking boundary count. O(n) rolling update;
+    * 0 when no full window exists. */
+  def rollingModCount(s: String, k: Int, div: Long): Long = {
+    val cps = s.codePoints().toArray
+    val n = cps.length
+    if (n < k) return 0L
+    var bTop = 1L
+    var j = 1
+    while (j < k) { bTop = bTop * B % M; j += 1 }
+    var h = 0L
+    var i = 0
+    while (i < k) { h = (h * B + cps(i)) % M; i += 1 }
+    var count = if (h % div == 0L) 1L else 0L
+    i = k
+    while (i < n) {
+      h = ((h - cps(i - k) % M * bTop % M) % M + M) % M
+      h = (h * B + cps(i)) % M
+      if (h % div == 0L) count += 1L
+      i += 1
+    }
+    count
   }
 
   def minhashSig(s: String, k: Int): Array[Long] = {
@@ -629,6 +678,9 @@ object NativeFunctions {
 
   def minMd5Window(c: Column, k: Int = 8): Column =
     ColumnBridge.column(MinMd5Window(ColumnBridge.expression(c), k))
+
+  def rollingModCount(c: Column, k: Int = 8, div: Long = 64L): Column =
+    ColumnBridge.column(RollingModCount(ColumnBridge.expression(c), k, div))
 
   def floatVecDot(a: Column, b: Column): Column =
     ColumnBridge.column(FloatVecDot(

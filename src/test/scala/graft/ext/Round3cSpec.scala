@@ -189,6 +189,36 @@ class Round3cSpec extends AnyFunSuite {
     assert(r.getDouble(6) >= 1.0, "skew_ratio")
   }
 
+  test("txt_cdc_chunking: chunk accounting holds per document") {
+    val out = run("txt_cdc_chunking").collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      val (chars, bounds, chunks, mean) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(chunks === bounds + 1)
+      assert(mean === chars.toDouble / chunks.toDouble)
+    }
+    // The 64-divisor boundary rate should land near 1/64 of windows.
+    val totalChars = out.map(_.getLong(1)).sum
+    val totalBounds = out.map(_.getLong(2)).sum
+    val rate = totalBounds.toDouble / totalChars.toDouble
+    assert(rate > 1.0 / 256 && rate < 1.0 / 16, s"boundary rate $rate")
+  }
+
+  test("ev_bot_score: gap accounting and flag threshold") {
+    import spark.implicits._
+    val out = run("ev_bot_score").collect()
+    assert(out.nonEmpty)
+    val perUser = Tables.events(spark, sf).groupBy($"user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (r <- out) {
+      assert(r.getLong(1) === perUser(r.getLong(0)) - 1, "gaps = events - 1")
+      val cv = if (r.isNullAt(3)) None else Some(r.getDouble(3))
+      assert(cv.forall(_ >= 0.0))
+      assert(r.getBoolean(4) === cv.exists(_ < 0.1))
+    }
+  }
+
   test("sim_knn_graph: 3 in-block neighbors, self excluded, cos ordered") {
     import spark.implicits._
     val out = run("sim_knn_graph").collect()

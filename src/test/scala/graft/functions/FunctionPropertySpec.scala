@@ -47,6 +47,26 @@ class FunctionPropertySpec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // RollingModCount vs a quadratic per-window recompute.
+
+  private def refModCount(s: String, k: Int, div: Long): Long = {
+    val cps = s.codePoints().toArray
+    if (cps.length < k) return 0L
+    (0 to cps.length - k).count { i =>
+      var h = 0L
+      for (j <- i until i + k) h = (h * 31L + cps(j)) % 1000000007L
+      h % div == 0L
+    }.toLong
+  }
+
+  test("rollingModCount matches the quadratic window recompute") {
+    check(Prop.forAll(anyText, Gen.choose(1, 12),
+        Gen.oneOf(2L, 16L, 64L)) { (s, k, div) =>
+      HashImpls.rollingModCount(s, k, div) == refModCount(s, k, div)
+    })
+  }
+
+  // ------------------------------------------------------------------
   // SpaceSaving buffer: exactness under capacity, bounds over it,
   // merge-order robustness.
 
