@@ -46,4 +46,19 @@ object Bucketing {
     df.repartitionByRange(partitions, df(clusterCol))
       .sortWithinPartitions(clusterCol)
       .write.mode("overwrite").parquet(path)
+
+  /** Hive-style partitioned parquet layout (`col=value/` directories):
+    * the third storage-layout tool beside bucketing (equi-joins) and
+    * range clustering (range scans) — DIRECTORY pruning for low-
+    * cardinality categorical columns. A reader filtering on the
+    * partition column never lists, opens or scans non-matching
+    * directories (`PartitionFilters` in the scan, zero I/O for
+    * pruned values — file-stats pruning still reads footers). Only
+    * for low-cardinality columns: a high-cardinality partition key
+    * degenerates into millions of small files and kills the listing
+    * phase at 100 TB.
+    */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCol: String): Unit =
+    df.write.partitionBy(partitionCol).mode("overwrite").parquet(path)
 }

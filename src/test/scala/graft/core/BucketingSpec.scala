@@ -96,4 +96,27 @@ class BucketingSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() ==
       Tables.lineitem(spark, sf).count())
   }
+
+  test("partitioned write prunes non-matching directories at scan time") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val out = java.nio.file.Files.createTempDirectory("part").toString
+    Bucketing.writePartitioned(Tables.documents(spark, sf), out, "lang")
+    val read = spark.read.parquet(out).filter($"lang" === "en")
+    val formatted = read.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // The filter lands in PartitionFilters (directory pruning), not in
+    // the data filters — non-matching directories are never touched.
+    val pf = formatted.linesIterator
+      .find(_.contains("PartitionFilters:")).getOrElse("")
+    assert(pf.contains("lang"), formatted.take(800))
+    // Only files under lang=en/ are read.
+    val files = read.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(_.contains("lang=en")))
+    // Round trip preserves content.
+    assert(spark.read.parquet(out).count() ==
+      Tables.documents(spark, sf).count())
+  }
 }
