@@ -533,6 +533,55 @@ object Dedup {
         FROM candidates
         JOIN pfx pa ON pa.doc_id = doc_a
         JOIN pfx pb ON pb.doc_id = doc_b
-        WHERE levenshtein(pa.pfx, pb.pfx) <= 8"""))
+        WHERE levenshtein(pa.pfx, pb.pfx) <= 8""")),
+
+    // ------------------------------------------------------------------
+    // End-to-end dedup verdict — the table a retention pipeline
+    // actually writes: EVERY corpus doc with its transitive cluster
+    // id (own id when unclustered), the cluster size, and the
+    // keep/drop decision (survivor = the cluster's minimum doc_id,
+    // which IS the cluster id by the CC min-label construction).
+    // Composes the bucket-star edge build + connectedComponents with
+    // one left join back to the corpus and one cluster-partition
+    // window. The join's corpus side scans once; the CC side is the
+    // collapsed cluster table (small), broadcast by AQE.
+    Q("dedup_verdict",
+      (s, d) => {
+        import s.implicits._
+        val wBand = org.apache.spark.sql.expressions.Window
+          .partitionBy($"band_idx", $"band_hash")
+        val star = bandedKeys(minhashSignatures(corpus(s, d)))
+          .withColumn("root", min($"doc_id").over(wBand))
+          .withColumn("n", count(lit(1)).over(wBand))
+          .filter($"n" > 1 && $"doc_id" =!= $"root")
+          .select($"root".as("src"), $"doc_id".as("dst"))
+          .distinct()
+        val edges = star
+          .unionByName(star.select($"dst".as("src"), $"src".as("dst")))
+        val wCluster = org.apache.spark.sql.expressions.Window
+          .partitionBy($"cluster_id")
+        corpus(s, d).select($"doc_id")
+          .join(connectedComponents(edges), Seq("doc_id"), "left")
+          .withColumn("cluster_id", coalesce($"cluster_id", $"doc_id"))
+          .withColumn("cluster_size", count(lit(1)).over(wCluster))
+          .withColumn("is_kept", $"doc_id" === $"cluster_id")
+      },
+      Some(s"""WITH RECURSIVE $corpusSql, $signaturesSql, $bandsSql,
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM candidates
+                  UNION ALL SELECT doc_b AS a, doc_a AS b FROM candidates),
+        reach(v, r) AS (
+          SELECT DISTINCT a AS v, a AS r FROM edges
+          UNION
+          SELECT e.b AS v, reach.r FROM reach JOIN edges e ON e.a = reach.v),
+        clusters AS (
+          SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v),
+        verdict AS (
+          SELECT c.doc_id,
+            COALESCE(cl.cluster_id, c.doc_id) AS cluster_id
+          FROM corpus c LEFT JOIN clusters cl ON cl.doc_id = c.doc_id)
+        SELECT doc_id, cluster_id,
+          COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+          doc_id = cluster_id AS is_kept
+        FROM verdict"""))
   )
 }

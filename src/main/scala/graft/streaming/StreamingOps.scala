@@ -57,6 +57,26 @@ object StreamingOps {
       .select(col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Streaming heavy hitters: the custom SpaceSaving aggregate
+    * ([[graft.functions.ApproxTopK]]) inside a watermarked tumbling
+    * window — per-window top-k values in bounded state. The state
+    * store carries one serialized fixed-size sketch per open window
+    * (TypedImperativeAggregate buffers serialize into the aggregation
+    * state row), so memory is windows × capacity regardless of value
+    * cardinality — the streaming form of the wide-domain top-k that
+    * an exact count+sort cannot provide unbounded.
+    */
+  def windowedHeavyHitters(events: DataFrame, k: Int = 3,
+                           capacity: Int = 64,
+                           window_ : String = "1 hour",
+                           watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_))
+      .agg(graft.functions.NativeFunctions
+        .approxTopK(col("event_type"), k, capacity).as("top"))
+      .select(col("window.start").as("window_start"), col("top"))
+
   /** Built-in session windows (gap-close semantics). */
   def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
     events

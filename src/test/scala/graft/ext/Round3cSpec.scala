@@ -219,6 +219,24 @@ class Round3cSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_verdict: total function over the corpus, one survivor per cluster") {
+    val out = run("dedup_verdict").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    // Every corpus doc (500 base + every-10th dup + every-7th near-dup
+    // at sf0.001) gets a verdict, exactly once.
+    val corpusSize = Dedup.corpus(spark, sf).count()
+    assert(out.length === corpusSize)
+    assert(out.map(_._1).distinct.length === out.length)
+    for ((cid, members) <- out.groupBy(_._2)) {
+      assert(members.count(_._4) === 1, s"cluster $cid: one survivor")
+      assert(members.find(_._4).get._1 === cid, "survivor = min-label root")
+      assert(members.forall(_._3 === members.length), "size column consistent")
+      assert(members.forall(_._1 >= cid), "cluster id is the minimum member")
+    }
+    // Construction guarantees real duplicate clusters exist.
+    assert(out.exists(r => !r._4), "some docs dropped as duplicates")
+  }
+
   test("sim_knn_graph: 3 in-block neighbors, self excluded, cos ordered") {
     import spark.implicits._
     val out = run("sim_knn_graph").collect()

@@ -218,6 +218,32 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("windowed heavy hitters emit per-window sketch top-k on close") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val events = mem.toDF().toDF("ts", "event_type")
+    val q = StreamingOps.windowedHeavyHitters(events, k = 2)
+      .writeStream.format("memory").queryName("hh")
+      .outputMode("append").start()
+    mem.addData(
+      (ts("2024-01-01 10:05:00"), "click"), (ts("2024-01-01 10:10:00"), "click"),
+      (ts("2024-01-01 10:15:00"), "click"), (ts("2024-01-01 10:20:00"), "view"),
+      (ts("2024-01-01 10:25:00"), "view"), (ts("2024-01-01 10:30:00"), "error"))
+    q.processAllAvailable()
+    assert(spark.table("hh").isEmpty, "window still open")
+    // Advance the watermark past 10:00–11:00 + 2 h to close it.
+    mem.addData((ts("2024-01-01 13:30:00"), "late"))
+    q.processAllAvailable()
+    val rows = spark.table("hh").collect()
+    assert(rows.length === 1, rows.mkString(","))
+    val top = rows.head.getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // Capacity (64) over domain (3): exact counts, zero error.
+    assert(top === Seq(("click", 3L, 0L), ("view", 2L, 0L)))
+    q.stop()
+  }
+
   test("streaming anomaly z-score flags outliers against prior state only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
