@@ -493,6 +493,58 @@ object Relational {
                               CAST(o_orderdate AS DATE))
             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
             AS rev_30d
-        FROM orders"""))
+        FROM orders""")),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q21 shape ("suppliers who kept orders waiting"): suppliers
+    // that were the SOLE late supplier in a multi-supplier order. The
+    // textbook form is lineitem × EXISTS(lineitem) × NOT EXISTS
+    // (lineitem) — two correlated self-joins that rescan the fact
+    // table. Reformulated as ONE per-order aggregation (n suppliers,
+    // n late suppliers, the late supplier when unique): the
+    // lineitem⋈orders join and the groupBy share the orderkey
+    // partitioning (no extra exchange), the fact table scans once,
+    // and the shuffle carries per-order partials, not candidate
+    // tuples. Late = shipped > 60 days after the order date (this
+    // schema has no commit/receipt dates). Exact same result set as
+    // the EXISTS form: "no OTHER supplier late" ≡ n_late_supp = 1
+    // given this supplier is late, and max() of the single non-null
+    // suppkey IS that supplier.
+    Q("rel_waiting_suppliers",
+      (s, d) => {
+        import s.implicits._
+        val late = $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS")
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d).filter($"o_orderstatus" === "F")
+              .select($"o_orderkey", $"o_orderdate"),
+            $"l_orderkey" === $"o_orderkey")
+          .groupBy($"l_orderkey")
+          .agg(countDistinct($"l_suppkey").as("n_supp"),
+            countDistinct(when(late, $"l_suppkey")).as("n_late_supp"),
+            max(when(late, $"l_suppkey")).as("late_supp"))
+          .filter($"n_supp" > 1 && $"n_late_supp" === 1)
+          .groupBy($"late_supp")
+          .agg(count(lit(1)).as("numwait"))
+          .join(broadcast(Tables.supplier(s, d)),
+            $"late_supp" === $"s_suppkey")
+          .select($"s_name", $"numwait")
+          .orderBy($"numwait".desc, $"s_name")
+          .limit(10)
+      },
+      Some("""WITH per_order AS (
+          SELECT l_orderkey,
+            COUNT(DISTINCT l_suppkey) AS n_supp,
+            COUNT(DISTINCT CASE WHEN l_shipdate > o_orderdate
+              + INTERVAL 60 DAY THEN l_suppkey END) AS n_late_supp,
+            MAX(CASE WHEN l_shipdate > o_orderdate
+              + INTERVAL 60 DAY THEN l_suppkey END) AS late_supp
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderstatus = 'F'
+          GROUP BY l_orderkey)
+        SELECT s_name, COUNT(*) AS numwait
+        FROM per_order JOIN supplier ON late_supp = s_suppkey
+        WHERE n_supp > 1 AND n_late_supp = 1
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name LIMIT 10"""))
   )
 }

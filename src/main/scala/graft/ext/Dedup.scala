@@ -582,6 +582,53 @@ object Dedup {
         SELECT doc_id, cluster_id,
           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
           doc_id = cluster_id AS is_kept
-        FROM verdict"""))
+        FROM verdict""")),
+
+    // ------------------------------------------------------------------
+    // Exact-substring span dedup (Lee et al. 2022: training corpora
+    // repeat SPANS across otherwise-distinct documents, so doc-level
+    // dedup misses them): every 8-code-point window hash of the
+    // normalized text, counted corpus-wide — spans seen in more than
+    // one document are the repeated-substring inventory a span-removal
+    // pass consumes. The window hashes come from the O(n) one-pass
+    // RollingHashAll expression (one long[] per doc, no per-window
+    // substring allocation); the count is a hash-shuffle on the span
+    // hash — work scales with corpus size, never corpus². At 100 TB
+    // the same shape runs with a longer window and CDC-sampled
+    // boundaries (txt_cdc_chunking) to cut the explode volume; the
+    // count-by-span-hash core is unchanged. The oracle recomputes
+    // every window hash quadratically with the 8-term polynomial —
+    // ints stay < 2^45, so its single trailing mod equals the rolling
+    // per-step mod.
+    Q("dedup_span_exact",
+      (s, d) => {
+        import s.implicits._
+        corpus(s, d)
+          .select($"doc_id",
+            explode(graft.functions.NativeFunctions.rollingHashAll(
+              norm($"text"), 8)).as("span_hash"))
+          .groupBy($"span_hash")
+          .agg(countDistinct($"doc_id").as("n_docs"),
+            count(lit(1)).as("n_occ"))
+          .filter($"n_docs" > 1)
+      },
+      Some(s"""WITH $corpusSql,
+        normed AS (SELECT doc_id, $normSql AS norm FROM corpus),
+        spans AS (SELECT doc_id,
+          (ord(substr(norm, i, 1)) * CAST(pow(31, 7) AS BIGINT)
+           + ord(substr(norm, i + 1, 1)) * CAST(pow(31, 6) AS BIGINT)
+           + ord(substr(norm, i + 2, 1)) * CAST(pow(31, 5) AS BIGINT)
+           + ord(substr(norm, i + 3, 1)) * CAST(pow(31, 4) AS BIGINT)
+           + ord(substr(norm, i + 4, 1)) * CAST(pow(31, 3) AS BIGINT)
+           + ord(substr(norm, i + 5, 1)) * CAST(pow(31, 2) AS BIGINT)
+           + ord(substr(norm, i + 6, 1)) * 31
+           + ord(substr(norm, i + 7, 1))) % 1000000007 AS span_hash
+          FROM (SELECT doc_id, norm,
+            unnest(generate_series(1, length(norm) - 7)) AS i
+          FROM normed) x)
+        SELECT span_hash, COUNT(DISTINCT doc_id) AS n_docs,
+          COUNT(*) AS n_occ
+        FROM spans GROUP BY span_hash
+        HAVING COUNT(DISTINCT doc_id) > 1"""))
   )
 }

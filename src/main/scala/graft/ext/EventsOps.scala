@@ -848,6 +848,26 @@ object EventsOps {
               / CAST(n_gaps - 1 AS DOUBLE))
             / (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE))
           END < 0.1, false) AS is_regular
-        FROM agg"""))
+        FROM agg""")),
+
+    // ------------------------------------------------------------------
+    // Exact distinct users per hour × event type — the DAU/HAU shape.
+    // count(DISTINCT) expands to Catalyst's two-phase plan: a partial
+    // dedup on (hour, type, user) BEFORE the shuffle, so the exchange
+    // carries each (hour, type, user) once per map partition, never
+    // raw events — the property that keeps exact uniques feasible at
+    // 100 TB (the sketch alternative is rel_approx_distinct's HLL).
+    // n_events rides the same Expand: one scan serves both aggregates.
+    Q("ev_hourly_uniques",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+          .agg(countDistinct($"user_id").as("n_users"),
+            count(lit(1)).as("n_events"))
+      },
+      Some("""SELECT date_trunc('hour', ts) AS hour, event_type,
+        COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+        FROM events GROUP BY date_trunc('hour', ts), event_type"""))
   )
 }

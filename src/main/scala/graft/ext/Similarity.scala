@@ -370,6 +370,57 @@ object Similarity {
             AS BIGINT)) AS DOUBLE) / (1000000.0 * COUNT(*)) AS new_centroid
         FROM assign
         CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) g
-        GROUP BY cid, g.i"""))
+        GROUP BY cid, g.i""")),
+
+    // ------------------------------------------------------------------
+    // Product-quantization encoding: each 64-dim vector compressed to
+    // 8 codebook ids — subspace m (8 dims) assigned to the nearest of
+    // 16 sub-centroids (the first 16 corpus vectors sliced per
+    // subspace: a deterministic codebook; production trains it with
+    // sim_kmeans_step per subspace). PQ is how a 10⁹-vector index
+    // fits in RAM: 64 f32 → 8 bytes, and ADC search scans codes with
+    // a 16×8 lookup table. Shape: broadcast codebook × corpus scan
+    // (narrow), explode 8 subspaces, argmin via min(struct) — a
+    // map-side-combinable aggregation, no window sort, one skinny
+    // shuffle of (vec, sub) partials. The distance is the quantized
+    // integer L2 (FloatVecL2Q: Σ floor((aᵢ−bᵢ)²·10⁶) as BIGINT), so
+    // the argmin and the exported distance are bit-reproducible in
+    // any engine — the oracle's correlated integer sum matches term
+    // for term.
+    Q("sim_pq_encode",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+        val cents = emb.filter($"vec_id" < 16)
+          .select($"vec_id".as("cid"), $"embedding".as("cemb"))
+        emb.crossJoin(broadcast(cents))
+          .select($"vec_id", $"cid", $"embedding", $"cemb",
+            explode(sequence(lit(0), lit(7))).as("sub"))
+          .withColumn("qdist", graft.functions.NativeFunctions.floatVecL2Q(
+            slice($"embedding", $"sub" * 8 + 1, lit(8)),
+            slice($"cemb", $"sub" * 8 + 1, lit(8))))
+          .groupBy($"vec_id", $"sub")
+          .agg(min(struct($"qdist", $"cid")).as("best"))
+          .select($"vec_id", $"sub",
+            $"best.cid".as("code"), $"best.qdist".as("qdist"))
+      },
+      Some("""WITH c AS (
+          SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+          WHERE vec_id < 16),
+        scored AS (
+          SELECT e.vec_id, g.sub, c.cid,
+            (SELECT SUM(CAST(floor(
+                (CAST(e.embedding[g.sub * 8 + j] AS DOUBLE) -
+                 CAST(c.cemb[g.sub * 8 + j] AS DOUBLE)) *
+                (CAST(e.embedding[g.sub * 8 + j] AS DOUBLE) -
+                 CAST(c.cemb[g.sub * 8 + j] AS DOUBLE)) * 1000000.0)
+              AS BIGINT)) FROM generate_series(1, 8) t(j)) AS qdist
+          FROM embeddings e, c,
+            (SELECT unnest(generate_series(0, 7)) AS sub) g)
+        SELECT vec_id, sub, cid AS code, qdist FROM (
+          SELECT vec_id, sub, cid, qdist,
+            ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+              ORDER BY qdist, cid) AS rk
+          FROM scored) t WHERE rk = 1"""))
   )
 }

@@ -665,7 +665,69 @@ object TextAnalysis {
           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
                '\s+', ' ', 'g')) AS norm
         FROM documents) y) x
-        GROUP BY doc_id, norm"""))
+        GROUP BY doc_id, norm""")),
+
+    // ------------------------------------------------------------------
+    // LM-based document scoring (the KenLM-filter shape: score each
+    // document by how predictable its bigrams are under the corpus'
+    // own per-language bigram model — low scores flag gibberish /
+    // boilerplate / wrong-language docs). Joinless: the per-doc bigram
+    // counts are aggregated ONCE, and the model's corpus-wide counts
+    // come from windows over that collapsed table — NOT from a second
+    // explode + aggregation joined back (the repeated-subtree trap:
+    // Catalyst would scan and explode the corpus twice). The per-term
+    // conditional probability is quantized by INTEGER division
+    // ((1e9·c_bigram) div c_left — both engines truncate positive
+    // quotients identically), so every output column is an exact
+    // integer: hash-comparable under any partial-agg order, unlike a
+    // float logprob sum. Monotone in the true probability, which is
+    // all a filter threshold needs.
+    Q("txt_bigram_surprisal",
+      (s, d) => {
+        import s.implicits._
+        val base = Tables.documents(s, d)
+          .select($"doc_id", $"lang", tokens($"text").as("toks"))
+          .filter(size($"toks") >= 2)
+        val dbg = base
+          .select($"doc_id", $"lang", $"toks",
+            explode(sequence(lit(1), size($"toks") - 1)).as("i"))
+          .select($"doc_id", $"lang",
+            element_at($"toks", $"i").as("w1"),
+            element_at($"toks", $"i" + 1).as("w2"))
+          .groupBy($"doc_id", $"lang", $"w1", $"w2")
+          .agg(count(lit(1)).as("c_doc"))
+        val wBigram = Window.partitionBy($"lang", $"w1", $"w2")
+        val wLeft = Window.partitionBy($"lang", $"w1")
+        dbg
+          .withColumn("c_bigram", sum($"c_doc").over(wBigram))
+          .withColumn("c_left", sum($"c_doc").over(wLeft))
+          .withColumn("p_q", expr("(1000000000 * c_bigram) div c_left"))
+          .groupBy($"doc_id")
+          .agg(sum($"c_doc").as("n_bigrams"),
+            sum($"c_doc" * $"p_q").as("sum_pq"))
+          .withColumn("mean_pq", expr("sum_pq div n_bigrams"))
+      },
+      Some("""WITH base AS (
+          SELECT doc_id, lang,
+            string_split_regex(trim(lower(text)), '\s+') AS toks
+          FROM documents
+          WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 2),
+        dbg AS (
+          SELECT doc_id, lang, toks[i] AS w1, toks[i + 1] AS w2,
+            COUNT(*) AS c_doc
+          FROM (SELECT doc_id, lang, toks,
+                  unnest(generate_series(1, len(toks) - 1)) AS i
+                FROM base) x
+          GROUP BY doc_id, lang, w1, w2),
+        scored AS (
+          SELECT doc_id, c_doc,
+            (1000000000 * SUM(c_doc) OVER (PARTITION BY lang, w1, w2))
+              // SUM(c_doc) OVER (PARTITION BY lang, w1) AS p_q
+          FROM dbg)
+        SELECT doc_id, SUM(c_doc) AS n_bigrams,
+          SUM(c_doc * p_q) AS sum_pq,
+          SUM(c_doc * p_q) // SUM(c_doc) AS mean_pq
+        FROM scored GROUP BY doc_id"""))
   )
 
   /** Library form of the quality/stat projections for reuse. */

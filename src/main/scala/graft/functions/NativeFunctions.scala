@@ -151,6 +151,56 @@ case class FloatVecDotQ(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Quantized squared L2 distance: Σ floor((aᵢ−bᵢ)²·10⁶) as BIGINT.
+  * Same determinism argument as [[FloatVecDotQ]]: f32−f32 is exact in
+  * f64, the square and ×10⁶ are fixed-order IEEE products identical
+  * in any engine, floor is per-term, and integer sums are associative
+  * — so an argmin/compare over this distance is bit-reproducible
+  * under any partial-agg order. The product-quantization codebook
+  * assignment (`sim_pq_encode`) runs on it.
+  */
+case class FloatVecL2Q(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "float_vec_l2_q"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var sum = 0L
+    var i = 0
+    while (i < n) {
+      val diff = x.getFloat(i).toDouble - y.getFloat(i).toDouble
+      sum += math.floor(diff * diff * 1e6).toLong
+      i += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val sum = ctx.freshName("sum")
+      val diff = ctx.freshName("diff")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        long $sum = 0L;
+        for (int $i = 0; $i < $n; $i++) {
+          double $diff = ((double) $a.getFloat($i)) - ((double) $b.getFloat($i));
+          $sum += (long) java.lang.Math.floor($diff * $diff * 1.0E6);
+        }
+        ${ev.value} = $sum;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Minimum md5 over all k-char windows of a string — the winnowing
   * fingerprint of `txt_fingerprint`, fused into ONE expression call
   * per row: windows i = 0 until max(len-k+1, 1), window text
@@ -239,6 +289,35 @@ case class RollingMinHash(child: Expression, k: Int)
       if ($out == null) { ${ev.isNull} = true; } else { ${ev.value} = $out; }
     """)
   }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Every k-code-point window hash of the input — the exact-substring
+  * dedup primitive (Lee et al. 2022 dedups training corpora on
+  * repeated spans, not whole documents): the same B=31, M=1e9+7
+  * polynomial as [[RollingMinHash]], but ALL n−k+1 window values are
+  * returned for corpus-wide span counting instead of the per-doc min.
+  * O(n) one pass, one long[] allocation — versus n−k+1 substring
+  * allocations for the explode(substr)+hash formulation. Empty array
+  * when no full window exists (the doc simply contributes no spans).
+  */
+case class RollingHashAll(child: Expression, k: Int)
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, LongType}
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "rolling_hash_all"
+
+  override def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      HashImpls.rollingHashAll(input.asInstanceOf[UTF8String].toString, k))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"""new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            graft.functions.HashImpls.rollingHashAll($c.toString(), $k))""")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -402,6 +481,30 @@ object HashImpls {
       i += 1
     }
     count
+  }
+
+  /** See [[RollingHashAll]]: all n−k+1 window hashes, empty when the
+    * input is shorter than k code points. */
+  def rollingHashAll(s: String, k: Int): Array[Long] = {
+    val cps = s.codePoints().toArray
+    val n = cps.length
+    if (n < k) return Array.emptyLongArray
+    val out = new Array[Long](n - k + 1)
+    var bTop = 1L
+    var j = 1
+    while (j < k) { bTop = bTop * B % M; j += 1 }
+    var h = 0L
+    var i = 0
+    while (i < k) { h = (h * B + cps(i)) % M; i += 1 }
+    out(0) = h
+    i = k
+    while (i < n) {
+      h = ((h - cps(i - k) % M * bTop % M) % M + M) % M
+      h = (h * B + cps(i)) % M
+      out(i - k + 1) = h
+      i += 1
+    }
+    out
   }
 
   def minhashSig(s: String, k: Int): Array[Long] = {
@@ -673,6 +776,9 @@ object NativeFunctions {
       ApproxTopK(ColumnBridge.expression(c), k, capacity)
         .toAggregateExpression())
 
+  def rollingHashAll(c: Column, k: Int = 8): Column =
+    ColumnBridge.column(RollingHashAll(ColumnBridge.expression(c), k))
+
   def minHashSig(c: Column, k: Int = 5): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(c), k))
 
@@ -688,6 +794,10 @@ object NativeFunctions {
 
   def floatVecDotQ(a: Column, b: Column): Column =
     ColumnBridge.column(FloatVecDotQ(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def floatVecL2Q(a: Column, b: Column): Column =
+    ColumnBridge.column(FloatVecL2Q(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def isNumericToken(c: Column): Column =

@@ -67,6 +67,34 @@ class FunctionPropertySpec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // RollingHashAll vs a quadratic per-window recompute, and its
+  // contract with RollingMinHash (min of all == the fused min).
+
+  private def refHashAll(s: String, k: Int): Seq[Long] = {
+    val cps = s.codePoints().toArray
+    if (cps.length < k) return Seq.empty
+    (0 to cps.length - k).map { i =>
+      var h = 0L
+      for (j <- i until i + k) h = (h * 31L + cps(j)) % 1000000007L
+      h
+    }
+  }
+
+  test("rollingHashAll matches the quadratic window recompute") {
+    check(Prop.forAll(anyText, Gen.choose(1, 12)) { (s, k) =>
+      HashImpls.rollingHashAll(s, k).toSeq == refHashAll(s, k)
+    })
+  }
+
+  test("rollingHashAll min equals rollingMinHash") {
+    check(Prop.forAll(anyText, Gen.choose(1, 12)) { (s, k) =>
+      val all = HashImpls.rollingHashAll(s, k)
+      val fused = HashImpls.rollingMinHash(s, k)
+      if (all.isEmpty) fused == null else fused == all.min
+    })
+  }
+
+  // ------------------------------------------------------------------
   // SpaceSaving buffer: exactness under capacity, bounds over it,
   // merge-order robustness.
 
