@@ -545,6 +545,38 @@ object Relational {
         FROM per_order JOIN supplier ON late_supp = s_suppkey
         WHERE n_supp > 1 AND n_late_supp = 1
         GROUP BY s_name
-        ORDER BY numwait DESC, s_name LIMIT 10"""))
+        ORDER BY numwait DESC, s_name LIMIT 10""")),
+
+    // ------------------------------------------------------------------
+    // The NATURAL point-in-interval join — written as the plain
+    // BETWEEN theta-join a SQL user would type, with no equi key.
+    // Without intervention Spark plans this as a broadcast-nested-loop
+    // join; under the engine's RangeBinJoinRule (GraftExtensions) it
+    // rewrites to the binned hash-join form automatically — the
+    // plan-level twin of the hand-written rel_range_join_binned.
+    // Semantics are rewrite-independent (the rule re-applies the exact
+    // range as a residual), so this oracle checks the rule end-to-end
+    // in the Verify session where it is active. RangeBinJoinSpec pins
+    // the plan shape itself.
+    Q("rel_range_join_auto",
+      (s, d) => {
+        import s.implicits._
+        val intervals = Tables.nation(s, d).select(
+          $"n_nationkey".cast("long").as("int_id"),
+          ($"n_nationkey".cast("long") * 400L).as("lo"),
+          ($"n_nationkey".cast("long") * 400L + 900L).as("hi"))
+        Tables.events(s, d).select($"event_id")
+          .join(intervals, $"event_id" >= $"lo" && $"event_id" <= $"hi")
+          .groupBy($"int_id")
+          .agg(count(lit(1)).as("n_points"), sum($"event_id").as("id_sum"))
+      },
+      Some("""SELECT i.int_id, COUNT(*) AS n_points,
+          CAST(SUM(e.event_id) AS BIGINT) AS id_sum
+        FROM (SELECT CAST(n_nationkey AS BIGINT) AS int_id,
+                     CAST(n_nationkey AS BIGINT) * 400 AS lo,
+                     CAST(n_nationkey AS BIGINT) * 400 + 900 AS hi
+              FROM nation) i
+        JOIN events e ON e.event_id >= i.lo AND e.event_id <= i.hi
+        GROUP BY i.int_id"""))
   )
 }

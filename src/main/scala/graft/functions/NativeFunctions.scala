@@ -840,5 +840,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "farm_starts_with_name_native"),
       (exprs: Seq[Expression]) => StartsWithName(exprs.head)))
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinThresholdRule)
+    ext.injectOptimizerRule(_ => graft.plans.RangeBinJoinRule)
   }
 }

@@ -134,6 +134,19 @@ object StreamingOps {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Stream-static enrichment join: each micro-batch of the stream
+    * joins a bounded dimension table (user/device/geo attributes).
+    * The static side is broadcast — no shuffle touches the stream,
+    * no state store is involved (unlike a stream-stream join), and
+    * the dimension is re-resolved per micro-batch, so a dimension
+    * backed by a table that is replaced between batches is picked up
+    * without restarting the query. Left join keeps events whose key
+    * has no dimension row (the telemetry-before-registration case).
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame,
+                   key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Stream-stream interval join — the streaming twin of the batch
     * `ev_session_attribution`: each purchase joins the clicks of the
     * same user in the preceding `horizonMinutes`. Both sides carry

@@ -63,6 +63,26 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("stream-static enrichment joins the dimension without state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val events = mem.toDF().toDF("ts", "user_id", "value")
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val q = StreamingOps.enrichStream(events, dim, "user_id")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    mem.addData(
+      (ts("2024-01-01 10:00:00"), 1L, 5.0),
+      (ts("2024-01-01 10:01:00"), 2L, 6.0),
+      (ts("2024-01-01 10:02:00"), 9L, 7.0)) // no dimension row
+    q.processAllAvailable()
+    val got = spark.table("enriched").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("tier"))).toSet
+    assert(got == Set((1L, "gold"), (2L, "basic"), (9L, null)))
+    q.stop()
+  }
+
   test("native session windows merge within gap and close on watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
