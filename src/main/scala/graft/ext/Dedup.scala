@@ -629,6 +629,58 @@ object Dedup {
         SELECT span_hash, COUNT(DISTINCT doc_id) AS n_docs,
           COUNT(*) AS n_occ
         FROM spans GROUP BY span_hash
-        HAVING COUNT(DISTINCT doc_id) > 1"""))
+        HAVING COUNT(DISTINCT doc_id) > 1""")),
+
+    // ------------------------------------------------------------------
+    // Per-document duplicated-span ratio — the doc-level signal the
+    // span inventory (dedup_span_exact) feeds: what fraction of a
+    // document's 8-gram windows also appear in some OTHER document.
+    // A span is cross-doc iff its hash group's min(doc) ≠ max(doc) —
+    // two window functions on ONE span_hash shuffle, no countDistinct
+    // and no join back to a dup-span table (which would explode the
+    // corpus a second time). The ratio is exported as integer permille
+    // (1000·dup div total): exact in both engines. Exact copies score
+    // 1000; the planted near-dups score just under; organic docs score
+    // by shared phrasing. The drop threshold is a pipeline parameter.
+    Q("dedup_span_ratio",
+      (s, d) => {
+        import s.implicits._
+        val wSpan = org.apache.spark.sql.expressions.Window
+          .partitionBy($"span_hash")
+        corpus(s, d)
+          .select($"doc_id",
+            explode(graft.functions.NativeFunctions.rollingHashAll(
+              norm($"text"), 8)).as("span_hash"))
+          .withColumn("is_dup",
+            min($"doc_id").over(wSpan) =!= max($"doc_id").over(wSpan))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_spans"),
+            count(when($"is_dup", 1)).as("n_dup_spans"))
+          .withColumn("dup_permille",
+            expr("(1000 * n_dup_spans) div n_spans"))
+      },
+      Some(s"""WITH $corpusSql,
+        normed AS (SELECT doc_id, $normSql AS norm FROM corpus),
+        spans AS (SELECT doc_id,
+          (ord(substr(norm, i, 1)) * CAST(pow(31, 7) AS BIGINT)
+           + ord(substr(norm, i + 1, 1)) * CAST(pow(31, 6) AS BIGINT)
+           + ord(substr(norm, i + 2, 1)) * CAST(pow(31, 5) AS BIGINT)
+           + ord(substr(norm, i + 3, 1)) * CAST(pow(31, 4) AS BIGINT)
+           + ord(substr(norm, i + 4, 1)) * CAST(pow(31, 3) AS BIGINT)
+           + ord(substr(norm, i + 5, 1)) * CAST(pow(31, 2) AS BIGINT)
+           + ord(substr(norm, i + 6, 1)) * 31
+           + ord(substr(norm, i + 7, 1))) % 1000000007 AS span_hash
+          FROM (SELECT doc_id, norm,
+            unnest(generate_series(1, length(norm) - 7)) AS i
+          FROM normed) x),
+        flagged AS (SELECT doc_id,
+          MIN(doc_id) OVER (PARTITION BY span_hash)
+            <> MAX(doc_id) OVER (PARTITION BY span_hash) AS is_dup
+          FROM spans)
+        SELECT doc_id, COUNT(*) AS n_spans,
+          COUNT(CASE WHEN is_dup THEN 1 END) AS n_dup_spans,
+          (1000 * COUNT(CASE WHEN is_dup THEN 1 END)) // COUNT(*)
+            AS dup_permille
+        FROM flagged GROUP BY doc_id"""))
   )
 }

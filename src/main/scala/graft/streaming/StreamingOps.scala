@@ -259,4 +259,53 @@ object StreamingOps {
           out.result().iterator
       }
   }
+
+  /** Incremental upsert sink: each micro-batch of change rows merges
+    * latest-wins into a versioned parquet snapshot — the streaming
+    * form of the batch `rel_merge_upsert` compaction, i.e. a CDC
+    * stream continuously maintaining a queryable table. Each batch
+    * writes a full new version directory `v=<batchId>` (read previous
+    * → union changes → keep max-`seqCol` row per `keyCol`); readers
+    * use [[latestSnapshot]]. Versioning by batchId makes retries
+    * idempotent (a replayed batch overwrites its own version, never a
+    * newer one), and writing a NEW directory — rather than
+    * overwriting the one being read — is what keeps the read-merge-
+    * write cycle safe without a transaction log. `seqCol` must be
+    * unique per key (a CDC LSN / event seq); production replaces the
+    * rewrite-everything snapshot with a transactional table format,
+    * but the merge semantics are exactly these.
+    */
+  def upsertStream(changes: DataFrame, keyCol: String, seqCol: String,
+                   snapshotDir: String, checkpointDir: String,
+                   trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val merged = latestSnapshot(spark, snapshotDir) match {
+          case Some(prev) => prev.unionByName(batch)
+          case None => batch
+        }
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(keyCol)).orderBy(col(seqCol).desc)
+        merged
+          .withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") === 1).drop("__rk")
+          .write.mode("overwrite").parquet(s"$snapshotDir/v=$batchId")
+        ()
+      }
+      .start()
+
+  /** The latest snapshot version written by [[upsertStream]], if any
+    * batch has committed yet. */
+  def latestSnapshot(spark: SparkSession, snapshotDir: String)
+      : Option[DataFrame] = {
+    val dir = new java.io.File(snapshotDir)
+    val versions = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .map(_.getName.stripPrefix("v=").toLong)
+    if (versions.isEmpty) None
+    else Some(spark.read.parquet(s"$snapshotDir/v=${versions.max}"))
+  }
 }

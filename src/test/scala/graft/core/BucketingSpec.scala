@@ -119,4 +119,86 @@ class BucketingSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() ==
       Tables.documents(spark, sf).count())
   }
+
+  test("dynamic partition pruning injects a runtime filter into the scan") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val out = Files.createTempDirectory("dpp").toString
+    Bucketing.writePartitioned(Tables.lineitem(spark, sf), out,
+      "l_returnflag")
+    // Join on the PARTITION column against a dim filtered on a
+    // non-join column: the partition values to scan are only known at
+    // runtime (from the dim filter), so static pruning can't help —
+    // dynamic partition pruning plants a subquery filter in the scan's
+    // PartitionFilters and the fact side skips non-matching
+    // directories entirely. The 100 TB shape: date-partitioned fact ⋈
+    // filtered date dim.
+    // Parquet-backed dim: a LocalRelation would constant-fold the
+    // filter away and DPP requires a surviving selective predicate.
+    val dimPath = Files.createTempDirectory("dpp_dim").toString + "/dim"
+    Seq(("R", "returned"), ("A", "accepted"), ("N", "none"))
+      .toDF("flag", "label").write.mode("overwrite").parquet(dimPath)
+    // No input_file_name() here: it is nondeterministic and would
+    // break the PhysicalOperation pattern the pruning rule matches.
+    val joined = spark.read.parquet(out)
+      .join(spark.read.parquet(dimPath).filter($"label" === "returned"),
+        $"l_returnflag" === $"flag")
+    val formatted = joined.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("dynamicpruning"), formatted.take(1500))
+    // Execute and read the fact scan's metrics: of the 3 partition
+    // directories only l_returnflag=R is listed and read.
+    joined.collect()
+    // AQE wraps subtrees in QueryStageExec leaves; recurse into them.
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(q.plan)
+      }.flatten
+    val finalPlan = joined.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val factScan = scans(finalPlan)
+      .find(_.output.exists(_.name == "l_orderkey")).get
+    assert(factScan.metrics("numPartitions").value == 1,
+      factScan.metrics.map { case (k, m) => s"$k=${m.value}" }.mkString(", "))
+  }
+
+  test("z-ordered write concentrates range filters on BOTH dimensions") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val out = Files.createTempDirectory("zorder").toString + "/grid"
+    // 256×256 grid: every (x, y) pair once.
+    val grid = spark.range(0, 65536L)
+      .select(($"id" % 256).cast("int").as("x"),
+              ($"id" / 256).cast("int").as("y"))
+    Bucketing.writeZOrdered(grid, out, "x", "y",
+      partitions = 16, bits = 8)
+
+    def filesTouched(cond: org.apache.spark.sql.Column): Int =
+      spark.read.parquet(out).filter(cond)
+        .select(input_file_name()).distinct().count().toInt
+
+    val total = spark.read.parquet(out)
+      .select(input_file_name()).distinct().count().toInt
+    assert(total >= 12, s"expected ~16 files, got $total")
+    // A quarter-range filter on EITHER dimension touches roughly a
+    // quarter of the files (plus sampling-boundary slack) — a
+    // single-column sort would concentrate x but spray y over every
+    // file. 65536 rows / 16 files and x < 64 selects 16384 rows: in
+    // row-count terms a perfect quarter; 8 of 16 files is still a
+    // 2× scan cut on the non-leading dimension.
+    val xFiles = filesTouched($"x" < 64)
+    val yFiles = filesTouched($"y" < 64)
+    assert(xFiles <= total / 2, s"x-filter touched $xFiles of $total files")
+    assert(yFiles <= total / 2, s"y-filter touched $yFiles of $total files")
+    // Correctness: pure re-layout.
+    assert(spark.read.parquet(out).count() == 65536L)
+    assert(filesTouched($"x" < 64 && $"y" < 64) <= total / 2)
+  }
 }

@@ -83,6 +83,25 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("upsert stream maintains a latest-wins snapshot across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val snap = Files.createTempDirectory("upsert_snap").toString
+    val ckpt = Files.createTempDirectory("upsert_ckpt").toString
+    val mem = MemoryStream[(Long, Long, String)]
+    val changes = mem.toDF().toDF("key", "seq", "value")
+    val q = StreamingOps.upsertStream(changes, "key", "seq", snap, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    mem.addData((1L, 1L, "a"), (2L, 1L, "b"))
+    q.processAllAvailable()
+    mem.addData((1L, 2L, "a2"), (3L, 1L, "c")) // update key 1, insert key 3
+    q.processAllAvailable()
+    q.stop()
+    val got = StreamingOps.latestSnapshot(spark, snap).get
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == Set((1L, 2L, "a2"), (2L, 1L, "b"), (3L, 1L, "c")))
+  }
+
   test("native session windows merge within gap and close on watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
