@@ -577,6 +577,82 @@ object Relational {
                      CAST(n_nationkey AS BIGINT) * 400 + 900 AS hi
               FROM nation) i
         JOIN events e ON e.event_id >= i.lo AND e.event_id <= i.hi
-        GROUP BY i.int_id"""))
+        GROUP BY i.int_id""")),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q3 shape (shipping priority): top unshipped-revenue orders
+    // for one market segment at a date cutoff. The selective dimension
+    // (filtered customer) broadcasts; the lineitem⋈orders join
+    // shuffles on orderkey and the groupBy reuses that partitioning;
+    // the top-10 is TakeOrderedAndProject, never a global sort.
+    Q("rel_shipping_priority",
+      (s, d) => {
+        import s.implicits._
+        val cutoff = to_timestamp(lit("1998-06-30 00:00:00"))
+        Tables.lineitem(s, d).filter($"l_shipdate" > cutoff)
+          .join(Tables.orders(s, d).filter($"o_orderdate" < cutoff),
+            $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(Tables.customer(s, d)
+              .filter($"c_mktsegment" === "BUILDING")),
+            $"o_custkey" === $"c_custkey")
+          .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+          .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+            .as("revenue"))
+          .orderBy($"revenue".desc, $"o_orderdate", $"l_orderkey")
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey, o_orderdate, o_orderpriority,
+          CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+            AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-06-30 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-06-30 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""")),
+
+    // ------------------------------------------------------------------
+    // Winsorized statistics — the outlier-robust aggregation a data-
+    // cleaning pass runs before training on numeric features: clip
+    // each value into its group's [p01, p99] and aggregate the
+    // clipped column. Two-pass shape that scales: the percentile
+    // aggregation collapses to one row per group, broadcasts back,
+    // and the clip + re-aggregation is one more scan — no windowed
+    // percentile (which would buffer whole partitions). Interpolated
+    // exact percentiles match quantile_cont bit-for-bit (the
+    // rel_percentiles contract); the winsorized sum goes through the
+    // usual decimal quantization.
+    Q("rel_winsorized_stats",
+      (s, d) => {
+        import s.implicits._
+        val pct = Tables.lineitem(s, d)
+          .groupBy($"l_returnflag")
+          .agg(expr("percentile(l_extendedprice, 0.01)").as("p01"),
+               expr("percentile(l_extendedprice, 0.99)").as("p99"))
+        Tables.lineitem(s, d)
+          .join(broadcast(pct), Seq("l_returnflag"))
+          .withColumn("clipped",
+            least(greatest($"l_extendedprice", $"p01"), $"p99"))
+          .groupBy($"l_returnflag")
+          .agg(
+            count(when($"l_extendedprice" < $"p01" ||
+                       $"l_extendedprice" > $"p99", 1)).as("n_clipped"),
+            count(lit(1)).as("n_rows"),
+            dsum($"clipped").as("winsorized_sum"))
+      },
+      Some("""WITH pct AS (
+          SELECT l_returnflag,
+            quantile_cont(l_extendedprice, 0.01) AS p01,
+            quantile_cont(l_extendedprice, 0.99) AS p99
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l.l_returnflag,
+          COUNT(CASE WHEN l_extendedprice < p01 OR l_extendedprice > p99
+            THEN 1 END) AS n_clipped,
+          COUNT(*) AS n_rows,
+          CAST(SUM(CAST(least(greatest(l_extendedprice, p01), p99)
+            AS DECIMAL(27,6))) AS DOUBLE) AS winsorized_sum
+        FROM lineitem l JOIN pct USING (l_returnflag)
+        GROUP BY l.l_returnflag"""))
   )
 }

@@ -868,6 +868,71 @@ object EventsOps {
       },
       Some("""SELECT date_trunc('hour', ts) AS hour, event_type,
         COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
-        FROM events GROUP BY date_trunc('hour', ts), event_type"""))
+        FROM events GROUP BY date_trunc('hour', ts), event_type""")),
+
+    // ------------------------------------------------------------------
+    // A/B experiment readout: Welch's t-statistic on event value
+    // between the two user-hash variants, per event type — ONE
+    // conditional aggregation (no per-variant scans or self-join).
+    // The shuffle carries exact ingredients only: counts and decimal
+    // sums of value and value² (associative, partial-agg-order-proof);
+    // means, variances and t are one fixed IEEE formula over those
+    // exact numbers, written identically in the oracle — the same
+    // exact-integers-then-one-formula pattern as ev_anomaly_zscore.
+    Q("ev_ab_ttest",
+      (s, d) => {
+        import s.implicits._
+        def dbl(c: org.apache.spark.sql.Column) = c.cast("double")
+        val dec = DecimalType(27, 6)
+        val isA = pmod($"user_id", lit(2L)) === 0
+        val agg = Tables.events(s, d)
+          .groupBy($"event_type")
+          .agg(
+            count(when(isA, 1)).as("n_a"),
+            count(when(!isA, 1)).as("n_b"),
+            sum(when(isA, $"value").cast(dec)).as("s_a"),
+            sum(when(!isA, $"value").cast(dec)).as("s_b"),
+            sum(when(isA, $"value" * $"value").cast(dec)).as("ssq_a"),
+            sum(when(!isA, $"value" * $"value").cast(dec)).as("ssq_b"))
+        val meanA = dbl($"s_a") / dbl($"n_a")
+        val meanB = dbl($"s_b") / dbl($"n_b")
+        val varA = (dbl($"ssq_a") - dbl($"s_a") * dbl($"s_a") / dbl($"n_a")) /
+          dbl($"n_a" - 1)
+        val varB = (dbl($"ssq_b") - dbl($"s_b") * dbl($"s_b") / dbl($"n_b")) /
+          dbl($"n_b" - 1)
+        agg
+          .withColumn("mean_a", meanA)
+          .withColumn("mean_b", meanB)
+          .withColumn("t_stat",
+            (meanA - meanB) / sqrt(varA / dbl($"n_a") + varB / dbl($"n_b")))
+          .select($"event_type", $"n_a", $"n_b", $"mean_a", $"mean_b",
+            $"t_stat")
+      },
+      Some("""WITH agg AS (
+          SELECT event_type,
+            COUNT(CASE WHEN user_id % 2 = 0 THEN 1 END) AS n_a,
+            COUNT(CASE WHEN user_id % 2 <> 0 THEN 1 END) AS n_b,
+            SUM(CAST(CASE WHEN user_id % 2 = 0 THEN value END
+              AS DECIMAL(27,6))) AS s_a,
+            SUM(CAST(CASE WHEN user_id % 2 <> 0 THEN value END
+              AS DECIMAL(27,6))) AS s_b,
+            SUM(CAST(CASE WHEN user_id % 2 = 0 THEN value * value END
+              AS DECIMAL(27,6))) AS ssq_a,
+            SUM(CAST(CASE WHEN user_id % 2 <> 0 THEN value * value END
+              AS DECIMAL(27,6))) AS ssq_b
+          FROM events GROUP BY event_type)
+        SELECT event_type, n_a, n_b,
+          CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a,
+          CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b,
+          (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+           - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+          / sqrt(
+            ((CAST(ssq_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)
+                / CAST(n_a AS DOUBLE)) / CAST(n_a - 1 AS DOUBLE))
+              / CAST(n_a AS DOUBLE)
+            + ((CAST(ssq_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)
+                / CAST(n_b AS DOUBLE)) / CAST(n_b - 1 AS DOUBLE))
+              / CAST(n_b AS DOUBLE)) AS t_stat
+        FROM agg"""))
   )
 }

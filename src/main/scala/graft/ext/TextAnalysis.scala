@@ -685,49 +685,41 @@ object TextAnalysis {
     Q("txt_bigram_surprisal",
       (s, d) => {
         import s.implicits._
-        val base = Tables.documents(s, d)
-          .select($"doc_id", $"lang", tokens($"text").as("toks"))
-          .filter(size($"toks") >= 2)
-        val dbg = base
-          .select($"doc_id", $"lang", $"toks",
-            explode(sequence(lit(1), size($"toks") - 1)).as("i"))
-          .select($"doc_id", $"lang",
-            element_at($"toks", $"i").as("w1"),
-            element_at($"toks", $"i" + 1).as("w2"))
-          .groupBy($"doc_id", $"lang", $"w1", $"w2")
-          .agg(count(lit(1)).as("c_doc"))
-        val wBigram = Window.partitionBy($"lang", $"w1", $"w2")
-        val wLeft = Window.partitionBy($"lang", $"w1")
-        dbg
-          .withColumn("c_bigram", sum($"c_doc").over(wBigram))
-          .withColumn("c_left", sum($"c_doc").over(wLeft))
-          .withColumn("p_q", expr("(1000000000 * c_bigram) div c_left"))
-          .groupBy($"doc_id")
-          .agg(sum($"c_doc").as("n_bigrams"),
-            sum($"c_doc" * $"p_q").as("sum_pq"))
-          .withColumn("mean_pq", expr("sum_pq div n_bigrams"))
+        surprisalScores(s, d)
+          .select($"doc_id", $"n_bigrams", $"sum_pq", $"mean_pq")
       },
-      Some("""WITH base AS (
-          SELECT doc_id, lang,
-            string_split_regex(trim(lower(text)), '\s+') AS toks
-          FROM documents
-          WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 2),
-        dbg AS (
-          SELECT doc_id, lang, toks[i] AS w1, toks[i + 1] AS w2,
-            COUNT(*) AS c_doc
-          FROM (SELECT doc_id, lang, toks,
-                  unnest(generate_series(1, len(toks) - 1)) AS i
-                FROM base) x
-          GROUP BY doc_id, lang, w1, w2),
-        scored AS (
-          SELECT doc_id, c_doc,
-            (1000000000 * SUM(c_doc) OVER (PARTITION BY lang, w1, w2))
-              // SUM(c_doc) OVER (PARTITION BY lang, w1) AS p_q
-          FROM dbg)
-        SELECT doc_id, SUM(c_doc) AS n_bigrams,
-          SUM(c_doc * p_q) AS sum_pq,
-          SUM(c_doc * p_q) // SUM(c_doc) AS mean_pq
-        FROM scored GROUP BY doc_id"""))
+      Some(s"""WITH $surprisalSql
+        SELECT doc_id, n_bigrams, sum_pq, mean_pq FROM surprisal""")),
+
+    // ------------------------------------------------------------------
+    // CCNet-style quality bucketing: per-language terciles of the
+    // bigram-predictability score — "head" (most model-predictable)
+    // through "tail", the split CCNet uses to stage training data by
+    // LM perplexity. One ntile window over the one-row-per-doc score
+    // table (the global per-language sort touches only that collapsed
+    // table; beyond millions of docs per language the cutoffs come
+    // from approx percentiles instead — the rel_rfm_segments note).
+    // doc_id tiebreak makes equal scores bucket identically in any
+    // engine.
+    Q("txt_quality_buckets",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"lang").orderBy($"mean_pq", $"doc_id")
+        surprisalScores(s, d)
+          .withColumn("tercile", ntile(3).over(w))
+          .withColumn("bucket",
+            element_at(array(lit("tail"), lit("middle"), lit("head")),
+              $"tercile"))
+          .select($"doc_id", $"lang", $"mean_pq", $"tercile", $"bucket")
+      },
+      Some(s"""WITH $surprisalSql
+        SELECT doc_id, lang, mean_pq, tercile,
+          CASE tercile WHEN 1 THEN 'tail' WHEN 2 THEN 'middle'
+            ELSE 'head' END AS bucket
+        FROM (SELECT doc_id, lang, mean_pq,
+                NTILE(3) OVER (PARTITION BY lang
+                  ORDER BY mean_pq, doc_id) AS tercile
+              FROM surprisal) t"""))
   )
 
   /** Library form of the quality/stat projections for reuse. */
@@ -736,4 +728,64 @@ object TextAnalysis {
     docs.withColumn("n_tokens", size(tokens(t)))
       .withColumn("len_chars", length(t))
   }
+
+  /** Per-document bigram-predictability scores under the corpus' own
+    * per-language bigram model — shared by `txt_bigram_surprisal` and
+    * `txt_quality_buckets`. One explode + aggregation builds the
+    * per-doc bigram counts; the model's corpus-wide counts come from
+    * windows over that collapsed table (never a second explode joined
+    * back); all outputs are exact integers via integer-division
+    * quantization. Returns (doc_id, lang, n_bigrams, sum_pq, mean_pq).
+    */
+  private def surprisalScores(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.documents(s, d)
+      .select($"doc_id", $"lang", tokens($"text").as("toks"))
+      .filter(size($"toks") >= 2)
+    val dbg = base
+      .select($"doc_id", $"lang", $"toks",
+        explode(sequence(lit(1), size($"toks") - 1)).as("i"))
+      .select($"doc_id", $"lang",
+        element_at($"toks", $"i").as("w1"),
+        element_at($"toks", $"i" + 1).as("w2"))
+      .groupBy($"doc_id", $"lang", $"w1", $"w2")
+      .agg(count(lit(1)).as("c_doc"))
+    val wBigram = Window.partitionBy($"lang", $"w1", $"w2")
+    val wLeft = Window.partitionBy($"lang", $"w1")
+    dbg
+      .withColumn("c_bigram", sum($"c_doc").over(wBigram))
+      .withColumn("c_left", sum($"c_doc").over(wLeft))
+      .withColumn("p_q", expr("(1000000000 * c_bigram) div c_left"))
+      .groupBy($"doc_id", $"lang")
+      .agg(sum($"c_doc").as("n_bigrams"),
+        sum($"c_doc" * $"p_q").as("sum_pq"))
+      .withColumn("mean_pq", expr("sum_pq div n_bigrams"))
+  }
+
+  /** Oracle CTEs mirroring [[surprisalScores]]. (A def, not a val:
+    * it is referenced from `all`'s initializer above, which runs
+    * before later vals would be assigned.) */
+  private def surprisalSql: String =
+    """base AS (
+        SELECT doc_id, lang,
+          string_split_regex(trim(lower(text)), '\s+') AS toks
+        FROM documents
+        WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 2),
+      dbg AS (
+        SELECT doc_id, lang, toks[i] AS w1, toks[i + 1] AS w2,
+          COUNT(*) AS c_doc
+        FROM (SELECT doc_id, lang, toks,
+                unnest(generate_series(1, len(toks) - 1)) AS i
+              FROM base) x
+        GROUP BY doc_id, lang, w1, w2),
+      scored AS (
+        SELECT doc_id, lang, c_doc,
+          (1000000000 * SUM(c_doc) OVER (PARTITION BY lang, w1, w2))
+            // SUM(c_doc) OVER (PARTITION BY lang, w1) AS p_q
+        FROM dbg),
+      surprisal AS (
+        SELECT doc_id, lang, SUM(c_doc) AS n_bigrams,
+          SUM(c_doc * p_q) AS sum_pq,
+          SUM(c_doc * p_q) // SUM(c_doc) AS mean_pq
+        FROM scored GROUP BY doc_id, lang)"""
 }
