@@ -67,8 +67,14 @@ object Bench {
     // A failed query is recorded as -1 (excluded from the total and
     // listed under "errors") rather than silently keeping its
     // time-to-failure as a normal sample.
+    // Local-iteration filter (not used by the driver), mirroring
+    // Verify: SPARK_GRAFT_ONLY=q1,q2 times only the named queries.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries
+      .filter(kv => only.forall(_.contains(kv._1)))
     def sweep(): Map[String, Double] =
-      SparkEntry.queries.map { case (name, fn) =>
+      selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -81,7 +87,7 @@ object Bench {
       }
     val s1 = sweep()
     val s2 = sweep()
-    val results = SparkEntry.queries.keys.toSeq.map { n =>
+    val results = selected.keys.toSeq.map { n =>
       val (a, b) = (s1(n), s2(n))
       n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
@@ -100,9 +106,11 @@ object Bench {
     val fullJson = results.map { case (k, v) => s""""$k":$v""" }
       .mkString(s"""{"metric":"total","value":$total,"unit":"sec","queries":{""",
         ",", s"""},"errors":$errors,"sf":"$sfDir"}""")
-    try Files.write(Paths.get("BENCH_FULL.json"),
-      fullJson.getBytes(StandardCharsets.UTF_8))
-    catch { case e: Throwable => System.err.println(s"[bench] full dump failed: $e") }
+    // A filtered local run must not clobber the round's full map.
+    if (only.isEmpty)
+      try Files.write(Paths.get("BENCH_FULL.json"),
+        fullJson.getBytes(StandardCharsets.UTF_8))
+      catch { case e: Throwable => System.err.println(s"[bench] full dump failed: $e") }
 
     // Compact line: headline + promoted-slow queries, per-group sums.
     // Locale.ROOT: a comma-decimal default locale would make

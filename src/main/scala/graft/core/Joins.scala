@@ -55,6 +55,36 @@ object Joins {
       .drop("__bin")
   }
 
+  /** Interval × interval OVERLAP join (inclusive bounds, integral
+    * columns): both sides explode onto fixed-width bins and hash-join
+    * on the bin. Unlike the point-in-interval case, a pair of
+    * overlapping intervals co-occupies EVERY bin their overlap spans,
+    * so a naive bin join emits duplicate pairs; instead of a distinct
+    * pass (a second shuffle over the join output), each pair is
+    * claimed only in its CANONICAL bin — the bin of
+    * `greatest(aLo, bLo)`, the overlap's left edge, which both
+    * intervals provably cover — so every true pair joins exactly
+    * once and no dedup runs. Column names must be disjoint across
+    * the two inputs. Same sizing rule as [[rangeJoinBinned]]: bin
+    * width near the typical interval length.
+    */
+  def overlapJoinBinned(a: DataFrame, aLo: String, aHi: String,
+                        b: DataFrame, bLo: String, bHi: String,
+                        binWidth: Long): DataFrame = {
+    require(binWidth > 0)
+    val binnedA = a.withColumn("__bin_a",
+      explode(sequence(expr(s"$aLo div ${binWidth}L"),
+                       expr(s"$aHi div ${binWidth}L"))))
+    val binnedB = b.withColumn("__bin_b",
+      explode(sequence(expr(s"$bLo div ${binWidth}L"),
+                       expr(s"$bHi div ${binWidth}L"))))
+    binnedA.join(binnedB,
+        col("__bin_a") === col("__bin_b") &&
+        col(aLo) <= col(bHi) && col(bLo) <= col(aHi) &&
+        col("__bin_a") === expr(s"greatest($aLo, $bLo) div ${binWidth}L"))
+      .drop("__bin_a", "__bin_b")
+  }
+
   /** As-of join: for each left row, attach the latest right row with
     * `right.tsCol <= left.tsCol` for the same key (left outer — no
     * match → nulls).

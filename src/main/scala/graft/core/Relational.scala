@@ -653,6 +653,45 @@ object Relational {
           CAST(SUM(CAST(least(greatest(l_extendedprice, p01), p99)
             AS DECIMAL(27,6))) AS DOUBLE) AS winsorized_sum
         FROM lineitem l JOIN pct USING (l_returnflag)
-        GROUP BY l.l_returnflag"""))
+        GROUP BY l.l_returnflag""")),
+
+    // ------------------------------------------------------------------
+    // Interval × interval overlap join through Joins.overlapJoinBinned:
+    // 5-minute event activity windows against 6-hourly one-hour promo
+    // windows, with NO key connecting the sides. The binned form
+    // hash-joins on the bin and claims each pair only in the bin of
+    // the overlap's left edge — one join, no pair dedup, no
+    // nested-loop operator (PlanSpec pins that). The oracle runs the
+    // plain inclusive-overlap theta join; epoch arithmetic in integer
+    // seconds on both sides.
+    Q("rel_interval_overlap_join",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .select($"event_id",
+            expr("unix_micros(ts) div 1000000").as("e_lo"))
+          .withColumn("e_hi", $"e_lo" + 300L)
+        // Jan 2024 6-hourly promo spine; 2024-01-01 UTC = 1704067200.
+        val promos = s.range(0, 124).select(
+          $"id".as("promo_id"),
+          (lit(1704067200L) + $"id" * 21600L).as("p_lo"))
+          .withColumn("p_hi", $"p_lo" + 3600L)
+        Joins.overlapJoinBinned(ev, "e_lo", "e_hi",
+            promos, "p_lo", "p_hi", binWidth = 3600L)
+          .groupBy($"promo_id")
+          .agg(count(lit(1)).as("n_events"), sum($"event_id").as("id_sum"))
+      },
+      Some("""WITH ev AS (
+          SELECT event_id, epoch_us(ts) // 1000000 AS e_lo,
+                 epoch_us(ts) // 1000000 + 300 AS e_hi
+          FROM events),
+        promos AS (
+          SELECT k AS promo_id, 1704067200 + k * 21600 AS p_lo,
+                 1704067200 + k * 21600 + 3600 AS p_hi
+          FROM (SELECT unnest(generate_series(0, 123)) AS k) g)
+        SELECT promo_id, COUNT(*) AS n_events,
+          CAST(SUM(event_id) AS BIGINT) AS id_sum
+        FROM ev JOIN promos ON e_lo <= p_hi AND p_lo <= e_hi
+        GROUP BY promo_id"""))
   )
 }

@@ -59,6 +59,33 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("rel_unpivot").contains("Expand"))
   }
 
+  test("interval overlap join bins to a hash join, never a nested loop") {
+    val p = plan("rel_interval_overlap_join")
+    assert(p.contains("Generate"), "bin replication should be an explode")
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
+      p.take(400))
+  }
+
+  test("span dup-ratio flags cross-doc spans with windows, no join-back") {
+    val p = plan("dedup_span_ratio")
+    assert(p.contains("Window") && !p.contains("Join"), p.take(400))
+    // one explode of the rolling-hash array, nothing else generates
+    assert(p.sliding("Generate".length).count(_ == "Generate") == 1, p.take(400))
+  }
+
+  test("bigram surprisal is joinless: model via windows, one explode") {
+    val p = plan("txt_bigram_surprisal")
+    assert(!p.contains("Join"), p.take(400))
+    assert(p.sliding("Generate".length).count(_ == "Generate") == 1, p.take(400))
+  }
+
+  test("PQ encoding broadcasts the codebook; argmin is an aggregation") {
+    val p = plan("sim_pq_encode")
+    assert(p.contains("BroadcastExchange"), p.take(400))
+    assert(!p.contains("Window"), "argmin must be a partial-agg min, not a sort")
+    assert(!p.contains("SortMergeJoin"), p.take(400))
+  }
+
   test("keep-best survivor scan is joinless (window + partial agg)") {
     val p = plan("dedup_lsh_keep_best")
     assert(p.contains("Window") && !p.contains("Join"), p.take(400))
