@@ -692,6 +692,38 @@ object Relational {
         SELECT promo_id, COUNT(*) AS n_events,
           CAST(SUM(event_id) AS BIGINT) AS id_sum
         FROM ev JOIN promos ON e_lo <= p_hi AND p_lo <= e_hi
-        GROUP BY promo_id"""))
+        GROUP BY promo_id""")),
+
+    // ------------------------------------------------------------------
+    // Median absolute deviation — the robust dispersion measure
+    // (stddev is dominated by the outliers a cleaning pass is hunting
+    // for). Same two-pass broadcast shape as rel_winsorized_stats:
+    // per-group median collapses small and broadcasts back; MAD is
+    // the median of |x − median| on the second scan. Interpolated
+    // exact percentiles match quantile_cont bit-for-bit; the |x−med|
+    // derivation is one IEEE subtract applied identically on both
+    // sides.
+    Q("rel_median_abs_deviation",
+      (s, d) => {
+        import s.implicits._
+        val med = Tables.lineitem(s, d)
+          .groupBy($"l_returnflag")
+          .agg(expr("percentile(l_extendedprice, 0.5)").as("med"))
+        Tables.lineitem(s, d)
+          .join(broadcast(med), Seq("l_returnflag"))
+          .withColumn("dev", abs($"l_extendedprice" - $"med"))
+          .groupBy($"l_returnflag")
+          .agg(max($"med").as("median_price"),
+            expr("percentile(dev, 0.5)").as("mad"),
+            count(lit(1)).as("n_rows"))
+      },
+      Some("""WITH med AS (
+          SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l.l_returnflag, MAX(med) AS median_price,
+          quantile_cont(abs(l_extendedprice - med), 0.5) AS mad,
+          COUNT(*) AS n_rows
+        FROM lineitem l JOIN med USING (l_returnflag)
+        GROUP BY l.l_returnflag"""))
   )
 }

@@ -933,6 +933,34 @@ object EventsOps {
             + ((CAST(ssq_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)
                 / CAST(n_b AS DOUBLE)) / CAST(n_b - 1 AS DOUBLE))
               / CAST(n_b AS DOUBLE)) AS t_stat
-        FROM agg"""))
+        FROM agg""")),
+
+    // ------------------------------------------------------------------
+    // Velocity flags (fraud/rate-limit shape): for every event, how
+    // many events the same user produced in the trailing 10 minutes —
+    // a RANGE frame over integer epoch seconds (same-second events
+    // are peers, which a ROWS frame would get wrong), one user_id
+    // shuffle. At 100 TB this is the per-key streaming-state check
+    // run as a batch backfill; the burst threshold is a parameter.
+    Q("ev_velocity_flags",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"t_s")
+          .rangeBetween(-600, 0)
+        Tables.events(s, d)
+          .select($"user_id", $"event_id",
+            expr("unix_micros(ts) div 1000000").as("t_s"))
+          .withColumn("n_10min", count(lit(1)).over(w))
+          .withColumn("is_burst", $"n_10min" >= 5)
+          .select($"user_id", $"event_id", $"n_10min", $"is_burst")
+      },
+      Some("""SELECT user_id, event_id,
+          COUNT(*) OVER (PARTITION BY user_id
+            ORDER BY epoch_us(ts) // 1000000
+            RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS n_10min,
+          COUNT(*) OVER (PARTITION BY user_id
+            ORDER BY epoch_us(ts) // 1000000
+            RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) >= 5 AS is_burst
+        FROM events"""))
   )
 }

@@ -388,39 +388,101 @@ object Similarity {
     // any engine — the oracle's correlated integer sum matches term
     // for term.
     Q("sim_pq_encode",
+      (s, d) => pqCodes(s, d),
+      Some(s"""WITH $pqSql
+        SELECT vec_id, sub, code, qdist FROM codes""")),
+
+    // ------------------------------------------------------------------
+    // PQ asymmetric-distance (ADC) top-k search — how a PQ index is
+    // actually queried at 10⁹ vectors: the query vector is NOT
+    // quantized; a per-query lookup table of (subspace × centroid)
+    // distances is computed once against the codebook (8×16 = 128
+    // entries, broadcast), and each database vector's approximate
+    // distance is the SUM of 8 table lookups on its codes — no float
+    // math per vector, no embedding access. Here: codes ⋈ broadcast
+    // LUT on (sub, code), one map-side-combinable sum per vec_id,
+    // TakeOrderedAndProject top-10. All distances are the quantized
+    // integer L2, so scores and ranking are bit-reproducible.
+    Q("sim_pq_adc_topk",
       (s, d) => {
         import s.implicits._
         val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+        val query = emb.filter($"vec_id" === 0)
+          .select($"embedding".as("qemb"))
         val cents = emb.filter($"vec_id" < 16)
           .select($"vec_id".as("cid"), $"embedding".as("cemb"))
-        emb.crossJoin(broadcast(cents))
-          .select($"vec_id", $"cid", $"embedding", $"cemb",
-            explode(sequence(lit(0), lit(7))).as("sub"))
-          .withColumn("qdist", graft.functions.NativeFunctions.floatVecL2Q(
-            slice($"embedding", $"sub" * 8 + 1, lit(8)),
+        val lut = cents.crossJoin(query)
+          .select($"cid", explode(sequence(lit(0), lit(7))).as("sub"),
+            $"cemb", $"qemb")
+          .withColumn("lut_qd", graft.functions.NativeFunctions.floatVecL2Q(
+            slice($"qemb", $"sub" * 8 + 1, lit(8)),
             slice($"cemb", $"sub" * 8 + 1, lit(8))))
-          .groupBy($"vec_id", $"sub")
-          .agg(min(struct($"qdist", $"cid")).as("best"))
-          .select($"vec_id", $"sub",
-            $"best.cid".as("code"), $"best.qdist".as("qdist"))
+          .select($"sub", $"cid", $"lut_qd")
+        val codes = pqCodes(s, d)
+        codes.join(broadcast(lut),
+            codes("sub") === lut("sub") && codes("code") === lut("cid"))
+          .groupBy($"vec_id")
+          .agg(sum($"lut_qd").as("adc_dist"))
+          .orderBy($"adc_dist", $"vec_id")
+          .limit(10)
       },
-      Some("""WITH c AS (
-          SELECT vec_id AS cid, embedding AS cemb FROM embeddings
-          WHERE vec_id < 16),
-        scored AS (
-          SELECT e.vec_id, g.sub, c.cid,
+      Some(s"""WITH $pqSql,
+        lut AS (
+          SELECT g.sub, c.cid,
             (SELECT SUM(CAST(floor(
-                (CAST(e.embedding[g.sub * 8 + j] AS DOUBLE) -
+                (CAST(q.embedding[g.sub * 8 + j] AS DOUBLE) -
                  CAST(c.cemb[g.sub * 8 + j] AS DOUBLE)) *
-                (CAST(e.embedding[g.sub * 8 + j] AS DOUBLE) -
+                (CAST(q.embedding[g.sub * 8 + j] AS DOUBLE) -
                  CAST(c.cemb[g.sub * 8 + j] AS DOUBLE)) * 1000000.0)
-              AS BIGINT)) FROM generate_series(1, 8) t(j)) AS qdist
-          FROM embeddings e, c,
+              AS BIGINT)) FROM generate_series(1, 8) t(j)) AS lut_qd
+          FROM c, (SELECT embedding FROM embeddings WHERE vec_id = 0) q,
             (SELECT unnest(generate_series(0, 7)) AS sub) g)
+        SELECT vec_id, SUM(lut_qd) AS adc_dist
+        FROM codes JOIN lut ON codes.sub = lut.sub AND codes.code = lut.cid
+        GROUP BY vec_id
+        ORDER BY adc_dist, vec_id LIMIT 10"""))
+  )
+
+  /** PQ codebook assignment shared by `sim_pq_encode` and
+    * `sim_pq_adc_topk`: (vec_id, sub, code, qdist) — see the
+    * sim_pq_encode commentary for the shape rationale. */
+  private def pqCodes(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+    val cents = emb.filter($"vec_id" < 16)
+      .select($"vec_id".as("cid"), $"embedding".as("cemb"))
+    emb.crossJoin(broadcast(cents))
+      .select($"vec_id", $"cid", $"embedding", $"cemb",
+        explode(sequence(lit(0), lit(7))).as("sub"))
+      .withColumn("qdist", graft.functions.NativeFunctions.floatVecL2Q(
+        slice($"embedding", $"sub" * 8 + 1, lit(8)),
+        slice($"cemb", $"sub" * 8 + 1, lit(8))))
+      .groupBy($"vec_id", $"sub")
+      .agg(min(struct($"qdist", $"cid")).as("best"))
+      .select($"vec_id", $"sub",
+        $"best.cid".as("code"), $"best.qdist".as("qdist"))
+  }
+
+  /** Oracle CTEs mirroring [[pqCodes]] (a def: referenced from `all`'s
+    * initializer above). */
+  private def pqSql: String =
+    """c AS (
+        SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+        WHERE vec_id < 16),
+      pq_scored AS (
+        SELECT e.vec_id, g.sub, c.cid,
+          (SELECT SUM(CAST(floor(
+              (CAST(e.embedding[g.sub * 8 + j] AS DOUBLE) -
+               CAST(c.cemb[g.sub * 8 + j] AS DOUBLE)) *
+              (CAST(e.embedding[g.sub * 8 + j] AS DOUBLE) -
+               CAST(c.cemb[g.sub * 8 + j] AS DOUBLE)) * 1000000.0)
+            AS BIGINT)) FROM generate_series(1, 8) t(j)) AS qdist
+        FROM embeddings e, c,
+          (SELECT unnest(generate_series(0, 7)) AS sub) g),
+      codes AS (
         SELECT vec_id, sub, cid AS code, qdist FROM (
           SELECT vec_id, sub, cid, qdist,
             ROW_NUMBER() OVER (PARTITION BY vec_id, sub
               ORDER BY qdist, cid) AS rk
-          FROM scored) t WHERE rk = 1"""))
-  )
+          FROM pq_scored) t WHERE rk = 1)"""
 }
