@@ -457,6 +457,58 @@ object Advanced {
           MIN(c) AS min_c, quantile_cont(c, 0.5) AS median_c,
           CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_key_share,
           CAST(MAX(c) AS DOUBLE) / quantile_cont(c, 0.5) AS skew_ratio
-        FROM per"""))
+        FROM per""")),
+
+    // ------------------------------------------------------------------
+    // Correlated EXISTS / NOT EXISTS through the SQL frontend —
+    // Catalyst's RewritePredicateSubquery turns them into a left-semi
+    // and a left-anti join (PlanSpec pins both): big customers with at
+    // least one 300k+ order but no finalized 450k+ order. The
+    // subquery form is what SQL users write; the engine must plan it
+    // as joins, never per-row subquery execution.
+    Q("rel_exists_sql",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("customer_exv")
+        Tables.orders(s, d).createOrReplaceTempView("orders_exv")
+        s.sql("""SELECT c_custkey, c_name FROM customer_exv c
+          WHERE EXISTS (
+              SELECT 1 FROM orders_exv o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+            AND NOT EXISTS (
+              SELECT 1 FROM orders_exv o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderstatus = 'F' AND o.o_totalprice > 450000)""")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+          AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderstatus = 'F' AND o.o_totalprice > 450000)""")),
+
+    // ------------------------------------------------------------------
+    // Correlated LATERAL subquery with ORDER BY + LIMIT — top-3
+    // customers by balance per nation, written the way a SQL user
+    // writes per-group top-k. Catalyst decorrelates the limited
+    // lateral into a window/join plan; per-row subquery execution
+    // never happens. Total order inside the lateral (balance desc,
+    // custkey) so both engines pick identical survivors.
+    Q("rel_lateral_topk",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("customer_latv")
+        Tables.nation(s, d).createOrReplaceTempView("nation_latv")
+        s.sql("""SELECT n_name, t.c_custkey, t.c_name, t.c_acctbal
+          FROM nation_latv n,
+          LATERAL (SELECT c_custkey, c_name, c_acctbal FROM customer_latv c
+                   WHERE c.c_nationkey = n.n_nationkey
+                   ORDER BY c_acctbal DESC, c_custkey LIMIT 3) t""")
+      },
+      Some("""SELECT n_name, t.c_custkey, t.c_name, t.c_acctbal
+        FROM nation n,
+        LATERAL (SELECT c_custkey, c_name, c_acctbal FROM customer c
+                 WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey LIMIT 3) t"""))
   )
 }

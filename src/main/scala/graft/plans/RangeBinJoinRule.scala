@@ -72,8 +72,11 @@ object RangeBinJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    // Batch only: a stream-stream range join's state eviction reasons
+    // about the raw time-interval condition, and the bins would hide
+    // it; stream-static joins must stay broadcastable as written.
     case j @ Join(left, right, Inner, Some(cond), hint)
-        if cond.deterministic =>
+        if cond.deterministic && !left.isStreaming && !right.isStreaming =>
       val conjuncts = splitConjunctivePredicates(cond)
       val leftOut = left.outputSet
       val rightOut = right.outputSet

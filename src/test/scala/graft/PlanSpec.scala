@@ -79,6 +79,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.sliding("Generate".length).count(_ == "Generate") == 1, p.take(400))
   }
 
+  test("EXISTS/NOT EXISTS decorrelate to semi and anti joins") {
+    val p = plan("rel_exists_sql")
+    assert(p.contains("LeftSemi"), p.take(600))
+    assert(p.contains("LeftAnti"), p.take(600))
+  }
+
+  test("limited lateral subquery decorrelates — no per-row execution") {
+    val p = plan("rel_lateral_topk")
+    // decorrelation yields a join + per-group limit (window/group-
+    // limit), never a correlated-subquery or nested-loop-per-row plan
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("Cartesian"),
+      p.take(600))
+    assert(p.contains("Window") || p.contains("GroupLimit"), p.take(600))
+  }
+
   test("PQ encoding broadcasts the codebook; argmin is an aggregation") {
     val p = plan("sim_pq_encode")
     assert(p.contains("BroadcastExchange"), p.take(400))
