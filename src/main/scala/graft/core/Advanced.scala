@@ -509,6 +509,93 @@ object Advanced {
         FROM nation n,
         LATERAL (SELECT c_custkey, c_name, c_acctbal FROM customer c
                  WHERE c.c_nationkey = n.n_nationkey
-                 ORDER BY c_acctbal DESC, c_custkey LIMIT 3) t"""))
+                 ORDER BY c_acctbal DESC, c_custkey LIMIT 3) t""")),
+
+    // ------------------------------------------------------------------
+    // Recursive CTE (Spark 4 WITH RECURSIVE): ancestor chain over a
+    // synthetic binary-tree hierarchy (parent(k) = k div 2 over
+    // supplier keys, root 0) — the org-chart / BOM-explosion shape.
+    // Each iteration is one self-union step the engine re-plans;
+    // depth is bounded by log₂(max key), so the recursion terminates
+    // in ~⌈log₂ n⌉ rounds regardless of table size — the same
+    // doubling bound as dedup_cc's pointer jumping.
+    Q("rel_recursive_closure",
+      (s, d) => {
+        Tables.supplier(s, d).createOrReplaceTempView("supplier_recv")
+        s.sql("""WITH RECURSIVE anc(node, anc_node, depth) AS (
+            SELECT s_suppkey AS node, s_suppkey div 2 AS anc_node,
+                   1 AS depth
+            FROM supplier_recv WHERE s_suppkey > 0
+            UNION ALL
+            SELECT node, anc_node div 2, depth + 1
+            FROM anc WHERE anc_node > 0)
+          SELECT node, MAX(depth) AS depth_to_root,
+                 COUNT(*) AS n_ancestors
+          FROM anc GROUP BY node""")
+      },
+      Some("""WITH RECURSIVE anc(node, anc_node, depth) AS (
+          SELECT s_suppkey AS node, s_suppkey // 2 AS anc_node, 1 AS depth
+          FROM supplier WHERE s_suppkey > 0
+          UNION ALL
+          SELECT node, anc_node // 2, depth + 1
+          FROM anc WHERE anc_node > 0)
+        SELECT node, MAX(depth) AS depth_to_root, COUNT(*) AS n_ancestors
+        FROM anc GROUP BY node""")),
+
+    // ------------------------------------------------------------------
+    // Pearson correlation from exact ingredients: built-in corr()
+    // merges co-moments incrementally, so its low-order bits depend
+    // on partial-agg order — not oracle-comparable. Instead the six
+    // sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) are exact
+    // decimal sums (associative), and corr is ONE fixed IEEE formula
+    // over them, written identically in both engines — the
+    // ev_ab_ttest pattern applied to covariance.
+    //
+    // Oracle subtlety: DuckDB's direct DECIMAL→DOUBLE cast is not
+    // correctly rounded at wide magnitudes (observed 1 ulp off for a
+    // 17-significant-digit DECIMAL(38,4), vs Spark's exact
+    // BigDecimal.doubleValue) — the oracle therefore converts through
+    // VARCHAR, whose strtod parse IS correctly rounded, making both
+    // engines' formula inputs bit-identical.
+    Q("rel_corr_manual",
+      (s, d) => {
+        import s.implicits._
+        def dbl(c: Column) = c.cast("double")
+        val dec = DecimalType(27, 4)
+        val agg = Tables.lineitem(s, d)
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum($"l_quantity".cast(dec)).as("sx"),
+            sum($"l_extendedprice".cast(dec)).as("sy"),
+            sum(($"l_quantity" * $"l_extendedprice").cast(dec)).as("sxy"),
+            sum(($"l_quantity" * $"l_quantity").cast(dec)).as("sxx"),
+            sum(($"l_extendedprice" * $"l_extendedprice").cast(dec)).as("syy"))
+        agg.select($"l_returnflag", $"n",
+          ((dbl($"n") * dbl($"sxy") - dbl($"sx") * dbl($"sy")) /
+           (sqrt(dbl($"n") * dbl($"sxx") - dbl($"sx") * dbl($"sx")) *
+            sqrt(dbl($"n") * dbl($"syy") - dbl($"sy") * dbl($"sy"))))
+            .as("corr_qty_price"))
+      },
+      Some("""WITH agg AS (
+          SELECT l_returnflag, COUNT(*) AS n,
+            SUM(CAST(l_quantity AS DECIMAL(27,4))) AS sx,
+            SUM(CAST(l_extendedprice AS DECIMAL(27,4))) AS sy,
+            SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(27,4))) AS sxy,
+            SUM(CAST(l_quantity * l_quantity AS DECIMAL(27,4))) AS sxx,
+            SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(27,4)))
+              AS syy
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, n,
+          (CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+             - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+               * CAST(CAST(sy AS VARCHAR) AS DOUBLE)) /
+          (sqrt(CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+             - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+               * CAST(CAST(sx AS VARCHAR) AS DOUBLE)) *
+           sqrt(CAST(n AS DOUBLE) * CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+             - CAST(CAST(sy AS VARCHAR) AS DOUBLE)
+               * CAST(CAST(sy AS VARCHAR) AS DOUBLE)))
+            AS corr_qty_price
+        FROM agg"""))
   )
 }
