@@ -719,7 +719,39 @@ object TextAnalysis {
         FROM (SELECT doc_id, lang, mean_pq,
                 NTILE(3) OVER (PARTITION BY lang
                   ORDER BY mean_pq, doc_id) AS tercile
-              FROM surprisal) t"""))
+              FROM surprisal) t""")),
+
+    // ------------------------------------------------------------------
+    // Hashing-trick featurization: each document's bag-of-words hashed
+    // into 32 buckets (md5 of the token, portable across engines, like
+    // txt_split_hash's split buckets) — the fixed-width sparse feature
+    // vector a downstream classifier (quality/lang filters) trains on
+    // without a vocabulary table. Sparse (doc, bucket, tf) rows, not a
+    // dense pivot: one explode + one map-side-combinable aggregation,
+    // and 100 TB of text never materializes a vocab-size-wide row.
+    Q("txt_hashed_features",
+      (s, d) => {
+        import s.implicits._
+        val bucket = conv(substring(md5($"tok"), 1, 4), 16, 10)
+          .cast("int") % 32
+        Tables.documents(s, d)
+          .select($"doc_id", explode(tokens($"text")).as("tok"))
+          .select($"doc_id", bucket.as("bucket"))
+          .groupBy($"doc_id", $"bucket")
+          .agg(count(lit(1)).as("tf"))
+      },
+      Some("""SELECT doc_id,
+          ((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+         + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+         + (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+         + (instr('0123456789abcdef', substr(h, 4, 1)) - 1)) % 32 AS bucket,
+          COUNT(*) AS tf
+        FROM (SELECT doc_id, substr(md5(tok), 1, 4) AS h
+              FROM (SELECT doc_id,
+                      unnest(string_split_regex(trim(lower(text)), '\s+'))
+                        AS tok
+                    FROM documents) y) x
+        GROUP BY doc_id, bucket"""))
   )
 
   /** Library form of the quality/stat projections for reuse. */
