@@ -626,10 +626,15 @@ object Relational {
     Q("rel_winsorized_stats",
       (s, d) => {
         import s.implicits._
+        // one percentile aggregate with an array of fractions: the
+        // group's values buffer ONCE, not once per requested quantile
         val pct = Tables.lineitem(s, d)
           .groupBy($"l_returnflag")
-          .agg(expr("percentile(l_extendedprice, 0.01)").as("p01"),
-               expr("percentile(l_extendedprice, 0.99)").as("p99"))
+          .agg(expr("percentile(l_extendedprice, array(0.01D, 0.99D))")
+            .as("pcts"))
+          .select($"l_returnflag",
+            element_at($"pcts", 1).as("p01"),
+            element_at($"pcts", 2).as("p99"))
         Tables.lineitem(s, d)
           .join(broadcast(pct), Seq("l_returnflag"))
           .withColumn("clipped",
