@@ -700,6 +700,41 @@ object Relational {
         GROUP BY promo_id""")),
 
     // ------------------------------------------------------------------
+    // The same overlap join written as the NATURAL theta condition —
+    // no library call: RangeBinJoinRule's interval-overlap case
+    // rewrites it to the binned, dedup-free hash join in the Verify/
+    // Bench sessions (vanilla Spark would broadcast-nested-loop it).
+    // Identical result set to rel_interval_overlap_join by
+    // construction — the oracle is the same SQL.
+    Q("rel_interval_overlap_auto",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .select($"event_id",
+            expr("unix_micros(ts) div 1000000").as("e_lo"))
+          .withColumn("e_hi", $"e_lo" + 300L)
+        val promos = s.range(0, 124).select(
+          $"id".as("promo_id"),
+          (lit(1704067200L) + $"id" * 21600L).as("p_lo"))
+          .withColumn("p_hi", $"p_lo" + 3600L)
+        ev.join(promos, $"e_lo" <= $"p_hi" && $"p_lo" <= $"e_hi")
+          .groupBy($"promo_id")
+          .agg(count(lit(1)).as("n_events"), sum($"event_id").as("id_sum"))
+      },
+      Some("""WITH ev AS (
+          SELECT event_id, epoch_us(ts) // 1000000 AS e_lo,
+                 epoch_us(ts) // 1000000 + 300 AS e_hi
+          FROM events),
+        promos AS (
+          SELECT k AS promo_id, 1704067200 + k * 21600 AS p_lo,
+                 1704067200 + k * 21600 + 3600 AS p_hi
+          FROM (SELECT unnest(generate_series(0, 123)) AS k) g)
+        SELECT promo_id, COUNT(*) AS n_events,
+          CAST(SUM(event_id) AS BIGINT) AS id_sum
+        FROM ev JOIN promos ON e_lo <= p_hi AND p_lo <= e_hi
+        GROUP BY promo_id""")),
+
+    // ------------------------------------------------------------------
     // Median absolute deviation — the robust dispersion measure
     // (stddev is dominated by the outliers a cleaning pass is hunting
     // for). Same two-pass broadcast shape as rel_winsorized_stats:

@@ -6,12 +6,18 @@ import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan,
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType}
 
-/** Optimizer rule: point-in-interval joins become binned equi-joins.
+/** Optimizer rule: point-in-interval AND interval-overlap joins
+  * become binned equi-joins.
   *
   * An inner join whose only cross-side condition is a range sandwich
   *
   *   lo ⋈ point ⋈ hi      (⋈ ∈ {<, <=}, lo/hi from one side,
   *                          point from the other, integral types)
+  *
+  * or an interval overlap
+  *
+  *   aLo ⋈ bHi AND bLo ⋈ aHi   (a's bounds from one side, b's from
+  *                              the other)
   *
   * has no equi-join key, so Spark plans a broadcast-nested-loop join —
   * O(|points|·|intervals|) comparisons, and the build side must fit in
@@ -33,6 +39,15 @@ import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType}
   * with null or inverted bounds generate an empty bin array and drop
   * out, exactly as the original (null/false) predicate dropped them;
   * a null point gets a null bin, which the equi-join drops.
+  *
+  * The overlap case explodes BOTH sides and would emit a pair once
+  * per shared bin, so the join additionally claims each pair only in
+  * the bin of greatest(aLo, bLo) — the overlap's left edge, provably
+  * inside both sides' generated bin ranges — keeping the join
+  * exactly-once with no dedup pass. Overlap bins span least..greatest
+  * of each side's bounds (no validity guard): the raw predicates can
+  * still match when a side's bounds are inverted, and least/greatest
+  * generation preserves those matches.
   *
   * Scope guards: inner joins only; both bounds from the same side;
   * integral (int/long) types only — float bins would need
@@ -108,42 +123,82 @@ object RangeBinJoinRule extends Rule[LogicalPlan] with PredicateHelper {
         if ps != bs
       } yield (p, b, isLower, ps)
 
+      val w = Literal(binWidth)
+      def bin(e: Expression) = IntegralDivide(Cast(e, LongType), w)
+
+      // Sequence is TimeZoneAwareExpression: unresolved until the
+      // session zone is attached (irrelevant for integral bounds, but
+      // resolution requires it after analysis). `guard` adds the
+      // lo<=hi validity test; without it bins span least..greatest so
+      // even an inverted interval keeps its original matches.
+      def binGen(lo: Expression, hi: Expression, guard: Boolean,
+                 attr: AttributeReference, child: LogicalPlan): Generate = {
+        val (start, stop) =
+          if (guard) (lo, hi)
+          else (Least(Seq(lo, hi)), Greatest(Seq(lo, hi)))
+        val valid =
+          if (guard)
+            And(And(IsNotNull(lo), IsNotNull(hi)), LessThanOrEqual(lo, hi))
+          else And(IsNotNull(lo), IsNotNull(hi))
+        val bins = If(valid,
+          new Sequence(bin(start), bin(stop), Literal(1L))
+            .withTimeZone(conf.sessionLocalTimeZone),
+          Literal.create(Array.empty[Long], ArrayType(LongType, false)))
+        Generate(Explode(bins), unrequiredChildIndex = Nil, outer = false,
+          qualifier = None, generatorOutput = Seq(attr), child = child)
+      }
+
+      // Point-in-interval: one side contributes a single point
+      // expression sandwiched by the other side's bounds.
       val sandwich = (for {
         (p1, lo, true, ps1) <- bounds
         (p2, hi, false, ps2) <- bounds
         if ps1 == ps2 && p1.semanticEquals(p2)
       } yield (p1, lo, hi, ps1)).headOption
 
-      sandwich match {
-        case Some((point, lo, hi, pointOnLeft)) if !hasCrossEquality =>
-          val w = Literal(binWidth)
-          def bin(e: Expression) = IntegralDivide(Cast(e, LongType), w)
+      // Interval overlap: each side bounds the other — aLo <= bHi and
+      // bLo <= aHi (any strictness). The sandwich pattern is tried
+      // first, so a shared point expression never lands here.
+      val overlap = (for {
+        (aLo, bHi, false, true) <- bounds
+        (aHi, bLo, true, true) <- bounds
+        if !aLo.semanticEquals(aHi)
+      } yield (aLo, aHi, bLo, bHi)).headOption
 
+      if (hasCrossEquality) j
+      else sandwich match {
+        case Some((point, lo, hi, pointOnLeft)) =>
           val pAlias = Alias(bin(point), "__graft_pbin")()
           val (pointPlan, intervalPlan) =
             if (pointOnLeft) (left, right) else (right, left)
           val pointProj = Project(pointPlan.output :+ pAlias, pointPlan)
-
           val iBin = AttributeReference("__graft_ibin", LongType,
             nullable = false)()
-          // Sequence is TimeZoneAwareExpression: unresolved until the
-          // session zone is attached (irrelevant for integral bounds,
-          // but resolution requires it after analysis).
-          val bins = If(
-            And(And(IsNotNull(lo), IsNotNull(hi)), LessThanOrEqual(lo, hi)),
-            new Sequence(bin(lo), bin(hi), Literal(1L))
-              .withTimeZone(conf.sessionLocalTimeZone),
-            Literal.create(Array.empty[Long], ArrayType(LongType, false)))
-          val gen = Generate(Explode(bins), unrequiredChildIndex = Nil,
-            outer = false, qualifier = None, generatorOutput = Seq(iBin),
-            child = intervalPlan)
-
+          val gen = binGen(lo, hi, guard = true, iBin, intervalPlan)
           val (newLeft, newRight) =
             if (pointOnLeft) (pointProj, gen) else (gen, pointProj)
           val newCond = And(EqualTo(pAlias.toAttribute, iBin), cond)
           Project(j.output, Join(newLeft, newRight, Inner, Some(newCond), hint))
 
-        case _ => j
+        case None => overlap match {
+          case Some((aLo, aHi, bLo, bHi)) =>
+            // Both sides explode; each true pair is claimed ONLY in
+            // the bin of the overlap's left edge (greatest of the two
+            // lower bounds) — provably inside both sides' generated
+            // ranges — so no pair duplicates and no dedup pass runs
+            // (the overlapJoinBinned trick, applied by the planner).
+            val lBin = AttributeReference("__graft_lbin", LongType,
+              nullable = false)()
+            val rBin = AttributeReference("__graft_rbin", LongType,
+              nullable = false)()
+            val genL = binGen(aLo, aHi, guard = false, lBin, left)
+            val genR = binGen(bLo, bHi, guard = false, rBin, right)
+            val canonical = EqualTo(lBin, bin(Greatest(Seq(aLo, bLo))))
+            val newCond = And(And(EqualTo(lBin, rBin), canonical), cond)
+            Project(j.output, Join(genL, genR, Inner, Some(newCond), hint))
+
+          case None => j
+        }
       }
   }
 }

@@ -106,6 +106,33 @@ class RangeBinJoinSpec extends AnyFunSuite {
     assert(!plan.contains("__graft_pbin"), plan)
   }
 
+  test("interval-overlap join rewrites to a binned hash join") {
+    import spark.implicits._
+    // second interval table with disjoint column names
+    val p2 = java.nio.file.Files.createTempDirectory("rb_iv2").toString
+    (Seq((10L, 50L, 200L), (11L, 2400L, 2600L), (12L, 330L, 310L)) // 12 inverted
+      .toDF("b_id", "b_lo", "b_hi"))
+      .write.mode("overwrite").parquet(p2)
+    val b = spark.read.parquet(p2)
+    val joined = intervals.join(b,
+      col("lo") <= col("b_hi") && col("b_lo") <= col("hi"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("__graft_lbin"), plan)
+    // Ground truth by hand over the 4 valid a-intervals × 3 b rows
+    // (overlap predicate on RAW bounds, inverted rows included).
+    val as = Seq((0L, 100L, 350L), (1L, 300L, 2500L), (2L, 4000L, 4099L),
+      (3L, 900L, 100L))
+    val bs = Seq((10L, 50L, 200L), (11L, 2400L, 2600L), (12L, 330L, 310L))
+    val want = (for {
+      (aid, alo, ahi) <- as; (bid, blo, bhi) <- bs
+      if alo <= bhi && blo <= ahi
+    } yield (aid, bid)).toSet
+    val got = joined.select(col("ival_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"got $got want $want")
+  }
+
   test("bin width conf is honored") {
     spark.conf.set("spark.graft.rangeJoin.binWidth", "64")
     try {
