@@ -20,6 +20,13 @@ object Joins {
     * Use when the LEFT side is large with skewed keys and the RIGHT
     * side is small enough to replicate `factor`× (dims, lookup
     * tables) but too big to broadcast outright.
+    *
+    * AQE's runtime skew split (AqeSpec) covers many of these cases
+    * with no code change — but it refuses any split that would force
+    * an extra downstream shuffle, e.g. when a groupBy on the join key
+    * wants to reuse the join's partitioning. Salting keeps working
+    * there (the salted key changes the partitioning explicitly and
+    * the re-aggregation cost is visible in the query).
     */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  factor: Int = 8): DataFrame = {
