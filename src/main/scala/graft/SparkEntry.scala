@@ -16,6 +16,7 @@ object SparkEntry {
   val registry: Seq[Q] =
     core.Relational.all ++
     core.Advanced.all ++
+    core.Lifecycle.all ++
     ext.EventsOps.all ++
     ext.TextAnalysis.all ++
     ext.Dedup.all ++

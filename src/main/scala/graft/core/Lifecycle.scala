@@ -1,0 +1,185 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.{Q, Tables}
+
+/** Pipeline-lifecycle relational shapes: the decorrelated
+  * aggregate-subquery joins of TPC-H Q17/Q18 (the two classic
+  * "compare each row against its group's aggregate" forms the
+  * reference's fold never needs but any warehouse user runs), a
+  * single-join data-quality audit, and incremental materialized-
+  * aggregate maintenance (merge a delta batch's partials into a
+  * snapshot without rescanning history).
+  *
+  * Exactness rules follow Tables.Q's documented conventions: every
+  * compared or exported aggregate travels as DECIMAL (associative
+  * addition — bit-identical under any partial-aggregation order);
+  * the Q17 average test `qty < 0.2 * avg` is cleared of division
+  * entirely by comparing `5 * qty * cnt < sum` in integers/decimals.
+  */
+object Lifecycle {
+
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(27, scale))).cast("double")
+
+  val all: Seq[Q] = Seq(
+    // ------------------------------------------------------------------
+    // TPC-H Q17 shape: revenue from small-quantity orders of small
+    // parts, where "small quantity" means below 20% of that part's own
+    // average order quantity. The correlated AVG subquery decorrelates
+    // into a per-part pre-aggregation joined back on partkey — the
+    // probe scan and the aggregate share one l_partkey hash
+    // partitioning (no second lineitem shuffle), and the part dim is
+    // broadcast. Division-free exactness: l_quantity < 0.2*(sum/cnt)
+    // ⟺ 5*qty*cnt < sum (cnt > 0), all in exact decimals.
+    Q("rel_small_qty_revenue",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+        val perPart = li
+          .groupBy($"l_partkey".as("ap_partkey"))
+          .agg(sum($"l_quantity".cast(DecimalType(18, 2))).as("qty_sum"),
+            count(lit(1)).as("qty_cnt"))
+        li.join(broadcast(Tables.part(s, d).filter($"p_size" <= 5)
+              .select($"p_partkey")),
+            $"l_partkey" === $"p_partkey")
+          .join(perPart, $"l_partkey" === $"ap_partkey")
+          .filter($"l_quantity".cast(DecimalType(18, 2)) * 5 * $"qty_cnt"
+            < $"qty_sum")
+          .agg(count(lit(1)).as("n_small"),
+            dsum($"l_extendedprice").as("small_qty_revenue"))
+      },
+      Some("""WITH per_part AS (
+          SELECT l_partkey AS ap_partkey,
+            SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_sum,
+            COUNT(*) AS qty_cnt
+          FROM lineitem GROUP BY l_partkey)
+        SELECT COUNT(*) AS n_small,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE)
+            AS small_qty_revenue
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey AND p_size <= 5
+        JOIN per_part ON l_partkey = ap_partkey
+        WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * qty_cnt < qty_sum""")),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q18 shape: large-volume orders — orders whose total line
+    // quantity exceeds a threshold, re-joined to orders and customer
+    // for reporting. The HAVING pre-aggregation runs on the lineitem
+    // orderkey partitioning and survives as a small filtered set, so
+    // the detail joins see only qualifying orderkeys; customer joins
+    // AFTER the filter (the join input is 10^2-10^3 smaller than
+    // joining customer to all orders first).
+    Q("rel_large_orders",
+      (s, d) => {
+        import s.implicits._
+        val big = Tables.lineitem(s, d)
+          .groupBy($"l_orderkey")
+          .agg(sum($"l_quantity".cast(DecimalType(18, 2))).as("sum_qty"))
+          .filter($"sum_qty" > 180)
+        big.join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+          .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+          .select($"c_name", $"c_custkey", $"o_orderkey", $"o_orderdate",
+            $"o_totalprice", $"sum_qty".cast("double").as("total_qty"))
+          .orderBy($"total_qty".desc, $"o_orderkey")
+          .limit(50)
+      },
+      Some("""WITH big AS (
+          SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2)))
+            AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 180)
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+          CAST(sum_qty AS DOUBLE) AS total_qty
+        FROM big JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY total_qty DESC, o_orderkey LIMIT 50""")),
+
+    // ------------------------------------------------------------------
+    // Data-quality audit: the assertion sweep a pipeline runs before
+    // publishing a table, as ONE left join + ONE conditional
+    // aggregation (not one scan per check): row count, domain
+    // violations (non-positive quantity, discount outside [0,1],
+    // unknown return flag), referential orphans (lineitem without its
+    // order — the join's null wing), and cross-table invariant
+    // violations (shipdate before orderdate). At 100 TB the join is
+    // the orderkey co-partitioning every fact query already uses, and
+    // each check is a codegen'd conditional count in the same pass.
+    Q("rel_dq_audit",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d).select($"o_orderkey", $"o_orderdate"),
+            $"l_orderkey" === $"o_orderkey", "left")
+          .agg(count(lit(1)).as("n_rows"),
+            count(when($"l_quantity" <= 0, 1)).as("bad_qty"),
+            count(when($"l_discount" < 0 || $"l_discount" > 1, 1))
+              .as("bad_discount"),
+            count(when(!$"l_returnflag".isin("A", "N", "R"), 1))
+              .as("bad_returnflag"),
+            count(when($"o_orderkey".isNull, 1)).as("orphan_lines"),
+            count(when($"l_shipdate" < $"o_orderdate", 1))
+              .as("ship_before_order"))
+      },
+      Some("""SELECT COUNT(*) AS n_rows,
+          COUNT(CASE WHEN l_quantity <= 0 THEN 1 END) AS bad_qty,
+          COUNT(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 END)
+            AS bad_discount,
+          COUNT(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 END)
+            AS bad_returnflag,
+          COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END) AS orphan_lines,
+          COUNT(CASE WHEN l_shipdate < o_orderdate THEN 1 END)
+            AS ship_before_order
+        FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey""")),
+
+    // ------------------------------------------------------------------
+    // Incremental aggregate maintenance: a monthly-revenue rollup kept
+    // as mergeable partials (count + decimal sum), refreshed by
+    // aggregating ONLY the delta batch and merging it into the
+    // snapshot's partials — the materialized-view update that replaces
+    // rescanning all history on every refresh. Here the snapshot
+    // (orders before 1999) and the delta (the rest) are built from the
+    // same table and their merge is asserted equal to the full
+    // recompute by the oracle; in production the snapshot arm is a
+    // read of the previous run's parquet. AVG-style metrics derive
+    // from the partials at read time (sum/count), never stored.
+    Q("rel_incremental_agg",
+      (s, d) => {
+        import s.implicits._
+        val cutoff = lit("1999-01-01").cast("timestamp")
+        def monthly(df: org.apache.spark.sql.DataFrame) = df
+          .groupBy(date_trunc("month", $"o_orderdate").as("month"))
+          .agg(count(lit(1)).as("n"),
+            sum($"o_totalprice".cast(DecimalType(27, 2))).as("total"))
+        val snapshot = monthly(Tables.orders(s, d)
+          .filter($"o_orderdate" < cutoff))
+        val delta = monthly(Tables.orders(s, d)
+          .filter($"o_orderdate" >= cutoff))
+        snapshot.unionAll(delta)
+          .groupBy($"month")
+          .agg(sum($"n").as("n_orders"),
+            sum($"total").cast("double").as("revenue"))
+      },
+      Some("""WITH snapshot AS (
+          SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+              AS month,
+            COUNT(*) AS n,
+            SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS total
+          FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'
+          GROUP BY 1),
+        delta AS (
+          SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+              AS month,
+            COUNT(*) AS n,
+            SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS total
+          FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+          GROUP BY 1)
+        SELECT month, SUM(n) AS n_orders,
+          CAST(SUM(total) AS DOUBLE) AS revenue
+        FROM (SELECT * FROM snapshot UNION ALL SELECT * FROM delta)
+        GROUP BY month"""))
+  )
+}

@@ -255,4 +255,35 @@ class PlanSpec extends AnyFunSuite {
     val exchanges = p.linesIterator.count(_.contains("Exchange"))
     assert(exchanges <= 2, s"got $exchanges exchanges\n$p")
   }
+
+  test("Q17 shape broadcasts the part dim; avg test is division-free") {
+    val p = plan("rel_small_qty_revenue")
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
+      p.take(400))
+    // The 0.2*avg predicate must compare decimals (5*qty*cnt < sum),
+    // never divide — division would reintroduce IEEE rounding into
+    // the filter boundary.
+    assert(!p.contains(" / "), "avg comparison must be division-free")
+  }
+
+  test("Q18 shape joins detail tables only after the HAVING filter") {
+    val p = plan("rel_large_orders")
+    assert(p.contains("TakeOrderedAndProject"), p.take(400))
+    assert(!p.contains("Cartesian"), p.take(400))
+  }
+
+  test("DQ audit is one outer join + one aggregation pass") {
+    val p = plan("rel_dq_audit")
+    assert(p.contains("LeftOuter"), p.take(400))
+    // every check is a conditional count inside the same aggregate —
+    // each table is scanned exactly once, not once per assertion
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 2,
+      "each table scanned exactly once")
+  }
+
+  test("incremental agg maintenance is joinless partial merging") {
+    val p = plan("rel_incremental_agg")
+    assert(!p.contains("Join"), p.take(400))
+  }
 }
