@@ -45,7 +45,9 @@ object Bench {
     "dedup_fuzzy_verify", "ev_session_window", "ev_interval_coverage",
     "txt_bpe_tokens", "sim_ivf_assign",
     "sim_knn_graph", "sim_kmeans_step", "rel_scd2_dimension",
-    "rel_merge_upsert", "txt_bigram_lm", "ev_sliding_window_counts")
+    "rel_merge_upsert", "txt_bigram_lm", "ev_sliding_window_counts",
+    "gr_pagerank", "gr_triangle_count", "rel_small_qty_revenue",
+    "rel_dq_audit")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

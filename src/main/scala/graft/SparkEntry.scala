@@ -22,6 +22,7 @@ object SparkEntry {
     ext.Dedup.all ++
     ext.Similarity.all ++
     ext.Multimodal.all ++
+    ext.GraphOps.all ++
     parity.ParityQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

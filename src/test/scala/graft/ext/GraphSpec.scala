@@ -1,0 +1,71 @@
+package graft.ext
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the graph operators' exact semantics on constructed graphs
+  * where the integer arithmetic can be verified by hand — the oracle
+  * queries then check the same operators end-to-end on the testdata
+  * graphs.
+  */
+class GraphSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def sym(pairs: (Long, Long)*) = {
+    import spark.implicits._
+    val df = pairs.toDF("src", "dst")
+    df.unionAll(df.select($"dst".as("src"), $"src".as("dst")))
+  }
+
+  test("pagerank on a star graph: exact hand-computed integer ranks") {
+    import spark.implicits._
+    // Star K1,3: center 0, leaves 1..3; n=4, unit=2.5e11.
+    // base = 15*unit/100 = 3.75e10.
+    // Round 1: contrib(0) = 3 * (unit div 1) = 7.5e11
+    //          contrib(leaf) = unit div 3 = 83_333_333_333
+    // r1(0)    = base + 85*7.5e11 div 100   = 675_037_500_000... compute:
+    //            3.75e10 + 637_500_000_000  = 675_000_000_000 + 37_500_000_000
+    // r1(leaf) = 3.75e10 + (85*83_333_333_333) div 100
+    //          = 37_500_000_000 + 70_833_333_333 = 108_333_333_333
+    val r = GraphOps.pagerank(sym(0L -> 1L, 0L -> 2L, 0L -> 3L), rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r(0L) == 37500000000L + 637500000000L)
+    assert(r(1L) == 37500000000L + 70833333333L)
+    assert(r(1L) == r(2L) && r(2L) == r(3L), "leaves are symmetric")
+  }
+
+  test("pagerank conserves order under more rounds and any partitioning") {
+    import spark.implicits._
+    val edges = sym(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L, 1L -> 3L)
+    val r3 = GraphOps.pagerank(edges, rounds = 3).as[(Long, Long)]
+      .collect().toMap
+    val r3r = GraphOps.pagerank(edges.repartition(7), rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(r3 == r3r, "partitioning must not change a single micro-rank unit")
+    // 1 and 3 have degree 3; 2 and 4 degree 2 — rank follows degree.
+    assert(r3(1L) == r3(3L) && r3(2L) == r3(4L))
+    assert(r3(1L) > r3(2L))
+  }
+
+  test("triangle count: K4 has 4 triangles, dangling edges add none") {
+    import spark.implicits._
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val withTail = (k4 :+ (5L, 6L)).toDF("a", "b")
+    val row = GraphOps.triangleCount(withTail)
+      .as[(Long, Long, Long)].head()
+    assert(row == ((4L, 7L, 6L)),
+      "4 triangles, 7 edges, 6 nodes expected")
+  }
+
+  test("triangle count survives skew: a hub star yields zero triangles") {
+    import spark.implicits._
+    val star = (2L to 40L).map(v => (1L, v)).toDF("a", "b")
+    val row = GraphOps.triangleCount(star).as[(Long, Long, Long)].head()
+    assert(row._1 == 0L && row._3 == 40L)
+  }
+}
