@@ -751,7 +751,100 @@ object TextAnalysis {
                       unnest(string_split_regex(trim(lower(text)), '\s+'))
                         AS tok
                     FROM documents) y) x
-        GROUP BY doc_id, bucket"""))
+        GROUP BY doc_id, bucket""")),
+
+    // ------------------------------------------------------------------
+    // Character-diversity quality stats via the O(n) CharHistStats
+    // expression — a narrow map per document (code points counted,
+    // run-length over a sort, no explode). The collision share
+    // (Σc²/n², parts-per-billion by integer division) is the
+    // no-logarithm gibberish detector: high for "aaaa…"/separator
+    // spam, low for natural text. The oracle pays the exploded
+    // two-aggregation form the expression avoids; integer outputs
+    // keep the comparison exact. (Both sides count per code point —
+    // the corpus is ASCII; DuckDB's '' split is codepoint-wise too.)
+    Q("txt_char_diversity",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"doc_id",
+            graft.functions.NativeFunctions.charHistStats($"text").as("st"))
+          .select($"doc_id",
+            $"st" (0).as("n_cps"),
+            $"st" (1).as("n_distinct_chars"),
+            expr("st[2] * 1000000000 div nullif(st[0] * st[0], 0)")
+              .as("collision_ppb"))
+      },
+      Some("""WITH chars AS (
+          SELECT doc_id, unnest(string_split(text, '')) AS ch
+          FROM documents),
+        per_ch AS (
+          SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch),
+        agg AS (
+          SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS d,
+                 CAST(SUM(c * c) AS BIGINT) AS ss
+          FROM per_ch GROUP BY doc_id)
+        SELECT doc_id, n AS n_cps, d AS n_distinct_chars,
+          ss * 1000000000 // NULLIF(n * n, 0) AS collision_ppb
+        FROM agg""")),
+
+    // ------------------------------------------------------------------
+    // Linear-model document scoring over the hashing-trick features —
+    // the quality-classifier shape (fastText-style filtering à la
+    // DCLM/FineWeb): the model is a TABLE of (bucket, weight) rows,
+    // broadcast to every executor, and scoring is one broadcast join
+    // + one aggregation over the sparse (doc, bucket, tf) features.
+    // Weights here are derived deterministically from md5 so both
+    // engines build the identical model without a side file; integer
+    // weights keep the score exact. At 100 TB the feature build is
+    // the only corpus-wide scan; the model stays O(buckets).
+    Q("txt_classifier_score",
+      (s, d) => {
+        import s.implicits._
+        val bucket = conv(substring(md5($"tok"), 1, 4), 16, 10)
+          .cast("int") % 32
+        val feats = Tables.documents(s, d)
+          .select($"doc_id", explode(tokens($"text")).as("tok"))
+          .select($"doc_id", bucket.as("bucket"))
+          .groupBy($"doc_id", $"bucket")
+          .agg(count(lit(1)).as("tf"))
+        val weights = s.range(32).select($"id".cast("int").as("bucket"),
+          (conv(substring(md5(concat(lit("w"), $"id".cast("string"))), 1, 4),
+            16, 10).cast("long") % 2001 - 1000).as("w"))
+        feats.join(broadcast(weights), "bucket")
+          .groupBy($"doc_id")
+          .agg(sum($"tf" * $"w").as("score"),
+            sum($"tf").as("l1"),
+            count(lit(1)).as("n_active"))
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id,
+            unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+          FROM documents),
+        feats AS (
+          SELECT doc_id,
+            ((instr('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 4096
+           + (instr('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) * 256
+           + (instr('0123456789abcdef', substr(md5(tok), 3, 1)) - 1) * 16
+           + (instr('0123456789abcdef', substr(md5(tok), 4, 1)) - 1)) % 32
+              AS bucket,
+            COUNT(*) AS tf
+          FROM toks GROUP BY doc_id, bucket),
+        weights AS (
+          SELECT b AS bucket,
+            ((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+           + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+           + (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+           + (instr('0123456789abcdef', substr(h, 4, 1)) - 1)) % 2001 - 1000
+              AS w
+          FROM (SELECT b, md5('w' || CAST(b AS VARCHAR)) AS h
+                FROM generate_series(0, 31) t(b)))
+        SELECT doc_id,
+          CAST(SUM(tf * w) AS BIGINT) AS score,
+          CAST(SUM(tf) AS BIGINT) AS l1,
+          COUNT(*) AS n_active
+        FROM feats JOIN weights USING (bucket)
+        GROUP BY doc_id"""))
   )
 
   /** Library form of the quality/stat projections for reuse. */

@@ -323,6 +323,39 @@ case class RollingHashAll(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Per-document character-histogram statistics in one O(n·log n)
+  * pass: `[n_cps, n_distinct, Σ count(ch)²]` over the document's code
+  * points. The squared-count sum is the unnormalized collision
+  * probability (Rényi-2 / Simpson index) — the gibberish/spam
+  * detector that needs NO logarithm: dividing by n² gives the chance
+  * two random positions hold the same character, high for
+  * low-diversity junk ("aaaa…", repeated separators) and low for
+  * natural text. Everything is exact integer arithmetic, so the
+  * result is engine-comparable (a Shannon-entropy variant would hang
+  * the oracle on log() ulp differences — JVM Math.log is not
+  * correctly rounded). The SQL equivalent explodes one row per
+  * character and re-aggregates twice; this is a narrow map.
+  */
+case class CharHistStats(child: Expression)
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, LongType}
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_hist_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      HashImpls.charHistStats(input.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"""new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            graft.functions.HashImpls.charHistStats($c.toString()))""")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Multi-seed MinHash signature over k-code-point shingles, fused
   * into one pass: the k-gram polynomial rolling hash h_i (B=31,
   * M=1e9+7) is computed once per window, and each seed s keeps
@@ -538,6 +571,27 @@ object HashImpls {
       i += 1
     }
     mins
+  }
+
+  /** See [[CharHistStats]]: [n_cps, n_distinct, sum of squared
+    * per-character counts] from one pass over the sorted code-point
+    * array — no hash map, no per-character allocation. */
+  def charHistStats(s: String): Array[Long] = {
+    val cps = s.codePoints().toArray
+    java.util.Arrays.sort(cps)
+    val n = cps.length
+    var distinct = 0L
+    var sumSq = 0L
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n && cps(j) == cps(i)) j += 1
+      val c = (j - i).toLong
+      distinct += 1L
+      sumSq += c * c
+      i = j
+    }
+    Array(n.toLong, distinct, sumSq)
   }
 }
 
@@ -784,6 +838,9 @@ object NativeFunctions {
 
   def minMd5Window(c: Column, k: Int = 8): Column =
     ColumnBridge.column(MinMd5Window(ColumnBridge.expression(c), k))
+
+  def charHistStats(c: Column): Column =
+    ColumnBridge.column(CharHistStats(ColumnBridge.expression(c)))
 
   def rollingModCount(c: Column, k: Int = 8, div: Long = 64L): Column =
     ColumnBridge.column(RollingModCount(ColumnBridge.expression(c), k, div))

@@ -286,4 +286,17 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("rel_incremental_agg")
     assert(!p.contains("Join"), p.take(400))
   }
+
+  test("char diversity is a pure narrow map — no explode, no exchange") {
+    val p = plan("txt_char_diversity")
+    assert(!p.contains("Exchange") && !p.contains("Generate"), p.take(600))
+    assert(p.contains("char_hist_stats"), p.take(600))
+  }
+
+  test("classifier scoring broadcasts the model table") {
+    val p = plan("txt_classifier_score")
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+    assert(!p.contains("SortMergeJoin"),
+      "the O(buckets) model must never shuffle the feature side")
+  }
 }

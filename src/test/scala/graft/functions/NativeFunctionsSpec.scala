@@ -201,4 +201,19 @@ class NativeFunctionsSpec extends AnyFunSuite {
     assert(viaSql.head.getSeq[org.apache.spark.sql.Row](0)
       .head.getString(0) === "v00")
   }
+
+  test("char_hist_stats: exact histogram moments, unicode-safe") {
+    import spark.implicits._
+    val got = Seq("aabbc", "", "aaaa", "héé", "𝒳𝒳y")
+      .toDF("s")
+      .select(NativeFunctions.charHistStats($"s").as("st"))
+      .as[Seq[Long]].collect()
+    // [n_cps, distinct, sum c^2]
+    assert(got(0) === Seq(5L, 3L, 9L))   // 2^2+2^2+1
+    assert(got(1) === Seq(0L, 0L, 0L))   // empty: no chars, no runs
+    assert(got(2) === Seq(4L, 1L, 16L))  // degenerate "aaaa"
+    assert(got(3) === Seq(3L, 2L, 5L))   // é counted once per occurrence
+    // Surrogate pair: 𝒳 is ONE code point twice, not four UTF-16 units
+    assert(got(4) === Seq(3L, 2L, 5L))
+  }
 }
