@@ -199,6 +199,60 @@ object Multimodal {
             // 65536 AS shard_id,
           CAST(ROW_NUMBER() OVER (PARTITION BY kind ORDER BY doc_id)
             AS INTEGER) AS pos_in_kind
-        FROM media"""))
+        FROM media""")),
+
+    // ------------------------------------------------------------------
+    // Audio STFT frame planning through the batched decode path: each
+    // audio row's (sample_rate, n_samples) — derived deterministically
+    // from the payload length, where a real codec reads the header —
+    // is expanded into 25 ms windows on a 10 ms hop (the standard
+    // speech-feature framing). Frame length/hop are integer-derived
+    // from the rate (22050 → 551/220 by truncating division on BOTH
+    // engines), boundaries come from one sequence() generator — a
+    // narrow map + explode, no shuffle; payload bytes never move.
+    Q("mm_audio_windows",
+      (s, d) => {
+        import s.implicits._
+        decodeFeatures(mediaFromDocuments(s, d)).toDF()
+          .filter($"kind" === "audio")
+          .select($"doc_id",
+            element_at(
+              array(lit(8000L), lit(16000L), lit(22050L), lit(44100L)),
+              ($"byte_len" % 4 + 1).cast("int")).as("sr"),
+            ($"byte_len".cast("long") * 64).as("n_samples"))
+          .withColumn("flen", expr("sr * 25 div 1000"))
+          .withColumn("hop", expr("sr * 10 div 1000"))
+          .withColumn("n_frames",
+            when($"n_samples" >= $"flen",
+              lit(1L) + expr("(n_samples - flen) div hop"))
+              .otherwise(lit(0L)))
+          .filter($"n_frames" > 0)
+          .select($"doc_id", $"sr", $"n_samples", $"n_frames", $"flen",
+            $"hop",
+            explode(sequence(lit(0L), $"n_frames" - 1)).as("frame_idx"))
+          .select($"doc_id", $"sr", $"n_samples", $"n_frames", $"frame_idx",
+            ($"frame_idx" * $"hop").as("start_sample"),
+            ($"frame_idx" * $"hop" + $"flen").as("end_sample"))
+      },
+      Some("""WITH audio AS (
+          SELECT doc_id,
+            ([8000, 16000, 22050, 44100])[
+              CAST(octet_length(encode(text)) % 4 + 1 AS INTEGER)]
+              AS sr,
+            CAST(octet_length(encode(text)) AS BIGINT) * 64 AS n_samples
+          FROM documents WHERE doc_id % 3 = 1),
+        framed AS (
+          SELECT doc_id, sr, n_samples,
+            sr * 25 // 1000 AS flen, sr * 10 // 1000 AS hop,
+            CASE WHEN n_samples >= sr * 25 // 1000
+                 THEN 1 + (n_samples - sr * 25 // 1000) // (sr * 10 // 1000)
+                 ELSE 0 END AS n_frames
+          FROM audio)
+        SELECT doc_id, CAST(sr AS BIGINT) AS sr, n_samples, n_frames,
+          unnest(generate_series(0, n_frames - 1)) AS frame_idx,
+          unnest(generate_series(0, n_frames - 1)) * hop AS start_sample,
+          unnest(generate_series(0, n_frames - 1)) * hop + flen
+            AS end_sample
+        FROM framed WHERE n_frames > 0"""))
   )
 }
