@@ -166,6 +166,30 @@ object StreamingOps {
         col("c.ts").as("click_ts"))
   }
 
+  /** LEFT OUTER variant of [[clickAttribution]]: purchases with no
+    * click in the horizon are still emitted — with a null click_ts —
+    * but only once the click-side watermark has passed the end of
+    * their match window, i.e. once no future click can still join.
+    * That deferred null-wing emission is the semantic difference
+    * from a batch left join (which knows the click side is complete);
+    * the state bound is the same as the inner form: both sides evict
+    * as watermarks advance. The unmatched output IS the "organic
+    * purchase" stream an attribution pipeline routes separately.
+    */
+  def clickAttributionOuter(clicks: DataFrame, purchases: DataFrame,
+                            horizonMinutes: Int = 30): DataFrame = {
+    val c = clicks.withWatermark("ts", "1 hour").as("c")
+    val p = purchases.withWatermark("ts", "1 hour").as("p")
+    p.join(c,
+      expr(s"""c.user_id = p.user_id AND
+               c.ts <= p.ts AND
+               c.ts >= p.ts - INTERVAL $horizonMinutes MINUTES"""),
+      "leftOuter")
+      .select(col("p.user_id").as("user_id"),
+        col("p.ts").as("purchase_ts"), col("p.value").as("amount"),
+        col("c.ts").as("click_ts"))
+  }
+
   final case class ClosedSession(user_id: Long, start_micros: Long,
                                  end_micros: Long, n_events: Long,
                                  sum_value: Double)

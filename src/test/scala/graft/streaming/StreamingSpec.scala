@@ -204,6 +204,37 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("left-outer interval join emits the null wing after watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val purchases = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val out = StreamingOps.clickAttributionOuter(
+      clicks.toDF().toDF("user_id", "ts", "value"),
+      purchases.toDF().toDF("user_id", "ts", "value"))
+    val q = out.writeStream.format("memory").queryName("attr_outer")
+      .outputMode("append").start()
+    clicks.addData((1L, ts("2024-01-01 10:00:00"), 0.0))
+    purchases.addData((1L, ts("2024-01-01 10:15:00"), 99.0), // matched
+                      (2L, ts("2024-01-01 10:15:00"), 42.0)) // organic
+    q.processAllAvailable()
+    // The unmatched purchase must NOT appear yet: a click for user 2
+    // could still arrive inside the horizon.
+    val early = spark.table("attr_outer").collect()
+    assert(!early.exists(_.getLong(0) == 2L),
+      "null wing must wait for the watermark")
+    // Advance both watermarks past 10:15 + horizon + 1h delay.
+    clicks.addData((8L, ts("2024-01-01 14:00:00"), 0.0))
+    purchases.addData((9L, ts("2024-01-01 14:00:00"), 0.0))
+    q.processAllAvailable()
+    val got = spark.table("attr_outer").collect()
+      .map(r => (r.getLong(0), Option(r.getTimestamp(3)).map(_.toString)))
+      .toSet
+    assert(got.contains((1L, Some("2024-01-01 10:00:00.0"))), got.mkString(","))
+    assert(got.contains((2L, None)), s"organic purchase missing: $got")
+    q.stop()
+  }
+
   test("streaming near-dup dedup: MinHashSig keys dropDuplicatesWithinWatermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
