@@ -16,8 +16,10 @@ object SparkEntry {
   val registry: Seq[Q] =
     core.Relational.all ++
     core.Advanced.all ++
+    core.Advanced.all2 ++
     core.Lifecycle.all ++
     ext.EventsOps.all ++
+    ext.EventsOps.all2 ++
     ext.TextAnalysis.all ++
     ext.Dedup.all ++
     ext.Similarity.all ++

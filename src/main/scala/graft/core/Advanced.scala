@@ -598,4 +598,34 @@ object Advanced {
             AS corr_qty_price
         FROM agg"""))
   )
+
+  /** Second page (keeps the Seq literal under codegen size limits). */
+  val all2: Seq[Q] = Seq(
+    // ------------------------------------------------------------------
+    // Mergeable-sketch distinct rollup: per-month HLL sketches of the
+    // ordering customers, UNIONED up to per-year estimates — the
+    // incremental-distinct pattern a 100 TB warehouse runs (daily
+    // sketch partials persisted once, any coarser rollup or ad-hoc
+    // range union is sketch-merge work, never a rescan of history;
+    // exact distincts cannot be merged this way). DataSketches HLL via
+    // Spark's hll_sketch_agg/hll_union_agg. Sketch internals are
+    // engine-specific, so like rel_approx_distinct this query is
+    // rows-only for the driver; AdvancedSpec pins the estimates within
+    // tolerance of the exact per-year distincts, and that the
+    // month→year merge equals sketching the year directly.
+    Q("rel_hll_rollup",
+      (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d)
+          .groupBy(date_trunc("month", $"o_orderdate").as("month"))
+          .agg(hll_sketch_agg($"o_custkey").as("sk"),
+            count(lit(1)).as("n_orders"))
+          .groupBy(year($"month").as("o_year"))
+          .agg(hll_sketch_estimate(hll_union_agg($"sk"))
+              .as("approx_customers"),
+            sum($"n_orders").as("n_orders"))
+          .orderBy($"o_year")
+      },
+      None)
+  )
 }

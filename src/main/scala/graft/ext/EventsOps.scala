@@ -963,4 +963,64 @@ object EventsOps {
             RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) >= 5 AS is_burst
         FROM events"""))
   )
+
+  /** Second page of event ops (Scala 2.13 keeps Seq literals under
+    * the method-size codegen limit this way). */
+  val all2: Seq[Q] = Seq(
+    // ------------------------------------------------------------------
+    // Time-constrained funnel: view → click within 30 min → purchase
+    // within 30 min of the click. Unlike ev_funnel (any later event
+    // qualifies), each stage has a DEADLINE anchored on the previous
+    // stage's time — the product-analytics definition of a session
+    // conversion. Three chained window minima all run on ONE user_id
+    // exchange (each references the previous stage's column, so they
+    // stay ordered but share the partitioning — plan-pinned), then a
+    // single distinct-count aggregation produces the one-row
+    // conversion report. Timestamp comparisons are exact integer
+    // microseconds in both engines.
+    Q("ev_constrained_funnel",
+      (s, d) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window.partitionBy($"user_id")
+        val m30 = expr("INTERVAL 30 MINUTES")
+        Tables.events(s, d).select($"user_id", $"event_type", $"ts")
+          .withColumn("t1",
+            min(when($"event_type" === "view", $"ts")).over(w))
+          .withColumn("t2",
+            min(when($"event_type" === "click" &&
+              $"ts" > $"t1" && $"ts" <= $"t1" + m30, $"ts")).over(w))
+          .withColumn("t3",
+            min(when($"event_type" === "purchase" &&
+              $"ts" > $"t2" && $"ts" <= $"t2" + m30, $"ts")).over(w))
+          // Collapse per user FIRST — this groupBy reuses the windows'
+          // user_id partitioning (zero new exchange), and the final
+          // one-row count sums 0/1 flags from the node-sized user
+          // table. (Three countDistincts here instead would Expand
+          // every event row 3× and add a dedup shuffle.)
+          .groupBy($"user_id")
+          .agg(max($"t1").as("t1"), max($"t2").as("t2"), max($"t3").as("t3"))
+          .agg(
+            count(when($"t1".isNotNull, 1)).as("n_viewed"),
+            count(when($"t2".isNotNull, 1)).as("n_clicked_30m"),
+            count(when($"t3".isNotNull, 1)).as("n_purchased_30m"))
+      },
+      Some("""WITH t1 AS (
+          SELECT user_id, MIN(ts) AS t1 FROM events
+          WHERE event_type = 'view' GROUP BY user_id),
+        t2 AS (
+          SELECT e.user_id, MIN(e.ts) AS t2
+          FROM events e JOIN t1 ON e.user_id = t1.user_id
+          WHERE e.event_type = 'click' AND e.ts > t1.t1
+            AND e.ts <= t1.t1 + INTERVAL 30 MINUTE
+          GROUP BY e.user_id),
+        t3 AS (
+          SELECT e.user_id, MIN(e.ts) AS t3
+          FROM events e JOIN t2 ON e.user_id = t2.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+            AND e.ts <= t2.t2 + INTERVAL 30 MINUTE
+          GROUP BY e.user_id)
+        SELECT (SELECT COUNT(*) FROM t1) AS n_viewed,
+               (SELECT COUNT(*) FROM t2) AS n_clicked_30m,
+               (SELECT COUNT(*) FROM t3) AS n_purchased_30m"""))
+  )
 }

@@ -844,7 +844,43 @@ object TextAnalysis {
           CAST(SUM(tf) AS BIGINT) AS l1,
           COUNT(*) AS n_active
         FROM feats JOIN weights USING (bucket)
-        GROUP BY doc_id"""))
+        GROUP BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // RAG / pretraining chunk manifest: fixed 64-token windows on a
+    // 48-token stride (16-token overlap keeps context across chunk
+    // boundaries) — the retrieval-chunking counterpart of
+    // txt_pack_batches' greedy packing and mm_audio_windows' framing.
+    // One narrow map + sequence explode; the manifest is metadata
+    // (token offsets), the text itself never re-shuffles — chunk
+    // extraction happens wherever the doc partition already lives.
+    Q("txt_chunk_manifest",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"doc_id", size(tokens($"text")).cast("long").as("n_tok"))
+          .filter($"n_tok" > 0)
+          .select($"doc_id", $"n_tok",
+            explode(sequence(lit(0L), expr("(n_tok - 1) div 48")))
+              .as("chunk_idx"))
+          .select($"doc_id", $"n_tok", $"chunk_idx",
+            ($"chunk_idx" * 48).as("start_tok"),
+            least($"chunk_idx" * 48 + 64, $"n_tok").as("end_tok"))
+          .withColumn("n_in_chunk", $"end_tok" - $"start_tok")
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, CAST(length(string_split_regex(
+              trim(lower(text)), '\s+')) AS BIGINT) AS n_tok
+          FROM documents)
+        SELECT doc_id, n_tok,
+          unnest(generate_series(0, (n_tok - 1) // 48)) AS chunk_idx,
+          unnest(generate_series(0, (n_tok - 1) // 48)) * 48 AS start_tok,
+          least(unnest(generate_series(0, (n_tok - 1) // 48)) * 48 + 64,
+            n_tok) AS end_tok,
+          least(unnest(generate_series(0, (n_tok - 1) // 48)) * 48 + 64,
+            n_tok) - unnest(generate_series(0, (n_tok - 1) // 48)) * 48
+            AS n_in_chunk
+        FROM toks WHERE n_tok > 0"""))
   )
 
   /** Library form of the quality/stat projections for reuse. */

@@ -293,6 +293,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("char_hist_stats"), p.take(600))
   }
 
+  test("constrained funnel chains three windows on one user exchange") {
+    val p = plan("ev_constrained_funnel")
+    assert(!p.contains("Join"), p.take(400))
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("SinglePartition"))
+    assert(exchanges == 1, s"expected one user_id exchange, got $exchanges\n$p")
+  }
+
+  test("chunk manifest is a narrow map + one generator") {
+    val p = plan("txt_chunk_manifest")
+    assert(!p.contains("Exchange"), p.take(600))
+    assert(p.contains("Generate"), "sequence explode expected")
+  }
+
   test("classifier scoring broadcasts the model table") {
     val p = plan("txt_classifier_score")
     assert(p.contains("BroadcastHashJoin"), p.take(400))

@@ -123,4 +123,25 @@ class AdvancedSpec extends AnyFunSuite {
     val recall = ivf.intersect(exact).size.toDouble / exact.size
     assert(recall > 0.1, s"IVF recall too low: $recall")
   }
+
+  test("HLL month→year rollup merges to within 5% of exact distincts") {
+    import spark.implicits._
+    val rolled = SparkEntry.queries("rel_hll_rollup")(spark, sf)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val exact = Tables.orders(spark, sf)
+      .groupBy(year($"o_orderdate").as("y"))
+      .agg(countDistinct($"o_custkey").as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(rolled.keySet == exact.keySet)
+    for ((y, e) <- exact)
+      assert(math.abs(rolled(y) - e).toDouble / e <= 0.05,
+        s"year $y: estimate ${rolled(y)} vs exact $e")
+    // Merging monthly sketches must equal sketching the year directly
+    // (the mergeability contract that makes persisted partials safe).
+    val direct = Tables.orders(spark, sf)
+      .groupBy(year($"o_orderdate").as("y"))
+      .agg(hll_sketch_estimate(hll_sketch_agg($"o_custkey")).as("est"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(rolled == direct, "month-merge must equal direct year sketch")
+  }
 }
