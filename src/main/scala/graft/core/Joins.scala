@@ -114,17 +114,26 @@ object Joins {
     * rows with a null timestamp are dropped up front — they carry no
     * as-of ordering and would otherwise sort first and leak into
     * every left row of their key.
+    *
+    * `maxStaleness` (SQL interval, e.g. `"INTERVAL 10 MINUTES"`)
+    * bounds how old the carried right row may be — the feature-store
+    * contract (pandas merge_asof `tolerance`): a match older than
+    * the bound degrades to no-match (all carried columns null). The
+    * right timestamp rides inside the carried struct, so staleness
+    * is one codegen'd comparison after the same single shuffle.
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                tsCol: String, rightVals: Seq[String],
-               prefix: String = "asof_"): DataFrame = {
+               prefix: String = "asof_",
+               maxStaleness: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.types.{StructField, StructType}
     val leftCols = left.columns.toSeq
     val r0 = right
       .select((col(key) +: col(tsCol) +: rightVals.map(col)): _*)
       .filter(col(tsCol).isNotNull)
     val rvType = StructType(rightVals.map(c =>
-      StructField(c, r0.schema(c).dataType, nullable = true)))
+      StructField(c, r0.schema(c).dataType, nullable = true))
+      :+ StructField("__rts", r0.schema(tsCol).dataType, nullable = true))
     val l = left
       .withColumn("__side", lit(1))
       .withColumn("__rseq", lit(Long.MaxValue))
@@ -133,7 +142,8 @@ object Joins {
       .foldLeft(
         r0.withColumn("__rseq", monotonically_increasing_id())
           .withColumn("__side", lit(0))
-          .withColumn("__rv", struct(rightVals.map(col): _*))
+          .withColumn("__rv",
+            struct(rightVals.map(col) :+ col(tsCol).as("__rts"): _*))
           .select(col(key), col(tsCol), col("__side"), col("__rseq"), col("__rv")))(
         (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
     val unioned = l.unionByName(r)
@@ -143,8 +153,14 @@ object Joins {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val carried = unioned.withColumn("__rvc",
       last(col("__rv"), ignoreNulls = true).over(w))
+    val fresh = maxStaleness match {
+      case None => lit(true)
+      case Some(iv) =>
+        col("__rvc").getField("__rts") >= col(tsCol) - expr(iv)
+    }
     carried.filter(col("__side") === 1)
       .select((leftCols.map(col) ++
-        rightVals.map(c => col("__rvc").getField(c).as(s"$prefix$c"))): _*)
+        rightVals.map(c =>
+          when(fresh, col("__rvc").getField(c)).as(s"$prefix$c"))): _*)
   }
 }

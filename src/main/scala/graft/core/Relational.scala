@@ -428,6 +428,37 @@ object Relational {
           ON o.o_custkey = b.o_custkey AND o.o_orderdate >= b.o_orderdate""")),
 
     // ------------------------------------------------------------------
+    // As-of join with a staleness bound (pandas merge_asof tolerance /
+    // the feature-store freshness contract): the carried match
+    // degrades to null once it is older than 30 days. Same joinless
+    // single-shuffle window-carry as rel_asof_join — the right
+    // timestamp rides inside the carried struct and freshness is one
+    // codegen'd comparison. The oracle takes DuckDB's native ASOF
+    // match and nulls it past the bound, pinning that "stale match"
+    // and "no match" are the same outcome.
+    Q("rel_asof_tolerance",
+      (s, d) => {
+        import s.implicits._
+        val orders = Tables.orders(s, d)
+        val left = orders.select($"o_orderkey", $"o_custkey", $"o_orderdate")
+        val bigDays = orders.groupBy($"o_custkey", $"o_orderdate")
+          .agg(max($"o_totalprice").as("day_max"))
+          .filter($"day_max" > 150000.0)
+        Joins.asofJoin(left, bigDays, "o_custkey", "o_orderdate",
+            Seq("day_max"), maxStaleness = Some("INTERVAL 30 DAYS"))
+          .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"asof_day_max")
+      },
+      Some("""WITH big_days AS (
+          SELECT o_custkey, o_orderdate, MAX(o_totalprice) AS day_max
+          FROM orders GROUP BY o_custkey, o_orderdate
+          HAVING MAX(o_totalprice) > 150000.0)
+        SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+               CASE WHEN b.o_orderdate >= o.o_orderdate - INTERVAL 30 DAY
+                    THEN b.day_max END AS asof_day_max
+        FROM orders o ASOF LEFT JOIN big_days b
+          ON o.o_custkey = b.o_custkey AND o.o_orderdate >= b.o_orderdate""")),
+
+    // ------------------------------------------------------------------
     // Salted skew join (core.Joins.saltedJoin): the hot-key-safe form
     // must produce exactly the plain join's rows — the oracle IS the
     // unsalted join. Aggregated so the check covers every joined row.

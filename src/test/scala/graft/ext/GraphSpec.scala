@@ -68,4 +68,13 @@ class GraphSpec extends AnyFunSuite {
     val row = GraphOps.triangleCount(star).as[(Long, Long, Long)].head()
     assert(row._1 == 0L && row._3 == 40L)
   }
+
+  test("empty graphs: pagerank yields no rows, triangles a zero row") {
+    import spark.implicits._
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(GraphOps.pagerank(noEdges, rounds = 2).count() == 0L)
+    val noPairs = Seq.empty[(Long, Long)].toDF("a", "b")
+    val row = GraphOps.triangleCount(noPairs).as[(Long, Long, Long)].head()
+    assert(row == ((0L, 0L, 0L)))
+  }
 }

@@ -38,6 +38,22 @@ class StreamingSpec extends AnyFunSuite {
     val grady = rows.find(_.getAs[String]("Name") == "Seymour Grady").get
     assert(grady.getAs[String]("Acres of Improved Land") == "800")
     assert(grady.getAs[String]("Value of Livestock") == "25")
+
+    // Checkpoint restart contract: a second AvailableNow run over the
+    // SAME checkpoint must be a no-op for already-committed input (no
+    // duplicate batch output), and must pick up exactly the new file.
+    val q2 = StreamingOps.farmStream(spark, inDir.getAbsolutePath + "/*.json",
+      ckpt.getAbsolutePath, outDir.getAbsolutePath)
+    q2.awaitTermination(60000)
+    assert(!new java.io.File(outDir, "batch_1").exists(),
+      "restart with no new input must not emit a batch")
+    Files.writeString(new java.io.File(inDir, "doc2.json").toPath, doc)
+    val q3 = StreamingOps.farmStream(spark, inDir.getAbsolutePath + "/*.json",
+      ckpt.getAbsolutePath, outDir.getAbsolutePath)
+    q3.awaitTermination(60000)
+    val b1 = spark.read.option("header", true)
+      .csv(outDir.getAbsolutePath + "/batch_1").collect()
+    assert(b1.length == 2, "restart must process exactly the new document")
   }
 
   test("watermarked windowed aggregation over a memory stream") {
