@@ -180,6 +180,44 @@ object Lifecycle {
         SELECT month, SUM(n) AS n_orders,
           CAST(SUM(total) AS DOUBLE) AS revenue
         FROM (SELECT * FROM snapshot UNION ALL SELECT * FROM delta)
-        GROUP BY month"""))
+        GROUP BY month""")),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q19 shape: disjunctive join predicate — an OR of
+    // (brand, size-range, quantity-range) conjunctions mixing
+    // join-side and probe-side columns. The planner must (a) keep the
+    // equi key (partkey) as the hash-join key with the disjunction as
+    // residual — never fall back to a nested loop — and (b) push the
+    // extractable common conjuncts (p_size >= 1, the quantity hull)
+    // below the join as scan filters. Revenue per branch stays
+    // decimal-exact; the per-row double product
+    // l_extendedprice*(1-l_discount) is the same IEEE operation in
+    // both engines.
+    Q("rel_disjunctive_join",
+      (s, d) => {
+        import s.implicits._
+        val branch1 = $"p_brand" === "Brand#1" &&
+          $"p_size".between(1, 15) && $"l_quantity".between(1, 11)
+        val branch2 = $"p_brand" === "Brand#2" &&
+          $"p_size".between(1, 25) && $"l_quantity".between(10, 20)
+        val branch3 = $"p_brand" === "Brand#3" &&
+          $"p_size".between(1, 35) && $"l_quantity".between(20, 30)
+        Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d)), $"l_partkey" === $"p_partkey"
+            && (branch1 || branch2 || branch3))
+          .agg(count(lit(1)).as("n_matched"),
+            dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 6)
+              .as("revenue"))
+      },
+      Some("""SELECT COUNT(*) AS n_matched,
+          CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+            AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+          AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+                AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+                AND l_quantity BETWEEN 20 AND 30))"""))
   )
 }

@@ -267,6 +267,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains(" / "), "avg comparison must be division-free")
   }
 
+  test("disjunctive join keeps the hash key; OR stays residual") {
+    val p = plan("rel_disjunctive_join")
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("Cartesian"),
+      "the OR predicate must ride the partkey hash join as residual")
+    // The quantity hull (common to all branches) must reach the scan.
+    val f = formatted("rel_disjunctive_join")
+    assert(f.contains("PushedFilters:"), f.take(400))
+  }
+
   test("Q18 shape joins detail tables only after the HAVING filter") {
     val p = plan("rel_large_orders")
     assert(p.contains("TakeOrderedAndProject"), p.take(400))
