@@ -1021,6 +1021,36 @@ object EventsOps {
           GROUP BY e.user_id)
         SELECT (SELECT COUNT(*) FROM t1) AS n_viewed,
                (SELECT COUNT(*) FROM t2) AS n_clicked_30m,
-               (SELECT COUNT(*) FROM t3) AS n_purchased_30m"""))
+               (SELECT COUNT(*) FROM t3) AS n_purchased_30m""")),
+
+    // ------------------------------------------------------------------
+    // Exact per-group top-k through the TopKRows heap aggregate: the
+    // shuffle carries k pairs per (partition, group) instead of every
+    // row sorted behind one exchange (the row_number form the oracle
+    // uses — identical output, different cost curve: the aggregate's
+    // state is O(k) for a billion-row group). Values quantized to
+    // integer micro-units so the ranking boundary is exact in both
+    // engines; rank reconstructed from the sorted array position.
+    Q("ev_topk_per_type",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .select($"event_type",
+            floor($"value" * 1000000).cast("long").as("v"), $"event_id")
+          .groupBy($"event_type")
+          .agg(graft.functions.NativeFunctions
+            .topKPairs($"v", $"event_id", 5).as("top"))
+          .select($"event_type", posexplode($"top"))
+          .select($"event_type", ($"pos" + 1).cast("long").as("rank"),
+            $"col.ord".as("v"), $"col.value".as("event_id"))
+      },
+      Some("""SELECT event_type, rank, v, event_id FROM (
+          SELECT event_type,
+            CAST(floor(value * 1000000) AS BIGINT) AS v, event_id,
+            ROW_NUMBER() OVER (PARTITION BY event_type
+              ORDER BY CAST(floor(value * 1000000) AS BIGINT) DESC,
+                       event_id) AS rank
+          FROM events) t
+        WHERE rank <= 5"""))
   )
 }

@@ -688,6 +688,100 @@ case class ModeDet(child: Expression,
     copy(child = newChildren.head)
 }
 
+/** Exact top-k rows per group (`top_k_pairs`): keeps the k best
+  * (ord, value) pairs by (ord DESC, value ASC) in a bounded heap —
+  * the map-side-combinable alternative to `row_number() OVER (...)
+  * <= k`, which must SORT every group's full row set behind one
+  * exchange. Here each partition's partial is a k-element heap, the
+  * shuffle carries k pairs per (partition, group), and the merge is
+  * heap-union-truncate — O(k) state regardless of group size, the
+  * shape that survives a billion-row group. Exact selection by a
+  * total order is merge-order-independent, so results are
+  * deterministic under any partitioning (spec-pinned). Output is the
+  * sorted array<struct<ord,value>>; callers explode it to ranked
+  * rows. Quantize real-valued ordering keys to integers first (the
+  * floor(x·10⁶) trick) — exactness of the boundary comparison is on
+  * the caller.
+  */
+case class TopKRows(ordExpr: Expression, valueExpr: Expression, k: Int,
+                    mutableAggBufferOffset: Int = 0,
+                    inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate
+      .TypedImperativeAggregate[scala.collection.mutable.PriorityQueue[(Long, Long)]] {
+  import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream}
+  import scala.collection.mutable
+  import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
+
+  // Heap dequeues the WORST pair (smallest ord, then largest value),
+  // so a full heap evicts correctly on insert.
+  private val worstFirst: Ordering[(Long, Long)] =
+    Ordering.by[(Long, Long), (Long, Long)] { case (o, v) => (-o, v) }
+
+  override def children: Seq[Expression] = Seq(ordExpr, valueExpr)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("ord", LongType), StructField("value", LongType))),
+    containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "top_k_pairs"
+
+  override def createAggregationBuffer(): mutable.PriorityQueue[(Long, Long)] =
+    mutable.PriorityQueue.empty(worstFirst)
+
+  override def update(buf: mutable.PriorityQueue[(Long, Long)],
+                      input: org.apache.spark.sql.catalyst.InternalRow)
+      : mutable.PriorityQueue[(Long, Long)] = {
+    val o = ordExpr.eval(input)
+    val v = valueExpr.eval(input)
+    if (o != null && v != null) {
+      buf.enqueue((o.asInstanceOf[Long], v.asInstanceOf[Long]))
+      if (buf.size > k) buf.dequeue()
+    }
+    buf
+  }
+
+  override def merge(b1: mutable.PriorityQueue[(Long, Long)],
+                     b2: mutable.PriorityQueue[(Long, Long)])
+      : mutable.PriorityQueue[(Long, Long)] = {
+    for (p <- b2) { b1.enqueue(p); if (b1.size > k) b1.dequeue() }
+    b1
+  }
+
+  override def eval(buf: mutable.PriorityQueue[(Long, Long)]): Any = {
+    val sorted = buf.toArray.sortBy { case (o, v) => (-o, v) }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      sorted.map { case (o, v) =>
+        org.apache.spark.sql.catalyst.InternalRow(o, v)
+      }.toSeq)
+  }
+
+  override def serialize(buf: mutable.PriorityQueue[(Long, Long)]): Array[Byte] = {
+    val bytes = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bytes)
+    out.writeInt(buf.size)
+    for ((o, v) <- buf) { out.writeLong(o); out.writeLong(v) }
+    out.flush()
+    bytes.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte])
+      : mutable.PriorityQueue[(Long, Long)] = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val size = in.readInt()
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < size) { buf.enqueue((in.readLong(), in.readLong())); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKRows =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKRows =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(ordExpr = newChildren(0), valueExpr = newChildren(1))
+}
+
 /** SpaceSaving heavy hitters (`approx_top_k`): top-k values of a
   * string column with estimated counts and error bounds, in bounded
   * memory. The buffer holds at most `capacity` counters; a full
@@ -830,6 +924,11 @@ object NativeFunctions {
       ApproxTopK(ColumnBridge.expression(c), k, capacity)
         .toAggregateExpression())
 
+  def topKPairs(ord: Column, value: Column, k: Int): Column =
+    ColumnBridge.column(
+      TopKRows(ColumnBridge.expression(ord), ColumnBridge.expression(value), k)
+        .toAggregateExpression())
+
   def rollingHashAll(c: Column, k: Int = 8): Column =
     ColumnBridge.column(RollingHashAll(ColumnBridge.expression(c), k))
 
@@ -875,6 +974,10 @@ object NativeFunctions {
       exprs => ApproxTopK(exprs.head,
         k = exprs(1).eval().asInstanceOf[Int],
         capacity = exprs(2).eval().asInstanceOf[Int])
+        .toAggregateExpression(), "internal")
+    registry.createOrReplaceTempFunction("top_k_pairs",
+      exprs => TopKRows(exprs(0), exprs(1),
+        k = exprs(2).eval().asInstanceOf[Int])
         .toAggregateExpression(), "internal")
   }
 }

@@ -202,6 +202,38 @@ class NativeFunctionsSpec extends AnyFunSuite {
       .head.getString(0) === "v00")
   }
 
+  test("top_k_pairs: exact selection, ties, short groups, partitioning") {
+    import spark.implicits._
+    // (group, ord, value): group a has 6 rows incl. an ord tie where
+    // the SMALLER value must win the last slot; group b has fewer
+    // rows than k.
+    val rows = Seq(
+      ("a", 10L, 7L), ("a", 30L, 2L), ("a", 20L, 5L),
+      ("a", 20L, 3L), ("a", 5L, 1L), ("a", 20L, 4L),
+      ("b", 1L, 9L))
+    for (parts <- Seq(1, 3, 8)) {
+      val got = rows.toDF("g", "o", "v").repartition(parts)
+        .groupBy($"g")
+        .agg(NativeFunctions.topKPairs($"o", $"v", 4).as("top"))
+        .select($"g", $"top")
+        .collect()
+        .map(r => r.getString(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1)
+            .map(p => (p.getLong(0), p.getLong(1))))
+        .toMap
+      assert(got("a") == Seq((30L, 2L), (20L, 3L), (20L, 4L), (20L, 5L)),
+        s"parts=$parts got=${got("a")}")
+      assert(got("b") == Seq((1L, 9L)), "short group returns all rows")
+    }
+    // SQL registration path.
+    rows.toDF("g", "o", "v").createOrReplaceTempView("topkpairs")
+    NativeFunctions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT top_k_pairs(o, v, 1) AS t FROM topkpairs WHERE g = 'a'")
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+    assert(viaSql.map(p => (p.getLong(0), p.getLong(1))) == Seq((30L, 2L)))
+  }
+
   test("char_hist_stats: exact histogram moments, unicode-safe") {
     import spark.implicits._
     val got = Seq("aabbc", "", "aaaa", "héé", "𝒳𝒳y")
