@@ -218,6 +218,52 @@ object Lifecycle {
             OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
                 AND l_quantity BETWEEN 10 AND 20)
             OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
-                AND l_quantity BETWEEN 20 AND 30))"""))
+                AND l_quantity BETWEEN 20 AND 30))""")),
+
+    // ------------------------------------------------------------------
+    // Snapshot reconciliation: the added/removed/changed/unchanged
+    // audit between two table versions, as ONE full outer join on the
+    // key with a value comparison — the diff a pipeline runs before
+    // promoting a rebuilt table (and the check that catches silent
+    // row loss). Versions are derived deterministically from orders
+    // (v1 drops keys ≡0 mod 5; v2 drops ≡0 mod 7 and perturbs the
+    // price of keys ≡0 mod 3), so both engines reconstruct identical
+    // inputs. At 100 TB both sides hash-partition on the key — the
+    // same co-partitioning every fact join uses; the status rollup is
+    // map-side combined.
+    Q("rel_snapshot_diff",
+      (s, d) => {
+        import s.implicits._
+        val orders = Tables.orders(s, d)
+        val v1 = orders.filter($"o_orderkey" % 5 =!= 0)
+          .select($"o_orderkey".as("k1"), $"o_totalprice".as("p1"))
+        val v2 = orders.filter($"o_orderkey" % 7 =!= 0)
+          .select($"o_orderkey".as("k2"),
+            when($"o_orderkey" % 3 === 0, $"o_totalprice" + 100.0)
+              .otherwise($"o_totalprice").as("p2"))
+        v1.join(v2, $"k1" === $"k2", "full_outer")
+          .select(
+            when($"k1".isNull, "added")
+              .when($"k2".isNull, "removed")
+              .when($"p1" =!= $"p2", "changed")
+              .otherwise("unchanged").as("status"))
+          .groupBy($"status")
+          .agg(count(lit(1)).as("n_rows"))
+      },
+      Some("""WITH v1 AS (
+          SELECT o_orderkey AS k1, o_totalprice AS p1 FROM orders
+          WHERE o_orderkey % 5 <> 0),
+        v2 AS (
+          SELECT o_orderkey AS k2,
+            CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100.0
+                 ELSE o_totalprice END AS p2
+          FROM orders WHERE o_orderkey % 7 <> 0)
+        SELECT CASE WHEN k1 IS NULL THEN 'added'
+                    WHEN k2 IS NULL THEN 'removed'
+                    WHEN p1 <> p2 THEN 'changed'
+                    ELSE 'unchanged' END AS status,
+               COUNT(*) AS n_rows
+        FROM v1 FULL OUTER JOIN v2 ON k1 = k2
+        GROUP BY 1"""))
   )
 }

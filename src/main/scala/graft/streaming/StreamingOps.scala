@@ -77,6 +77,21 @@ object StreamingOps {
         .approxTopK(col("event_type"), k, capacity).as("top"))
       .select(col("window.start").as("window_start"), col("top"))
 
+  /** Exact per-window top-k rows via the TopKRows heap aggregate:
+    * like [[windowedHeavyHitters]], the TypedImperativeAggregate
+    * buffer serializes into the streaming state row, so state per
+    * window is k pairs — never the window's row set. Emits on window
+    * close (append mode). */
+  def windowedTopK(events: DataFrame, k: Int = 3,
+                   window_ : String = "1 hour",
+                   watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_))
+      .agg(graft.functions.NativeFunctions
+        .topKPairs(col("ord"), col("value"), k).as("top"))
+      .select(col("window.start").as("window_start"), col("top"))
+
   /** Built-in session windows (gap-close semantics). */
   def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
     events

@@ -206,4 +206,25 @@ class BucketingSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == 65536L)
     assert(filesTouched($"x" < 64 && $"y" < 64) <= total * 2 / 3)
   }
+
+  test("schema evolution: mergeSchema unions columns across file vintages") {
+    // The lakehouse reality a long-lived table accumulates: files
+    // written before a column existed must read as null alongside
+    // newer files, and the merged schema must be the union. (Default
+    // reads use the FIRST file's schema for speed — mergeSchema is
+    // the documented opt-in.)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("evolve").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$dir/vintage=1")
+    Seq((3L, "c", 99L), (4L, "d", 100L)).toDF("id", "v", "score")
+      .write.mode("overwrite").parquet(s"$dir/vintage=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "v", "score", "vintage"))
+    val rows = merged.select($"id", $"score").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(rows(1L).isEmpty && rows(3L).contains(99L),
+      "old files read the new column as null")
+  }
 }

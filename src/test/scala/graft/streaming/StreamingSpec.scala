@@ -330,6 +330,30 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("windowed exact top-k emits k heap pairs on window close") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val events = mem.toDF().toDF("ts", "ord", "value")
+    val q = StreamingOps.windowedTopK(events, k = 2)
+      .writeStream.format("memory").queryName("wtopk")
+      .outputMode("append").start()
+    mem.addData(
+      (ts("2024-01-01 10:05:00"), 10L, 1L), (ts("2024-01-01 10:10:00"), 30L, 2L),
+      (ts("2024-01-01 10:15:00"), 20L, 3L), (ts("2024-01-01 10:20:00"), 30L, 9L))
+    q.processAllAvailable()
+    assert(spark.table("wtopk").isEmpty, "window still open")
+    mem.addData((ts("2024-01-01 13:30:00"), 0L, 0L))
+    q.processAllAvailable()
+    val rows = spark.table("wtopk").collect()
+    assert(rows.length === 1, rows.mkString(","))
+    val top = rows.head.getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // ord 30 tie resolves to the smaller value first; k=2 truncates.
+    assert(top === Seq((30L, 2L), (30L, 9L)))
+    q.stop()
+  }
+
   test("streaming anomaly z-score flags outliers against prior state only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
