@@ -440,7 +440,70 @@ object Similarity {
         SELECT vec_id, SUM(lut_qd) AS adc_dist
         FROM codes JOIN lut ON codes.sub = lut.sub AND codes.code = lut.cid
         GROUP BY vec_id
-        ORDER BY adc_dist, vec_id LIMIT 10"""))
+        ORDER BY adc_dist, vec_id LIMIT 10""")),
+
+    // ------------------------------------------------------------------
+    // Semantic dedup end-to-end (SemDeDup, Abbas et al. 2023): the
+    // embedding near-dup pairs (label-blocked cosine > 0.95 — the
+    // within-cell scan an IVF coarse assignment bounds at 10⁹
+    // vectors) become the edge set of Dedup.connectedComponents, and
+    // every vector gets a transitive cluster id + keep/drop verdict —
+    // the min-id representative survives. Same composition as
+    // dedup_verdict but over SEMANTIC (embedding) rather than lexical
+    // (MinHash band) edges: together they cover both halves of a
+    // production dedup stack. Cosine edges use the IEEE dot for the
+    // threshold only (margins dwarf 1 ulp); nothing float-derived is
+    // output, so the oracle compare stays exact.
+    Q("sim_semantic_verdict",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+          .select($"vec_id", $"label", $"embedding")
+          .withColumn("nrm", sqrt(dot($"embedding", $"embedding")))
+        val pairs = emb.as("a").join(emb.as("b"),
+            col("a.label") === col("b.label") &&
+            col("a.vec_id") < col("b.vec_id"))
+          .withColumn("cos", dot(col("a.embedding"), col("b.embedding")) /
+            (col("a.nrm") * col("b.nrm")))
+          .filter($"cos" > 0.95)
+          .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+        val edges = pairs
+          .unionByName(pairs.select($"dst".as("src"), $"src".as("dst")))
+        val wCluster = org.apache.spark.sql.expressions.Window
+          .partitionBy($"cluster_id")
+        Tables.embeddings(s, d).select($"vec_id".as("doc_id"))
+          .join(Dedup.connectedComponents(
+              edges.select($"src", $"dst")),
+            Seq("doc_id"), "left")
+          .withColumn("cluster_id", coalesce($"cluster_id", $"doc_id"))
+          .withColumn("cluster_size", count(lit(1)).over(wCluster))
+          .withColumn("is_kept", $"doc_id" === $"cluster_id")
+          .select($"doc_id".as("vec_id"), $"cluster_id", $"cluster_size",
+            $"is_kept")
+      },
+      Some(s"""WITH RECURSIVE pairs AS (
+          SELECT a.vec_id AS src, b.vec_id AS dst
+          FROM embeddings a JOIN embeddings b
+            ON a.label = b.label AND a.vec_id < b.vec_id
+          WHERE ${dotSql("a.embedding", "b.embedding")} /
+                (sqrt(${dotSql("a.embedding", "a.embedding")}) *
+                 sqrt(${dotSql("b.embedding", "b.embedding")})) > 0.95),
+        edges AS (SELECT src, dst FROM pairs
+                  UNION ALL SELECT dst AS src, src AS dst FROM pairs),
+        reach(v, r) AS (
+          SELECT DISTINCT src AS v, src AS r FROM edges
+          UNION
+          SELECT e.dst AS v, reach.r FROM reach JOIN edges e
+            ON e.src = reach.v),
+        clusters AS (
+          SELECT v AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY v),
+        verdict AS (
+          SELECT e.vec_id, COALESCE(cl.cluster_id, e.vec_id) AS cluster_id
+          FROM embeddings e LEFT JOIN clusters cl ON cl.vec_id = e.vec_id)
+        SELECT vec_id, cluster_id,
+          COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+          vec_id = cluster_id AS is_kept
+        FROM verdict"""))
   )
 
   /** PQ codebook assignment shared by `sim_pq_encode` and
