@@ -86,4 +86,44 @@ class AqeSpec extends AnyFunSuite {
     assert(plan.contains("coalesced") || plan.contains("AQEShuffleRead"),
       s"expected a coalesced AQE shuffle read:\n$plan")
   }
+
+  test("AQE upgrades a sort-merge join to broadcast at runtime") {
+    import spark.implicits._
+    val factDir = Files.createTempDirectory("aqe_fact").toString
+    val dimDir = Files.createTempDirectory("aqe_dim2").toString
+    spark.range(0, 50000L)
+      .select(($"id" % 1000).as("k"), md5($"id".cast("string")).as("payload"))
+      .write.mode("overwrite").parquet(factDir)
+    // Dim is large on disk (static plan: sort-merge) but a selective
+    // filter leaves a handful of rows at runtime — exactly the case
+    // where per-stage runtime statistics beat static estimates, and
+    // the join flips to broadcast after the filter's shuffle stage
+    // materializes.
+    spark.range(0, 200000L)
+      .select($"id".as("k"), md5($"id".cast("string")).as("attr"))
+      .write.mode("overwrite").parquet(dimDir)
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      // Small static threshold so the STATIC plan picks sort-merge...
+      "spark.sql.autoBroadcastJoinThreshold" -> "32KB")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // ...the dim side shrinks through an aggregation (its output
+      // stats become known when the stage finishes), and AQE replans
+      // the join as broadcast.
+      val smallDim = spark.read.parquet(dimDir)
+        .groupBy($"k").agg(max($"attr").as("attr"))
+        .filter($"k" < 20)
+      val joined = spark.read.parquet(factDir)
+        .join(smallDim, "k")
+        .agg(count(lit(1)).as("n"))
+      val plan = finalPlan(joined)
+      assert(plan.contains("BroadcastHashJoin"),
+        s"expected a runtime broadcast upgrade:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
