@@ -264,6 +264,106 @@ object Lifecycle {
                     ELSE 'unchanged' END AS status,
                COUNT(*) AS n_rows
         FROM v1 FULL OUTER JOIN v2 ON k1 = k2
-        GROUP BY 1"""))
+        GROUP BY 1""")),
+
+    // ------------------------------------------------------------------
+    // NOT IN under three-valued logic: a NULL in the subquery list
+    // makes `x NOT IN (list)` UNKNOWN for every x outside the list —
+    // SQL's most-misread semantics, and the reason Spark has a
+    // dedicated null-aware anti join (a plain hash anti join would
+    // return the complement and be WRONG). The query counts survivors
+    // against a null-free list and a null-bearing list of the same
+    // keys: the second count must be 0, not "orders of other
+    // customers". Plan-pinned to the single-column null-aware
+    // broadcast anti join, not a nested loop over the fact side.
+    Q("rel_not_in_nulls",
+      (s, d) => {
+        import s.implicits._
+        val orders = Tables.orders(s, d)
+        orders.createOrReplaceTempView("o_tmp")
+        Tables.customer(s, d).createOrReplaceTempView("c_tmp")
+        s.sql("""
+          SELECT
+            (SELECT COUNT(*) FROM o_tmp
+             WHERE o_custkey NOT IN
+               (SELECT c_custkey FROM c_tmp WHERE c_acctbal > 9000))
+              AS n_not_in_clean,
+            (SELECT COUNT(*) FROM o_tmp
+             WHERE o_custkey NOT IN
+               (SELECT CASE WHEN c_acctbal > 9000 THEN c_custkey END
+                FROM c_tmp))
+              AS n_not_in_nullable""")
+      },
+      Some("""SELECT
+          (SELECT COUNT(*) FROM orders
+           WHERE o_custkey NOT IN
+             (SELECT c_custkey FROM customer WHERE c_acctbal > 9000))
+            AS n_not_in_clean,
+          (SELECT COUNT(*) FROM orders
+           WHERE o_custkey NOT IN
+             (SELECT CASE WHEN c_acctbal > 9000 THEN c_custkey END
+              FROM customer))
+            AS n_not_in_nullable""")),
+
+    // ------------------------------------------------------------------
+    // Aggregate null semantics in one pass: COUNT(*) counts rows,
+    // COUNT(col)/SUM/MIN/AVG skip NULLs, and an all-NULL group yields
+    // NULL (not 0) for SUM/MIN/AVG — the rules engines have
+    // historically disagreed on, pinned here as an engine-parity
+    // query. The nullable column is derived (price only for 'F'
+    // status), so the 'P'/'O' groups exercise the all-NULL wing.
+    Q("rel_null_agg_semantics",
+      (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d)
+          .withColumn("p",
+            when($"o_orderstatus" === "F",
+              $"o_totalprice".cast(DecimalType(18, 2))))
+          .groupBy($"o_orderstatus")
+          .agg(count(lit(1)).as("n_rows"),
+            count($"p").as("n_nonnull"),
+            sum($"p").cast("double").as("sum_p"),
+            min($"p").cast("double").as("min_p"),
+            // avg derived from the exact sum in DOUBLE division — a
+            // decimal division would round under each engine's own
+            // scale rules before the export cast
+            (sum($"p").cast("double") / count($"p")).as("avg_p"))
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n_rows,
+          COUNT(p) AS n_nonnull,
+          CAST(SUM(p) AS DOUBLE) AS sum_p,
+          CAST(MIN(p) AS DOUBLE) AS min_p,
+          CAST(SUM(p) AS DOUBLE) / COUNT(p) AS avg_p
+        FROM (SELECT o_orderstatus,
+                CASE WHEN o_orderstatus = 'F'
+                     THEN CAST(o_totalprice AS DECIMAL(18,2)) END AS p
+              FROM orders) t
+        GROUP BY o_orderstatus""")),
+
+    // ------------------------------------------------------------------
+    // Calendar month arithmetic parity: add_months/+INTERVAL MONTH
+    // clamp to the target month's last day (Jan 31 + 1 month =
+    // Feb 29), and last_day marks ends — the date-edge behavior
+    // billing/retention jobs depend on. Grouped by whether the order
+    // date was a month end, with the clamped next-month day spread.
+    Q("rel_month_end_arith",
+      (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d)
+          .select($"o_orderdate",
+            (to_date($"o_orderdate") === last_day($"o_orderdate"))
+              .as("is_month_end"),
+            dayofmonth(add_months($"o_orderdate", 1)).cast("long")
+              .as("next_month_day"))
+          .groupBy($"is_month_end", $"next_month_day")
+          .agg(count(lit(1)).as("n_orders"))
+      },
+      Some("""SELECT CAST(o_orderdate AS DATE) = last_day(o_orderdate)
+              AS is_month_end,
+          CAST(day(o_orderdate + INTERVAL 1 MONTH) AS BIGINT)
+              AS next_month_day,
+          COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY 1, 2"""))
   )
 }

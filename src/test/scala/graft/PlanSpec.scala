@@ -267,6 +267,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains(" / "), "avg comparison must be division-free")
   }
 
+  test("NOT IN with nullable list plans the null-aware anti join") {
+    val p = plan("rel_not_in_nulls")
+    // Spark's single-column NAAJ: a broadcast anti join whose hashed
+    // relation tracks the null (the trailing `true` is the
+    // isNullAwareAntiJoin flag), NOT a nested loop over the fact side.
+    assert(p.contains("LeftAnti, BuildRight, true"),
+      s"expected a null-aware anti join:\n${p.take(1500)}")
+    assert(!p.contains("BroadcastNestedLoop"), "must not fall back to NL")
+  }
+
   test("disjunctive join keeps the hash key; OR stays residual") {
     val p = plan("rel_disjunctive_join")
     assert(p.contains("BroadcastHashJoin"), p.take(400))
