@@ -1051,6 +1051,42 @@ object EventsOps {
               ORDER BY CAST(floor(value * 1000000) AS BIGINT) DESC,
                        event_id) AS rank
           FROM events) t
-        WHERE rank <= 5"""))
+        WHERE rank <= 5""")),
+
+    // ------------------------------------------------------------------
+    // Cumulative distinct users per day — the growth metric a naive
+    // COUNT(DISTINCT) OVER (ORDER BY day) cannot express at scale
+    // (running distinct state grows with the user base). The
+    // first-occurrence trick makes it exact in two aggregations:
+    // each user contributes once on their first-seen day, daily
+    // new-user counts running-sum into the cumulative curve. The
+    // user_id shuffle collapses to one row per user before anything
+    // global; the running sum runs over the tiny per-day table.
+    Q("ev_cumulative_users",
+      (s, d) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy($"day")
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        Tables.events(s, d)
+          .groupBy($"user_id")
+          .agg(min(to_date($"ts")).as("day"))
+          .groupBy($"day")
+          .agg(count(lit(1)).as("n_new_users"))
+          .withColumn("cumulative_users", sum($"n_new_users").over(w))
+          .select($"day".cast("timestamp").as("day"),
+            $"n_new_users", $"cumulative_users")
+      },
+      Some("""WITH first_seen AS (
+          SELECT user_id, MIN(CAST(ts AS DATE)) AS day
+          FROM events GROUP BY user_id),
+        daily AS (
+          SELECT day, COUNT(*) AS n_new_users FROM first_seen GROUP BY day)
+        SELECT CAST(day AS TIMESTAMP) AS day, n_new_users,
+          SUM(n_new_users) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS cumulative_users
+        FROM daily"""))
   )
 }
