@@ -364,6 +364,83 @@ object Lifecycle {
               AS next_month_day,
           COUNT(*) AS n_orders
         FROM orders
-        GROUP BY 1, 2"""))
+        GROUP BY 1, 2""")),
+
+    // ------------------------------------------------------------------
+    // Ratio-to-report: each nation's share of its region's revenue —
+    // the percent-of-total window over a pre-aggregated table. The
+    // share divides two exact decimal sums in DOUBLE (one IEEE
+    // division per row; a decimal division would round under
+    // engine-specific scale rules). The window runs over the
+    // nation-count-sized rollup, never the fact table.
+    Q("rel_revenue_share",
+      (s, d) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"r_name")
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d).select($"o_orderkey", $"o_custkey"),
+            $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(Tables.customer(s, d)
+            .select($"c_custkey", $"c_nationkey")),
+            $"o_custkey" === $"c_custkey")
+          .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+          .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
+          .groupBy($"r_name", $"n_name")
+          .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+            .cast(DecimalType(27, 6))).as("rev"))
+          .withColumn("region_rev", sum($"rev").over(w))
+          .select($"r_name", $"n_name", $"rev".cast("double").as("revenue"),
+            ($"rev".cast("double") / $"region_rev".cast("double"))
+              .as("share"))
+      },
+      Some("""WITH by_nation AS (
+          SELECT r_name, n_name,
+            SUM(CAST(l_extendedprice * (1.0 - l_discount)
+              AS DECIMAL(27,6))) AS rev
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY r_name, n_name)
+        SELECT r_name, n_name, CAST(rev AS DOUBLE) AS revenue,
+          CAST(rev AS DOUBLE) /
+            CAST(SUM(rev) OVER (PARTITION BY r_name) AS DOUBLE) AS share
+        FROM by_nation""")),
+
+    // ------------------------------------------------------------------
+    // Benford first-digit audit: the fraud/data-entry screen — digit
+    // frequencies of order totals vs Benford's log distribution.
+    // Counts and permille shares are exact integers; the engine only
+    // asserts the OBSERVED distribution (the expected log10 curve is
+    // the analyst's lookup, not computed here, keeping the oracle
+    // float-free).
+    Q("rel_benford_check",
+      (s, d) => {
+        import s.implicits._
+        val total = Tables.orders(s, d).count()
+        Tables.orders(s, d)
+          // first digit via the floored integer part: integer→string
+          // is format-identical across engines, double→string is not
+          // (scientific notation at 1e7+), and a bare double→bigint
+          // CAST truncates in Spark but rounds in DuckDB
+          .select(substring(floor($"o_totalprice").cast("long")
+            .cast("string"), 1, 1).cast("int").as("first_digit"))
+          .groupBy($"first_digit")
+          .agg(count(lit(1)).as("n_orders"))
+          .withColumn("permille",
+            expr(s"n_orders * 1000 div ${total}L"))
+          .orderBy($"first_digit")
+      },
+      Some("""WITH digits AS (
+          SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+              AS VARCHAR), 1, 1) AS INTEGER) AS first_digit
+          FROM orders)
+        SELECT first_digit, COUNT(*) AS n_orders,
+          COUNT(*) * 1000 // (SELECT COUNT(*) FROM orders) AS permille
+        FROM digits
+        GROUP BY first_digit
+        ORDER BY first_digit"""))
   )
 }
