@@ -441,6 +441,37 @@ object Lifecycle {
           COUNT(*) * 1000 // (SELECT COUNT(*) FROM orders) AS permille
         FROM digits
         GROUP BY first_digit
-        ORDER BY first_digit"""))
+        ORDER BY first_digit""")),
+
+    // ------------------------------------------------------------------
+    // Sequence-gap audit: missing id ranges in a surrogate-key column
+    // (the dropped-batch detector — a silent ingestion failure shows
+    // up as holes in the key sequence). Gaps-and-islands via lead()
+    // over the DISTINCT keys: one sort of the key column, each gap
+    // reported as [gap_start, gap_end] with its width. Keys are
+    // sampled (every 3rd orderkey filtered out of a window) so the
+    // query demonstrably finds the holes it planted.
+    Q("rel_sequence_gaps",
+      (s, d) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window.orderBy($"k")
+        Tables.orders(s, d)
+          .filter($"o_orderkey" <= 3000 &&
+            !($"o_orderkey" % 3 === 0 && $"o_orderkey" > 1500))
+          .select($"o_orderkey".as("k")).distinct()
+          .withColumn("next_k", lead($"k", 1).over(w))
+          .filter($"next_k" > $"k" + 1)
+          .select(($"k" + 1).as("gap_start"), ($"next_k" - 1).as("gap_end"),
+            ($"next_k" - $"k" - 1).as("gap_width"))
+      },
+      Some("""WITH ks AS (
+          SELECT DISTINCT o_orderkey AS k FROM orders
+          WHERE o_orderkey <= 3000
+            AND NOT (o_orderkey % 3 = 0 AND o_orderkey > 1500)),
+        seq AS (
+          SELECT k, LEAD(k, 1) OVER (ORDER BY k) AS next_k FROM ks)
+        SELECT k + 1 AS gap_start, next_k - 1 AS gap_end,
+          next_k - k - 1 AS gap_width
+        FROM seq WHERE next_k > k + 1"""))
   )
 }

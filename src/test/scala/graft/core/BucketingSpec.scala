@@ -227,4 +227,30 @@ class BucketingSpec extends AnyFunSuite {
     assert(rows(1L).isEmpty && rows(3L).contains(99L),
       "old files read the new column as null")
   }
+
+  test("dynamic partition overwrite replaces only the written partitions") {
+    // The incremental-reload contract: INSERT OVERWRITE of one day
+    // must not clobber sibling partitions (static mode wipes the
+    // whole table root — the classic data-loss misconfiguration).
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dpo").toString
+    val saved = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      Seq((1L, "2024-01-01"), (2L, "2024-01-02"))
+        .toDF("v", "day")
+        .write.partitionBy("day").mode("overwrite").parquet(dir)
+      // Rewrite ONLY day=2024-01-02 with corrected data.
+      Seq((20L, "2024-01-02")).toDF("v", "day")
+        .write.partitionBy("day").mode("overwrite").parquet(dir)
+      // partition values type-infer to DATE on read — compare as text
+      val got = spark.read.parquet(dir)
+        .collect().map(r => r.get(1).toString -> r.getLong(0)).toMap
+      assert(got == Map("2024-01-01" -> 1L, "2024-01-02" -> 20L),
+        s"sibling partition must survive: $got")
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
 }
