@@ -1087,6 +1087,50 @@ object EventsOps {
           SUM(n_new_users) OVER (ORDER BY day
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
             AS cumulative_users
-        FROM daily"""))
+        FROM daily""")),
+
+    // ------------------------------------------------------------------
+    // DAU / trailing-7-day WAU stickiness: EXACT sliding-window
+    // distinct users. A window function cannot deduplicate across
+    // frames, so each active (user, day) is EXPLODED into the ≤7
+    // window-end days it contributes to, then distinct-counted per
+    // window day — work scales with active-pairs × 7, never
+    // users × days. DAU rides the same collapsed (user, day) table;
+    // the ratio is an exact integer permille.
+    Q("ev_stickiness",
+      (s, d) => {
+        import s.implicits._
+        val active = Tables.events(s, d)
+          .select($"user_id", datediff(to_date($"ts"),
+            lit("2024-01-01").cast("date")).cast("long").as("day"))
+          .distinct()
+        val dau = active.groupBy($"day")
+          .agg(count(lit(1)).as("dau"))
+        val wau = active
+          .select($"user_id",
+            explode(sequence($"day", $"day" + 6)).as("wday"))
+          .distinct()
+          .groupBy($"wday".as("day"))
+          .agg(count(lit(1)).as("wau"))
+        // WAU windows with no activity on their end day still exist;
+        // inner-join keeps the reported days = active days (the DAU
+        // table), matching the oracle.
+        dau.join(wau, "day")
+          .select($"day", $"dau", $"wau",
+            expr("dau * 1000 div wau").as("stickiness_permille"))
+      },
+      Some("""WITH active AS (
+          SELECT DISTINCT user_id,
+            datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day
+          FROM events),
+        dau AS (SELECT day, COUNT(*) AS dau FROM active GROUP BY day),
+        wau AS (
+          SELECT wday AS day, COUNT(*) AS wau FROM (
+            SELECT DISTINCT user_id,
+              unnest(generate_series(day, day + 6)) AS wday
+            FROM active) t
+          GROUP BY wday)
+        SELECT day, dau, wau, dau * 1000 // wau AS stickiness_permille
+        FROM dau JOIN wau USING (day)"""))
   )
 }
