@@ -121,11 +121,19 @@ object Joins {
     * the bound degrades to no-match (all carried columns null). The
     * right timestamp rides inside the carried struct, so staleness
     * is one codegen'd comparison after the same single shuffle.
+    *
+    * `direction` = "backward" (default: latest right ≤ left ts) or
+    * "forward" (earliest right ≥ left ts — "next event after", the
+    * other merge_asof mode): the forward scan is the same window
+    * carry over the REVERSED timestamp order; with `maxStaleness` it
+    * bounds how far ahead the match may be.
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                tsCol: String, rightVals: Seq[String],
                prefix: String = "asof_",
-               maxStaleness: Option[String] = None): DataFrame = {
+               maxStaleness: Option[String] = None,
+               direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward", direction)
     import org.apache.spark.sql.types.{StructField, StructType}
     val leftCols = left.columns.toSeq
     val r0 = right
@@ -147,16 +155,20 @@ object Joins {
           .select(col(key), col(tsCol), col("__side"), col("__rseq"), col("__rv")))(
         (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
     val unioned = l.unionByName(r)
+    val tsOrd =
+      if (direction == "backward") col(tsCol).asc else col(tsCol).desc
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(key))
-      .orderBy(col(tsCol), col("__side"), col("__rseq"))
+      .orderBy(tsOrd, col("__side"), col("__rseq"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val carried = unioned.withColumn("__rvc",
       last(col("__rv"), ignoreNulls = true).over(w))
     val fresh = maxStaleness match {
       case None => lit(true)
-      case Some(iv) =>
+      case Some(iv) if direction == "backward" =>
         col("__rvc").getField("__rts") >= col(tsCol) - expr(iv)
+      case Some(iv) =>
+        col("__rvc").getField("__rts") <= col(tsCol) + expr(iv)
     }
     carried.filter(col("__side") === 1)
       .select((leftCols.map(col) ++

@@ -459,6 +459,33 @@ object Relational {
           ON o.o_custkey = b.o_custkey AND o.o_orderdate >= b.o_orderdate""")),
 
     // ------------------------------------------------------------------
+    // Forward as-of: the NEXT qualifying right row at-or-after each
+    // left timestamp ("next big-spend day on or after this order") —
+    // merge_asof direction='forward', the same joinless window carry
+    // over the reversed timestamp order. DuckDB's ASOF infers the
+    // direction from the inequality (l.ts <= r.ts).
+    Q("rel_asof_forward",
+      (s, d) => {
+        import s.implicits._
+        val orders = Tables.orders(s, d)
+        val left = orders.select($"o_orderkey", $"o_custkey", $"o_orderdate")
+        val bigDays = orders.groupBy($"o_custkey", $"o_orderdate")
+          .agg(max($"o_totalprice").as("day_max"))
+          .filter($"day_max" > 150000.0)
+        Joins.asofJoin(left, bigDays, "o_custkey", "o_orderdate",
+            Seq("day_max"), direction = "forward")
+          .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"asof_day_max")
+      },
+      Some("""WITH big_days AS (
+          SELECT o_custkey, o_orderdate, MAX(o_totalprice) AS day_max
+          FROM orders GROUP BY o_custkey, o_orderdate
+          HAVING MAX(o_totalprice) > 150000.0)
+        SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+               b.day_max AS asof_day_max
+        FROM orders o ASOF LEFT JOIN big_days b
+          ON o.o_custkey = b.o_custkey AND o.o_orderdate <= b.o_orderdate""")),
+
+    // ------------------------------------------------------------------
     // Salted skew join (core.Joins.saltedJoin): the hot-key-safe form
     // must produce exactly the plain join's rows — the oracle IS the
     // unsalted join. Aggregated so the check covers every joined row.
