@@ -1131,6 +1131,44 @@ object EventsOps {
             FROM active) t
           GROUP BY wday)
         SELECT day, dau, wau, dau * 1000 // wau AS stickiness_permille
-        FROM dau JOIN wau USING (day)"""))
+        FROM dau JOIN wau USING (day)""")),
+
+    // ------------------------------------------------------------------
+    // Inter-event gap histogram on a log-ish scale: per event type,
+    // the distribution of per-user gaps bucketed by DECIMAL DIGIT
+    // COUNT of the gap in seconds (1-9s, 10-99s, ...) — the latency-
+    // histogram shape with integer-exact buckets: digit count is
+    // length(CAST(int AS VARCHAR)), identical in both engines, where
+    // floor(log10()) flutters at power-of-ten boundaries. One
+    // user-shuffle window for the lag, then a map-side-combined
+    // rollup to |types|×|buckets| cells.
+    Q("ev_gap_histogram",
+      (s, d) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id", $"event_type").orderBy($"ts")
+        Tables.events(s, d)
+          .select($"user_id", $"event_type", $"ts")
+          .withColumn("gap_s",
+            (unix_timestamp($"ts") - unix_timestamp(lag($"ts", 1).over(w)))
+              .cast("long"))
+          .filter($"gap_s" >= 1)
+          .withColumn("bucket_digits",
+            length($"gap_s".cast("string")).cast("long"))
+          .groupBy($"event_type", $"bucket_digits")
+          .agg(count(lit(1)).as("n_gaps"), sum($"gap_s").as("sum_gap_s"))
+      },
+      Some("""WITH gaps AS (
+          SELECT event_type,
+            epoch_us(ts) // 1000000
+              - LAG(epoch_us(ts) // 1000000, 1) OVER (
+                  PARTITION BY user_id, event_type ORDER BY ts) AS gap_s
+          FROM events)
+        SELECT event_type,
+          CAST(length(CAST(gap_s AS VARCHAR)) AS BIGINT) AS bucket_digits,
+          COUNT(*) AS n_gaps,
+          CAST(SUM(gap_s) AS BIGINT) AS sum_gap_s
+        FROM gaps WHERE gap_s >= 1
+        GROUP BY event_type, bucket_digits"""))
   )
 }
