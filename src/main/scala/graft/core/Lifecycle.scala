@@ -472,6 +472,60 @@ object Lifecycle {
           SELECT k, LEAD(k, 1) OVER (ORDER BY k) AS next_k FROM ks)
         SELECT k + 1 AS gap_start, next_k - 1 AS gap_end,
           next_k - k - 1 AS gap_width
-        FROM seq WHERE next_k > k + 1"""))
+        FROM seq WHERE next_k > k + 1""")),
+
+    // ------------------------------------------------------------------
+    // Discrete percentiles: percentile_disc SELECTS an existing value
+    // (smallest with cumulative distribution >= p) instead of
+    // interpolating — the form that stays meaningful for ordinal data
+    // and, because the output is an actual stored value, hash-exact
+    // across engines with no IEEE-arithmetic caveat at all (the
+    // interpolated rel_percentiles needs both engines to share the
+    // interpolation formula).
+    Q("rel_percentile_disc",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d).createOrReplaceTempView("li_tmp")
+        s.sql("""SELECT l_returnflag,
+            percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)
+              AS q25,
+            percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)
+              AS q50,
+            percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice)
+              AS price_p99
+          FROM li_tmp GROUP BY l_returnflag""")
+      },
+      Some("""SELECT l_returnflag,
+          percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity) AS q25,
+          percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS q50,
+          percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice)
+            AS price_p99
+        FROM lineitem GROUP BY l_returnflag""")),
+
+    // ------------------------------------------------------------------
+    // SLI / error-budget burn: per-hour error share of all events in
+    // integer permille, flagged where it exceeds a 250‰ budget — the
+    // SRE rollup a monitoring pipeline materializes. Single
+    // conditional aggregation on the hour×(nothing) grain; exact
+    // integers end-to-end.
+    Q("ev_error_budget",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .groupBy(date_trunc("hour", $"ts").as("hour"))
+          .agg(count(lit(1)).as("n_events"),
+            count(when($"event_type" === "error", 1)).as("n_errors"))
+          .withColumn("error_permille",
+            expr("n_errors * 1000 div n_events"))
+          .withColumn("budget_burned", $"error_permille" > 250)
+      },
+      Some("""SELECT date_trunc('hour', ts) AS hour,
+          COUNT(*) AS n_events,
+          COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors,
+          COUNT(CASE WHEN event_type = 'error' THEN 1 END) * 1000
+            // COUNT(*) AS error_permille,
+          COUNT(CASE WHEN event_type = 'error' THEN 1 END) * 1000
+            // COUNT(*) > 250 AS budget_burned
+        FROM events GROUP BY 1"""))
   )
 }
