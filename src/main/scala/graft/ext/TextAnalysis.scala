@@ -880,7 +880,55 @@ object TextAnalysis {
           least(unnest(generate_series(0, (n_tok - 1) // 48)) * 48 + 64,
             n_tok) - unnest(generate_series(0, (n_tok - 1) // 48)) * 48
             AS n_in_chunk
-        FROM toks WHERE n_tok > 0"""))
+        FROM toks WHERE n_tok > 0""")),
+
+    // ------------------------------------------------------------------
+    // Vocabulary growth (Heaps-law ingredients): cumulative distinct
+    // vocabulary vs cumulative token count in doc_id ingestion order.
+    // The first-occurrence trick again (cf. ev_cumulative_users) —
+    // a running COUNT(DISTINCT term) window would carry
+    // vocabulary-sized state; here each term contributes once at its
+    // min doc_id, and the two running sums ride the tiny per-doc
+    // table. The curve is how corpus pipelines decide when vocab/
+    // hash-bucket sizes saturate.
+    Q("txt_vocab_growth",
+      (s, d) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy($"doc_id")
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val toks = Tables.documents(s, d)
+          .select($"doc_id", explode(tokens($"text")).as("tok"))
+        val newTerms = toks
+          .groupBy($"tok").agg(min($"doc_id").as("doc_id"))
+          .groupBy($"doc_id").agg(count(lit(1)).as("n_new_terms"))
+        toks.groupBy($"doc_id").agg(count(lit(1)).as("n_tokens"))
+          .join(newTerms, Seq("doc_id"), "left")
+          .select($"doc_id", $"n_tokens",
+            coalesce($"n_new_terms", lit(0L)).as("n_new_terms"))
+          .withColumn("cum_tokens", sum($"n_tokens").over(w))
+          .withColumn("vocab_size", sum($"n_new_terms").over(w))
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id,
+            unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+          FROM documents),
+        per_doc AS (
+          SELECT doc_id, COUNT(*) AS n_tokens FROM toks GROUP BY doc_id),
+        new_terms AS (
+          SELECT doc_id, COUNT(*) AS n_new_terms FROM (
+            SELECT tok, MIN(doc_id) AS doc_id FROM toks GROUP BY tok) t
+          GROUP BY doc_id)
+        SELECT p.doc_id, p.n_tokens,
+          COALESCE(n.n_new_terms, 0) AS n_new_terms,
+          SUM(p.n_tokens) OVER (ORDER BY p.doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS cum_tokens,
+          SUM(COALESCE(n.n_new_terms, 0)) OVER (ORDER BY p.doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS vocab_size
+        FROM per_doc p LEFT JOIN new_terms n ON p.doc_id = n.doc_id"""))
   )
 
   /** Library form of the quality/stat projections for reuse. */
