@@ -25,6 +25,7 @@ object SparkEntry {
     ext.Similarity.all ++
     ext.Multimodal.all ++
     ext.GraphOps.all ++
+    ext.GraphOps.all2 ++
     parity.ParityQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -177,6 +177,47 @@ object GraphOps {
       .crossJoin(nEdges).crossJoin(nNodes)
   }
 
+  /** Symmetric support-thresholded co-purchase graph — the same pair
+    * build as `gr_triangle_count` (parts sharing >= 2 distinct
+    * orders), materialized in both directions as (src, dst). */
+  private def copurchaseSym(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d).select($"l_orderkey", $"l_partkey")
+    val pairs = li
+      .join(li.select($"l_orderkey".as("ok2"), $"l_partkey".as("pk2")),
+        $"l_orderkey" === $"ok2" && $"l_partkey" < $"pk2")
+      .groupBy($"l_partkey".as("a"), $"pk2".as("b"))
+      .agg(count(lit(1)).as("support"))
+      .filter($"support" >= 2)
+      .select($"a", $"b")
+    pairs.unionAll(pairs.select($"b".as("a"), $"a".as("b")))
+      .toDF("src", "dst")
+  }
+
+  private val copurchaseSymSql =
+    """pairs AS (
+          SELECT l1.l_partkey AS a, l2.l_partkey AS b
+          FROM lineitem l1 JOIN lineitem l2
+            ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        e0 AS (SELECT a AS src, b AS dst FROM pairs
+               UNION ALL SELECT b AS src, a AS dst FROM pairs)"""
+
+  private val kcoreOracle = {
+    // One peel round: recompute degrees, keep >=3, induce the
+    // subgraph — unrolled four times (see gr_kcore's scaladoc for
+    // why a fixed round count instead of a fixpoint).
+    def round(i: Int) = s"""
+        d$i AS (SELECT src, COUNT(*) AS deg FROM e${i - 1} GROUP BY src),
+        k$i AS (SELECT src AS v FROM d$i WHERE deg >= 3),
+        e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
+                JOIN k$i ka ON e.src = ka.v
+                JOIN k$i kb ON e.dst = kb.v)"""
+    s"""WITH $copurchaseSymSql,
+        ${round(1)}, ${round(2)}, ${round(3)}, ${round(4)}
+        SELECT src AS node_id, COUNT(*) AS deg FROM e4 GROUP BY src"""
+  }
+
   val all: Seq[Q] = Seq(
     // ------------------------------------------------------------------
     // Fixed-round integer PageRank over the customer↔supplier graph.
@@ -239,5 +280,133 @@ object GraphOps {
         SELECT (SELECT COUNT(*) FROM closed) AS n_triangles,
                (SELECT COUNT(*) FROM pairs) AS n_edges,
                (SELECT COUNT(*) FROM deg) AS n_nodes"""))
+  )
+
+  /** Fixed-round k-core peeling over a symmetric (src, dst) edge
+    * list: each round recomputes degrees and keeps only edges whose
+    * BOTH endpoints have degree >= k in the current subgraph.
+    * Returns surviving (node_id, deg) with deg measured in the final
+    * induced subgraph. See gr_kcore for the fixed-rounds rationale.
+    */
+  def kcorePeel(edges0: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val s = edges0.sparkSession
+    import s.implicits._
+    var edges = pin(edges0)
+    for (_ <- 1 to rounds) {
+      val keep = pin(edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+        .filter($"deg" >= k).select($"src".as("v")))
+      edges = pin(edges
+        .join(broadcast(keep), $"src" === $"v", "left_semi")
+        .join(broadcast(keep.withColumnRenamed("v", "v2")),
+          $"dst" === $"v2", "left_semi"))
+    }
+    edges.groupBy($"src".as("node_id")).agg(count(lit(1)).as("deg"))
+  }
+
+  val all2: Seq[Q] = Seq(
+    // ------------------------------------------------------------------
+    // k-core peeling, FIXED four rounds (k=3): each round recomputes
+    // degrees and induces the subgraph on nodes with deg >= k. A
+    // fixed round count (not a fixpoint loop) keeps the quantity
+    // well-defined and oracle-expressible — peeling only shrinks, so
+    // DuckDB's grow-only recursive CTEs can't run it to convergence,
+    // and a data-dependent round count would make the result depend
+    // on the engine's convergence test. Four rounds of "remove the
+    // thin fringe" is the practical core-extraction pass.
+    //
+    // Scale: each round is one partial-agg'd degree count plus two
+    // semi joins against the node-sized survivor set (broadcast —
+    // survivors only shrink; beyond broadcastable node counts the
+    // joins become SHUFFLE_HASH like Dedup.connectedComponents).
+    // Every round's edge frame is pinned: the next round references
+    // it three times (degree count + two semi joins), so an uncut
+    // lineage would re-derive the co-purchase build 3^4 times.
+    Q("gr_kcore",
+      (s, d) => kcorePeel(copurchaseSym(s, d), k = 3, rounds = 4),
+      Some(kcoreOracle)),
+
+    // ------------------------------------------------------------------
+    // Common-neighbor link prediction: for NON-adjacent part pairs,
+    // count shared neighbors and carry the Jaccard ingredients
+    // (integers only — cn / (deg_x + deg_y - cn) ranks identically
+    // to the float score). Wedge enumeration around each center is
+    // O(deg²); centers are degree-capped at 64 — the standard
+    // co-occurrence cap that bounds hub blowup at any scale (a 10⁶-
+    // degree hub would otherwise emit 10¹² candidate pairs). Degrees
+    // reported are the FULL graph degrees; only wedge centers are
+    // capped. Candidate pairs never go corpus²: they materialize
+    // only where a shared neighbor exists, and the existing-edge
+    // anti join + deg joins are node-sized broadcasts.
+    Q("gr_common_neighbors",
+      (s, d) => {
+        import s.implicits._
+        val sym = pin(copurchaseSym(s, d))
+        val deg = pin(sym.groupBy($"src".as("v"))
+          .agg(count(lit(1)).as("deg")))
+        val capped = sym
+          .join(broadcast(deg.filter($"deg" <= 64)), $"src" === $"v")
+          .select($"src", $"dst")
+        val cand = capped.as("e1")
+          .join(capped.as("e2"),
+            col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+          .groupBy(col("e1.dst").as("x"), col("e2.dst").as("y"))
+          .agg(count(lit(1)).as("cn"))
+          .filter($"cn" >= 2)
+        cand
+          .join(sym, cand("x") === sym("src") && cand("y") === sym("dst"),
+            "left_anti")
+          .join(broadcast(deg.select($"v".as("vx"), $"deg".as("deg_x"))),
+            $"x" === $"vx")
+          .join(broadcast(deg.select($"v".as("vy"), $"deg".as("deg_y"))),
+            $"y" === $"vy")
+          .select($"x", $"y", $"cn", $"deg_x", $"deg_y",
+            ($"deg_x" + $"deg_y" - $"cn").as("jac_den"))
+          .orderBy($"cn".desc, $"x", $"y")
+          .limit(30)
+      },
+      Some(s"""WITH $copurchaseSymSql,
+        deg AS (SELECT src AS v, COUNT(*) AS deg FROM e0 GROUP BY src),
+        capped AS (SELECT e.src, e.dst FROM e0 e
+                   JOIN deg d ON e.src = d.v WHERE d.deg <= 64),
+        cand AS (
+          SELECT e1.dst AS x, e2.dst AS y, COUNT(*) AS cn
+          FROM capped e1 JOIN capped e2
+            ON e1.src = e2.src AND e1.dst < e2.dst
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        nonadj AS (
+          SELECT c.x, c.y, c.cn FROM cand c
+          WHERE NOT EXISTS (
+            SELECT 1 FROM e0 WHERE e0.src = c.x AND e0.dst = c.y))
+        SELECT x, y, cn, dx.deg AS deg_x, dy.deg AS deg_y,
+               dx.deg + dy.deg - cn AS jac_den
+        FROM nonadj
+        JOIN deg dx ON x = dx.v
+        JOIN deg dy ON y = dy.v
+        ORDER BY cn DESC, x, y LIMIT 30""")),
+
+    // ------------------------------------------------------------------
+    // Log2-bucketed degree distribution of the customer↔supplier
+    // interaction graph — the scale-free-ness check run before
+    // choosing a partitioning/skew strategy. floor(log2(deg)) as
+    // length(bin(deg))-1: pure integer/string ops, identical in both
+    // engines (no floating log whose ulps could flip a bucket edge).
+    Q("gr_degree_hist",
+      (s, d) => {
+        import s.implicits._
+        interactionEdges(s, d)
+          .groupBy($"src").agg(count(lit(1)).as("deg"))
+          .groupBy((length(bin($"deg")) - 1).as("bucket"))
+          .agg(count(lit(1)).as("n_nodes"),
+            min($"deg").as("min_deg"), max($"deg").as("max_deg"))
+      },
+      Some("""WITH e0 AS (
+          SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        edges AS (SELECT src, dst FROM e0
+                  UNION ALL SELECT dst AS src, src AS dst FROM e0),
+        deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)
+        SELECT length(bin(deg)) - 1 AS bucket, COUNT(*) AS n_nodes,
+               MIN(deg) AS min_deg, MAX(deg) AS max_deg
+        FROM deg GROUP BY 1"""))
   )
 }

@@ -69,6 +69,31 @@ class GraphSpec extends AnyFunSuite {
     assert(row._1 == 0L && row._3 == 40L)
   }
 
+  test("kcore peeling: tail nodes peel off, the core survives intact") {
+    import spark.implicits._
+    // K4 core {1,2,3,4} with a pendant path 4-5-6: one round removes
+    // 6 (deg 1 < 3) and 5 (deg 2 < 3); the K4 has deg 3 everywhere
+    // and survives all further rounds with its degrees intact.
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val g = sym((k4 ++ Seq((4L, 5L), (5L, 6L))): _*)
+    val r = GraphOps.kcorePeel(g, k = 3, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("kcore peeling is cascade-aware: a chain unravels round by round") {
+    import spark.implicits._
+    // Path 1-2-3-4-5 with k=2: endpoints peel each round, exposing
+    // new endpoints — after 1 round {2,3,4} remain, after 2 rounds
+    // only 3's edges are gone too (2 and 4 dropped to degree 1).
+    val path = sym(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L)
+    val after1 = GraphOps.kcorePeel(path, k = 2, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(after1.keySet == Set(2L, 3L, 4L))
+    val after2 = GraphOps.kcorePeel(path, k = 2, rounds = 2)
+    assert(after2.count() == 0L, "a pure path has no 2-core")
+  }
+
   test("empty graphs: pagerank yields no rows, triangles a zero row") {
     import spark.implicits._
     val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
