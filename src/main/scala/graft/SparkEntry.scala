@@ -21,6 +21,7 @@ object SparkEntry {
     ext.EventsOps.all ++
     ext.EventsOps.all2 ++
     ext.TextAnalysis.all ++
+    ext.TextAnalysis.all2 ++
     ext.Dedup.all ++
     ext.Similarity.all ++
     ext.Multimodal.all ++

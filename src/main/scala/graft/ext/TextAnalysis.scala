@@ -931,6 +931,142 @@ object TextAnalysis {
         FROM per_doc p LEFT JOIN new_terms n ON p.doc_id = n.doc_id"""))
   )
 
+  /** 8-hex-digit md5 prefix as a BIGINT in [0, 2^32) — the uniform
+    * deterministic hash behind weighted sampling. DuckDB lacks a
+    * hex→int conversion, so the oracle rebuilds it by positional
+    * digit arithmetic (generated here, same shape as txt_split_hash's
+    * 4-digit form). */
+  private def hex8Sql(h: String): String =
+    (0 until 8).map { i =>
+      s"(instr('0123456789abcdef', substr($h, ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}"
+    }.mkString("(", " + ", ")")
+
+  val all2: Seq[Q] = Seq(
+    // ------------------------------------------------------------------
+    // Deterministic weighted sample (priority sampling): each doc gets
+    // key = h / w where h is a 32-bit salted md5 hash and w its token
+    // count — E[key] shrinks as w grows, so the bottom-k is a
+    // weight-biased sample that is reproducible across runs, engines
+    // and cluster sizes (seeded rand() is not: its draw depends on
+    // row→partition placement). One narrow projection + a global
+    // top-k (TakeOrderedAndProject — per-partition heaps, no full
+    // sort); integer division only, so both engines agree bit-exactly.
+    Q("txt_weighted_sample",
+      (s, d) => {
+        import s.implicits._
+        val w = greatest(size(tokens($"text")).cast("long"), lit(1L))
+        val h = conv(substring(
+            md5(concat(lit("wsample:"), $"doc_id".cast("string"))), 1, 8),
+          16, 10).cast("long")
+        Tables.documents(s, d)
+          .select($"doc_id", w.as("weight"), h.as("h"))
+          .select($"doc_id", $"weight", expr("h div weight").as("prio"))
+          .orderBy($"prio", $"doc_id")
+          .limit(100)
+      },
+      Some(s"""SELECT doc_id, weight, prio FROM (
+          SELECT doc_id,
+            greatest(CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
+                     AS BIGINT), 1) AS weight,
+            ${hex8Sql("md5('wsample:' || CAST(doc_id AS VARCHAR))")}
+              AS h
+          FROM documents) x,
+          LATERAL (SELECT h // weight AS prio) y
+        ORDER BY prio, doc_id LIMIT 100""")),
+
+    // ------------------------------------------------------------------
+    // PMI collocations: adjacent word pairs ranked by scaled lift
+    // n_ab·N/(n_a·n_b) (= exp(PMI) of the bigram distribution, with
+    // margins n_a = bigrams starting with a, n_b = bigrams ending
+    // with b). Integer-only: lift in parts-per-million via one
+    // integer division — n_ab·N·10⁶ stays far under 2^63 here
+    // (~10¹⁷ at sf0.1); a trillion-bigram corpus would switch the
+    // product to DECIMAL(38,0). The bigram build is one narrow
+    // explode (no self-join); margins are partial-agg'd shuffles on
+    // w1/w2, and the n_ab>=5 support filter shrinks the frame before
+    // the margin joins.
+    Q("txt_pmi_collocations",
+      (s, d) => {
+        import s.implicits._
+        val bg = Tables.documents(s, d)
+          .select($"doc_id", tokens($"text").as("toks"))
+          .filter(size($"toks") >= 2)
+          .select(explode(sequence(lit(1), size($"toks") - 1)).as("i"),
+            $"toks")
+          .select(element_at($"toks", $"i").as("w1"),
+            element_at($"toks", $"i" + 1).as("w2"))
+        val nab = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("n_ab"))
+          .filter($"n_ab" >= 5)
+        val na = bg.groupBy($"w1").agg(count(lit(1)).as("n_a"))
+        val nb = bg.groupBy($"w2").agg(count(lit(1)).as("n_b"))
+        val nn = bg.agg(count(lit(1)).as("n"))
+        nab.join(na, "w1").join(nb, "w2").crossJoin(nn)
+          .select($"w1", $"w2", $"n_ab", $"n_a", $"n_b",
+            expr("(n_ab * n * 1000000) div (n_a * n_b)").as("lift_ppm"))
+          .orderBy($"lift_ppm".desc, $"w1", $"w2")
+          .limit(30)
+      },
+      Some("""WITH base AS (
+          SELECT string_split_regex(trim(lower(text)), '\s+') AS toks
+          FROM documents
+          WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 2),
+        bg AS (
+          SELECT toks[i] AS w1, toks[i + 1] AS w2
+          FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+                FROM base) x),
+        nab AS (SELECT w1, w2, COUNT(*) AS n_ab FROM bg
+                GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+        na AS (SELECT w1, COUNT(*) AS n_a FROM bg GROUP BY 1),
+        nb AS (SELECT w2, COUNT(*) AS n_b FROM bg GROUP BY 1),
+        nn AS (SELECT COUNT(*) AS n FROM bg)
+        SELECT w1, w2, n_ab, n_a, n_b,
+          (n_ab * n * 1000000) // (n_a * n_b) AS lift_ppm
+        FROM nab JOIN na USING (w1) JOIN nb USING (w2), nn
+        ORDER BY lift_ppm DESC, w1, w2 LIMIT 30""")),
+
+    // ------------------------------------------------------------------
+    // Readability ingredients + integer Flesch score (×1000): sentence
+    // count (non-empty [.!?] segments), word count, syllable proxy
+    // (vowel-group runs — split on [aeiouy]+ yields runs+1 segments).
+    // The score is computed entirely with integer division so the
+    // band edges cannot flutter by ulps between engines. Narrow
+    // per-row projection — no shuffle at any scale.
+    Q("txt_readability",
+      (s, d) => {
+        import s.implicits._
+        val nSent = greatest(
+          size(filter(split($"text", "[.!?]+"), x => trim(x) =!= lit(""))),
+          lit(1)).cast("long")
+        val nWords = greatest(size(tokens($"text")), lit(1)).cast("long")
+        val nSyl = (size(split(lower($"text"), "[aeiouy]+")) - 1).cast("long")
+        Tables.documents(s, d)
+          .select($"doc_id", nSent.as("n_sent"), nWords.as("n_words"),
+            nSyl.as("n_syl"))
+          .withColumn("flesch_m",
+            expr("206835 - (1015 * n_words) div n_sent" +
+              " - (84600 * n_syl) div n_words"))
+          .withColumn("band",
+            when($"flesch_m" >= 70000, "easy")
+              .when($"flesch_m" >= 50000, "medium").otherwise("hard"))
+      },
+      Some("""SELECT doc_id, n_sent, n_words, n_syl,
+          206835 - (1015 * n_words) // n_sent
+            - (84600 * n_syl) // n_words AS flesch_m,
+          CASE WHEN 206835 - (1015 * n_words) // n_sent
+                 - (84600 * n_syl) // n_words >= 70000 THEN 'easy'
+               WHEN 206835 - (1015 * n_words) // n_sent
+                 - (84600 * n_syl) // n_words >= 50000 THEN 'medium'
+               ELSE 'hard' END AS band
+        FROM (SELECT doc_id,
+            greatest(CAST(len(list_filter(string_split_regex(text, '[.!?]+'),
+              x -> trim(x) != '')) AS BIGINT), 1) AS n_sent,
+            greatest(CAST(len(string_split_regex(trim(lower(text)), '\s+'))
+              AS BIGINT), 1) AS n_words,
+            CAST(len(string_split_regex(lower(text), '[aeiouy]+')) - 1
+              AS BIGINT) AS n_syl
+          FROM documents) x"""))
+  )
+
   /** Library form of the quality/stat projections for reuse. */
   def withTextStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -1,0 +1,102 @@
+package graft.ext
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkEntry
+
+/** Targeted semantics for the round-3 fourth wave, beyond the DuckDB
+  * hash gate: weighted-sample determinism, PMI margin accounting, and
+  * the integer readability formula.
+  */
+class Round4Spec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("txt_weighted_sample: deterministic, weight-biased, 100 rows") {
+    val a = run("txt_weighted_sample").collect()
+    val b = run("txt_weighted_sample").collect()
+    assert(a.toSeq == b.toSeq, "bit-identical across runs")
+    assert(a.length == 100)
+    // Weighted bias: the sampled docs' mean weight exceeds the
+    // corpus mean (priority = h/w favors heavy docs).
+    import spark.implicits._
+    val sampledMean = a.map(_.getLong(1)).sum.toDouble / a.length
+    val corpusMean = graft.Tables.documents(spark, sf)
+      .select(greatest(size(split(trim(lower($"text")), "\\s+")), lit(1))
+        .cast("long").as("w"))
+      .agg(avg($"w")).head().getDouble(0)
+    assert(sampledMean > corpusMean,
+      s"sampled mean $sampledMean should exceed corpus mean $corpusMean")
+  }
+
+  test("txt_pmi_collocations: margins and lift agree with a direct count") {
+    import spark.implicits._
+    val rows = run("txt_pmi_collocations").collect()
+    assert(rows.nonEmpty && rows.length <= 30)
+    // Recompute the corpus bigram total once; every row's lift must
+    // reproduce from its own margins with integer arithmetic.
+    val toks = graft.Tables.documents(spark, sf)
+      .select(split(trim(lower($"text")), "\\s+").as("t"))
+      .filter(size($"t") >= 2)
+    val n = toks.select((size($"t") - 1).cast("long").as("k"))
+      .agg(sum($"k")).head().getLong(0)
+    for (r <- rows) {
+      val (nab, na, nb, lift) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(nab >= 5)
+      assert(lift == nab * n * 1000000L / (na * nb), r.toString)
+    }
+    // Descending lift with (w1, w2) tiebreak — a total order.
+    val keys = rows.toSeq
+      .map(r => (-r.getLong(5), r.getString(0), r.getString(1)))
+    assert(keys == keys.sorted, "ordered by lift desc")
+  }
+
+  test("txt_readability: hand-checked Flesch integers on the formula") {
+    import spark.implicits._
+    val out = run("txt_readability").collect()
+    assert(out.length > 0)
+    for (r <- out) {
+      val (ns, nw, syl, flesch) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(ns >= 1 && nw >= 1)
+      assert(flesch == 206835L - (1015L * nw) / ns - (84600L * syl) / nw)
+      val band = r.getString(5)
+      assert(band == (if (flesch >= 70000) "easy"
+                      else if (flesch >= 50000) "medium" else "hard"))
+    }
+  }
+
+  test("gr_kcore survivors all have final degree computed in-subgraph") {
+    val rows = run("gr_kcore").collect()
+    // Fixed-round peeling may leave sub-k fringe (by design), but
+    // every reported degree is >= 1 and the node set is distinct.
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    assert(rows.forall(_.getLong(1) >= 1))
+  }
+
+  test("gr_common_neighbors: predictions are non-adjacent and cn-bounded") {
+    import spark.implicits._
+    val rows = run("gr_common_neighbors").collect()
+    assert(rows.nonEmpty && rows.length <= 30)
+    for (r <- rows) {
+      val (x, y, cn, dx, dy, den) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(x < y, "canonical pair order")
+      assert(cn >= 2 && cn <= math.min(dx, dy),
+        "common neighbors bounded by the smaller degree")
+      assert(den == dx + dy - cn)
+    }
+  }
+}
