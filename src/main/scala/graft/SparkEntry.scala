@@ -20,8 +20,10 @@ object SparkEntry {
     core.Lifecycle.all ++
     ext.EventsOps.all ++
     ext.EventsOps.all2 ++
+    ext.EventsOps.all3 ++
     ext.TextAnalysis.all ++
     ext.TextAnalysis.all2 ++
+    ext.TextAnalysis.all3 ++
     ext.Dedup.all ++
     ext.Similarity.all ++
     ext.Multimodal.all ++

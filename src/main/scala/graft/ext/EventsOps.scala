@@ -1171,4 +1171,47 @@ object EventsOps {
         FROM gaps WHERE gap_s >= 1
         GROUP BY event_type, bucket_digits"""))
   )
+
+  val all3: Seq[Q] = Seq(
+    // ------------------------------------------------------------------
+    // CUSUM changepoint detection on the daily event-count series:
+    // cusum_t = Σ (x_i·n_days − total) — the classic Σ(x−mean)
+    // statistic scaled by n_days so it stays EXACT integer (no
+    // mean division anywhere); the day where |cusum| peaks is the
+    // most likely level-shift point. The heavy part is one
+    // map-side-combined daily rollup; the cusum window and the
+    // global peak ride the tiny day-level frame. Scale note: at
+    // 100 TB the rollup shuffles |days| partials per partition —
+    // the window stays driver-trivial.
+    Q("ev_changepoint_cusum",
+      (s, d) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window.orderBy($"day")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        val daily = Tables.events(s, d)
+          .groupBy(to_date($"ts").as("day")).agg(count(lit(1)).as("n"))
+        val tot = daily.agg(sum($"n").as("total"), count(lit(1)).as("nd"))
+        val c = daily.crossJoin(tot)
+          .withColumn("cusum", sum($"n" * $"nd" - $"total").over(w))
+          .select($"day", $"n", $"cusum")
+        val peak = c.agg(max(abs($"cusum")).as("mx"))
+        c.crossJoin(peak)
+          .select($"day", $"n", $"cusum",
+            when(abs($"cusum") === $"mx", 1L).otherwise(0L).as("is_peak"))
+      },
+      Some("""WITH daily AS (
+          SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+          FROM events GROUP BY 1),
+        tot AS (SELECT SUM(n) AS total, COUNT(*) AS nd FROM daily),
+        c AS (
+          SELECT day, n,
+            SUM(n * nd - total) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+          FROM daily, tot)
+        SELECT day, n, cusum,
+          CASE WHEN abs(cusum) = (SELECT MAX(abs(cusum)) FROM c)
+               THEN 1 ELSE 0 END AS is_peak
+        FROM c"""))
+  )
 }

@@ -1067,6 +1067,79 @@ object TextAnalysis {
           FROM documents) x"""))
   )
 
+  val all3: Seq[Q] = Seq(
+    // ------------------------------------------------------------------
+    // Data-mixture reweighting: per-source token shares plus the
+    // sampling multiplier that would equalize the mix (target =
+    // uniform across sources), capped at 3× — the "don't repeat a
+    // tiny source more than ~3 epochs" rule every pretraining mix
+    // applies. Integer ppm arithmetic throughout. One map-side-
+    // combined rollup to |sources| rows; the totals ride a crossJoin
+    // of the one-row aggregate (broadcast nested loop of 1×k rows).
+    Q("txt_mixture_weights",
+      (s, d) => {
+        import s.implicits._
+        val per = Tables.documents(s, d)
+          .select($"source", size(tokens($"text")).cast("long").as("n_tok"))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+        val tot = per.agg(sum($"n_tokens").as("total"),
+          count(lit(1)).as("n_sources"))
+        per.crossJoin(tot)
+          .select($"source", $"n_docs", $"n_tokens",
+            expr("(n_tokens * 1000000) div total").as("share_ppm"),
+            least(expr("((total div n_sources) * 1000000) div n_tokens"),
+              lit(3000000L)).as("mult_ppm"),
+            when(expr("((total div n_sources) * 1000000) div n_tokens")
+              > 3000000L, 1L).otherwise(0L).as("capped"))
+      },
+      Some("""WITH per AS (
+          SELECT source, COUNT(*) AS n_docs,
+            SUM(CAST(len(string_split_regex(trim(lower(text)), '\s+'))
+                AS BIGINT)) AS n_tokens
+          FROM documents GROUP BY source),
+        tot AS (SELECT SUM(n_tokens) AS total, COUNT(*) AS n_sources
+                FROM per)
+        SELECT source, n_docs, n_tokens,
+          (n_tokens * 1000000) // total AS share_ppm,
+          least(((total // n_sources) * 1000000) // n_tokens, 3000000)
+            AS mult_ppm,
+          CASE WHEN ((total // n_sources) * 1000000) // n_tokens > 3000000
+               THEN 1 ELSE 0 END AS capped
+        FROM per, tot""")),
+
+    // ------------------------------------------------------------------
+    // Cross-source contamination: per source, how much of its
+    // DISTINCT content (md5 of text) also appears in another source.
+    // The (hash, source) frame is distinct'd first so the per-hash
+    // window counts sources, not copies; one shuffle on hash, one
+    // rollup per source. The per-source shared ratio is the
+    // ingredient for dedup-across-dumps decisions (e.g. CC dumps vs
+    // curated corpora sharing pages).
+    Q("txt_source_overlap",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"h")
+        Tables.documents(s, d)
+          .select($"source", md5($"text").as("h")).distinct()
+          .withColumn("ns", count(lit(1)).over(w))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_contents"),
+            sum(when($"ns" >= 2, 1L).otherwise(0L)).as("n_shared"))
+          .withColumn("shared_ppm",
+            expr("(n_shared * 1000000) div n_contents"))
+      },
+      Some("""WITH hs AS (
+          SELECT DISTINCT source, md5(text) AS h FROM documents),
+        counted AS (
+          SELECT source, h, COUNT(*) OVER (PARTITION BY h) AS ns FROM hs)
+        SELECT source, COUNT(*) AS n_contents,
+          SUM(CASE WHEN ns >= 2 THEN 1 ELSE 0 END) AS n_shared,
+          SUM(CASE WHEN ns >= 2 THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+            AS shared_ppm
+        FROM counted GROUP BY source"""))
+  )
+
   /** Library form of the quality/stat projections for reuse. */
   def withTextStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

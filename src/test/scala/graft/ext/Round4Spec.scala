@@ -86,6 +86,42 @@ class Round4Spec extends AnyFunSuite {
     assert(rows.forall(_.getLong(1) >= 1))
   }
 
+  test("txt_mixture_weights: shares sum to ~1e6, caps consistent") {
+    val rows = run("txt_mixture_weights").collect()
+    assert(rows.nonEmpty)
+    val shareSum = rows.map(_.getLong(3)).sum
+    // Integer-floored shares: within |sources| ppm of exactly 1e6.
+    assert(shareSum <= 1000000L && shareSum > 1000000L - rows.length)
+    for (r <- rows) {
+      val (mult, capped) = (r.getLong(4), r.getLong(5))
+      assert(mult <= 3000000L)
+      assert((capped == 1L) == (mult == 3000000L) || capped == 0L)
+      if (capped == 1L) assert(mult == 3000000L)
+    }
+  }
+
+  test("txt_source_overlap: shared counts bounded by content counts") {
+    val rows = run("txt_source_overlap").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (n, shared, ppm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(shared >= 0 && shared <= n)
+      assert(ppm == shared * 1000000L / n)
+    }
+  }
+
+  test("ev_changepoint_cusum: scaled deviations telescope to zero") {
+    val rows = run("ev_changepoint_cusum").collect()
+      .sortBy(_.getDate(0).toString)
+    assert(rows.nonEmpty)
+    // cusum_t = Σ(x·nd − total) ⇒ the final prefix sum is exactly 0.
+    assert(rows.last.getLong(2) == 0L, "telescoping invariant")
+    assert(rows.count(_.getLong(3) == 1L) >= 1, "at least one peak day")
+    val mx = rows.map(r => math.abs(r.getLong(2))).max
+    for (r <- rows)
+      assert((r.getLong(3) == 1L) == (math.abs(r.getLong(2)) == mx))
+  }
+
   test("gr_common_neighbors: predictions are non-adjacent and cn-bounded") {
     import spark.implicits._
     val rows = run("gr_common_neighbors").collect()
