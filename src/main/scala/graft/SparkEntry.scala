@@ -17,6 +17,7 @@ object SparkEntry {
     core.Relational.all ++
     core.Advanced.all ++
     core.Advanced.all2 ++
+    core.Advanced.all3 ++
     core.Lifecycle.all ++
     ext.EventsOps.all ++
     ext.EventsOps.all2 ++

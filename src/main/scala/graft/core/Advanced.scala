@@ -628,4 +628,89 @@ object Advanced {
       },
       None)
   )
+
+  val all3: Seq[Q] = Seq(
+    // ------------------------------------------------------------------
+    // Equal-frequency discretization: exact price deciles via a
+    // global ntile(10) with a full (price, orderkey, linenumber)
+    // tiebreak — bucket membership is a total-order property, so
+    // both engines agree row-for-row (standard SQL ntile puts the
+    // remainder rows in the earlier buckets). This is the EXACT
+    // binning form: it costs one global range-partitioned sort
+    // (Spark samples range bounds, so the sort itself distributes;
+    // the single ntile window partition does not) — the always-on
+    // companion at 100 TB is rel_approx_percentiles' mergeable
+    // sketch; this one is for when bin edges must be exact.
+    Q("rel_price_deciles",
+      (s, d) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy($"l_extendedprice", $"l_orderkey", $"l_linenumber")
+        Tables.lineitem(s, d)
+          .select($"l_extendedprice", $"l_orderkey", $"l_linenumber")
+          .withColumn("decile", ntile(10).over(w))
+          .groupBy($"decile")
+          .agg(count(lit(1)).as("n"),
+            min($"l_extendedprice").as("lo"),
+            max($"l_extendedprice").as("hi"))
+      },
+      Some("""SELECT decile, COUNT(*) AS n,
+          MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+        FROM (SELECT l_extendedprice,
+                NTILE(10) OVER (ORDER BY l_extendedprice, l_orderkey,
+                                l_linenumber) AS decile
+              FROM lineitem) x
+        GROUP BY decile""")),
+
+    // ------------------------------------------------------------------
+    // Weighted median: per return flag, the price at which cumulative
+    // QUANTITY reaches half the group's total — the inventory-
+    // weighted "typical price". No arithmetic touches the price
+    // (it is selected, not computed) and the half-total test is
+    // integer (2·cum >= total on long quantities), so the result is
+    // bit-exact. One partitioned window for the running weight, one
+    // min-row pick per group via a rank filter.
+    Q("rel_weighted_median",
+      (s, d) => {
+        import s.implicits._
+        val ord = org.apache.spark.sql.expressions.Window
+          .partitionBy($"l_returnflag")
+          .orderBy($"l_extendedprice", $"l_orderkey", $"l_linenumber")
+        val cum = org.apache.spark.sql.expressions.Window
+          .partitionBy($"l_returnflag")
+          .orderBy($"l_extendedprice", $"l_orderkey", $"l_linenumber")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        val tot = org.apache.spark.sql.expressions.Window
+          .partitionBy($"l_returnflag")
+        Tables.lineitem(s, d)
+          .select($"l_returnflag", $"l_extendedprice",
+            $"l_orderkey", $"l_linenumber", $"l_quantity".cast("long").as("q"))
+          .withColumn("cumq", sum($"q").over(cum))
+          .withColumn("totq", sum($"q").over(tot))
+          .filter($"cumq" * 2 >= $"totq")
+          .withColumn("rk", row_number().over(ord))
+          .filter($"rk" === 1)
+          .select($"l_returnflag", $"totq".as("total_qty"),
+            $"l_extendedprice".as("weighted_median_price"))
+      },
+      Some("""WITH base AS (
+          SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber,
+            CAST(l_quantity AS BIGINT) AS q,
+            SUM(CAST(l_quantity AS BIGINT)) OVER (
+              PARTITION BY l_returnflag
+              ORDER BY l_extendedprice, l_orderkey, l_linenumber
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumq,
+            SUM(CAST(l_quantity AS BIGINT)) OVER (
+              PARTITION BY l_returnflag) AS totq
+          FROM lineitem),
+        hit AS (
+          SELECT l_returnflag, totq, l_extendedprice,
+            ROW_NUMBER() OVER (PARTITION BY l_returnflag
+              ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rk
+          FROM base WHERE cumq * 2 >= totq)
+        SELECT l_returnflag, totq AS total_qty,
+          l_extendedprice AS weighted_median_price
+        FROM hit WHERE rk = 1"""))
+  )
 }

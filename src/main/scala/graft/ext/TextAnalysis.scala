@@ -1138,6 +1138,33 @@ object TextAnalysis {
           SUM(CASE WHEN ns >= 2 THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
             AS shared_ppm
         FROM counted GROUP BY source"""))
+  ,
+    // ------------------------------------------------------------------
+    // Language diversity per source as Gini impurity in ppm:
+    // gini = 1 − Σ p² = (N² − Σ n²)/N², computed with ONE integer
+    // division at the end so both engines agree exactly (a per-term
+    // division would floor each share differently). Entropy needs a
+    // float log; Gini ranks mixes the same way and stays integer.
+    // Two map-side-combined rollups: |source×lang| cells, then
+    // |source| rows.
+    Q("txt_source_diversity",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .groupBy($"source", $"lang").agg(count(lit(1)).as("n"))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_langs"), sum($"n").as("n_docs"),
+            sum($"n" * $"n").as("n_sq"))
+          .select($"source", $"n_langs", $"n_docs",
+            expr("((n_docs * n_docs - n_sq) * 1000000)" +
+              " div (n_docs * n_docs)").as("gini_ppm"))
+      },
+      Some("""WITH per AS (
+          SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY 1, 2)
+        SELECT source, COUNT(*) AS n_langs, SUM(n) AS n_docs,
+          ((SUM(n) * SUM(n) - SUM(n * n)) * 1000000)
+            // (SUM(n) * SUM(n)) AS gini_ppm
+        FROM per GROUP BY source"""))
   )
 
   /** Library form of the quality/stat projections for reuse. */

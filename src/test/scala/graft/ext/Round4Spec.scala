@@ -122,6 +122,45 @@ class Round4Spec extends AnyFunSuite {
       assert((r.getLong(3) == 1L) == (math.abs(r.getLong(2)) == mx))
   }
 
+  test("rel_price_deciles: balanced counts, non-overlapping ranges") {
+    val rows = run("rel_price_deciles").collect()
+      .sortBy(_.getInt(0))
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 10))
+    val counts = rows.map(_.getLong(1))
+    assert(counts.max - counts.min <= 1, "ntile balance")
+    for (Array(a, b) <- rows.sliding(2))
+      assert(a.getDouble(3) <= b.getDouble(2),
+        "decile ranges must not overlap")
+  }
+
+  test("rel_weighted_median matches a driver-side exact computation") {
+    import spark.implicits._
+    val got = run("rel_weighted_median").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val rows = graft.Tables.lineitem(spark, sf)
+      .select($"l_returnflag", $"l_extendedprice", $"l_orderkey",
+        $"l_linenumber", $"l_quantity".cast("long"))
+      .as[(String, Double, Long, Int, Long)].collect()
+    for ((flag, grp) <- rows.groupBy(_._1)) {
+      val sorted = grp.sortBy(t => (t._2, t._3, t._4))
+      val total = sorted.map(_._5).sum
+      var cum = 0L
+      val hit = sorted.find { t => cum += t._5; cum * 2 >= total }.get
+      assert(got(flag) == ((total, hit._2)), s"flag $flag")
+    }
+  }
+
+  test("txt_source_diversity: gini bounds and purity") {
+    val rows = run("txt_source_diversity").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (nLangs, gini) = (r.getLong(1), r.getLong(3))
+      assert(gini >= 0 && gini < 1000000L)
+      if (nLangs == 1) assert(gini == 0L, "pure source has zero impurity")
+      else assert(gini > 0L)
+    }
+  }
+
   test("gr_common_neighbors: predictions are non-adjacent and cn-bounded") {
     import spark.implicits._
     val rows = run("gr_common_neighbors").collect()
