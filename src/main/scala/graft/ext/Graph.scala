@@ -292,15 +292,23 @@ object GraphOps {
     val s = edges0.sparkSession
     import s.implicits._
     var edges = pin(edges0)
-    for (_ <- 1 to rounds) {
-      val keep = pin(edges.groupBy($"src").agg(count(lit(1)).as("deg"))
-        .filter($"deg" >= k).select($"src".as("v")))
-      edges = pin(edges
-        .join(broadcast(keep), $"src" === $"v", "left_semi")
-        .join(broadcast(keep.withColumnRenamed("v", "v2")),
-          $"dst" === $"v2", "left_semi"))
-    }
+    for (_ <- 1 to rounds)
+      edges = pin(kcoreRound(edges, k))
     edges.groupBy($"src".as("node_id")).agg(count(lit(1)).as("deg"))
+  }
+
+  /** One peel round, unpinned (so its plan stays inspectable —
+    * PlanSpec asserts the survivor set broadcasts into both semi
+    * joins): keep nodes with degree >= k, induce the subgraph. */
+  def kcoreRound(edges: DataFrame, k: Int): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val keep = pin(edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+      .filter($"deg" >= k).select($"src".as("v")))
+    edges
+      .join(broadcast(keep), $"src" === $"v", "left_semi")
+      .join(broadcast(keep.withColumnRenamed("v", "v2")),
+        $"dst" === $"v2", "left_semi")
   }
 
   val all2: Seq[Q] = Seq(

@@ -333,4 +333,52 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"),
       "the O(buckets) model must never shuffle the feature side")
   }
+
+  test("weighted sample is a narrow scan + distributed top-k") {
+    val p = plan("txt_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      "bottom-100 must be per-partition heaps, not a global sort")
+    assert(!p.contains("Join"), p.take(400))
+  }
+
+  test("PMI collocations: hash joins on margins, top-k at the end") {
+    val p = plan("txt_pmi_collocations")
+    assert(p.contains("TakeOrderedAndProject"), p.take(400))
+    assert(!p.contains("CartesianProduct"),
+      "only the 1-row totals frame may nested-loop")
+  }
+
+  test("readability is a pure narrow projection — no exchange") {
+    val p = plan("txt_readability")
+    assert(!p.contains("Exchange"), p.take(600))
+  }
+
+  test("kcore peeling: survivor sets broadcast into semi joins") {
+    // The production query pins each round (lineage cut), so the
+    // end-to-end plan collapses to the final aggregate; pin ONE
+    // round's plan directly instead.
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+      .toDF("src", "dst")
+    val p = ext.GraphOps.kcoreRound(edges, k = 2)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      p.take(600))
+    assert(!p.contains("CartesianProduct"), p.take(400))
+  }
+
+  test("common-neighbor prediction never cross-joins") {
+    val p = plan("gr_common_neighbors")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(p.contains("TakeOrderedAndProject"), p.take(400))
+  }
+
+  test("weighted median is joinless — windows over one shuffle") {
+    val p = plan("rel_weighted_median")
+    assert(!p.contains("Join"), p.take(600))
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("SinglePartition"))
+    assert(exchanges == 1,
+      s"expected one l_returnflag exchange, got $exchanges\n$p")
+  }
 }
