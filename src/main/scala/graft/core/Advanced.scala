@@ -712,5 +712,47 @@ object Advanced {
         SELECT l_returnflag, totq AS total_qty,
           l_extendedprice AS weighted_median_price
         FROM hit WHERE rk = 1"""))
+  ,
+    // ------------------------------------------------------------------
+    // Skyline / Pareto frontier (minimize price, maximize size): a
+    // part is on the frontier iff nothing is both cheaper-or-equal
+    // and larger (with one strict). Two-step exact form: collapse to
+    // the max size per distinct price (tie groups keep their best),
+    // then a running-max-of-size window over ascending price keeps a
+    // point iff it beats every strictly-cheaper point. The frontier
+    // window rides the per-price collapsed table; if the price
+    // domain were near-unique at 100 TB, the transitive dominance
+    // property allows a per-partition local frontier pre-filter
+    // before this global pass (local non-dominated ⊇ global
+    // frontier) — the standard two-level skyline.
+    Q("rel_pareto_frontier",
+      (s, d) => {
+        import s.implicits._
+        val W = org.apache.spark.sql.expressions.Window
+        val wp = W.partitionBy($"price").orderBy($"size".desc)
+        val w = W.orderBy($"price").rowsBetween(W.unboundedPreceding, -1)
+        Tables.part(s, d)
+          .groupBy($"p_retailprice".as("price"), $"p_size".as("size"))
+          .agg(count(lit(1)).as("n_parts"))
+          .withColumn("rk", row_number().over(wp))
+          .filter($"rk" === 1).drop("rk")
+          .withColumn("m", max($"size").over(w))
+          .filter($"m".isNull || $"size" > $"m")
+          .select($"price", $"size", $"n_parts")
+      },
+      Some("""WITH ps AS (
+          SELECT p_retailprice AS price, p_size AS size, COUNT(*) AS n_parts
+          FROM part GROUP BY 1, 2),
+        top AS (
+          SELECT price, size, n_parts,
+            ROW_NUMBER() OVER (PARTITION BY price ORDER BY size DESC) AS rk
+          FROM ps),
+        flagged AS (
+          SELECT price, size, n_parts,
+            MAX(size) OVER (ORDER BY price
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m
+          FROM top WHERE rk = 1)
+        SELECT price, size, n_parts FROM flagged
+        WHERE m IS NULL OR size > m"""))
   )
 }

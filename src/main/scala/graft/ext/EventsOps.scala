@@ -1213,5 +1213,102 @@ object EventsOps {
           CASE WHEN abs(cusum) = (SELECT MAX(abs(cusum)) FROM c)
                THEN 1 ELSE 0 END AS is_peak
         FROM c"""))
+  ,
+    // ------------------------------------------------------------------
+    // Peak concurrency per event type via the sweep line: each event
+    // holds a 5-minute span; +1/−1 deltas ordered by (t, delta) —
+    // ends sort before starts at the same instant, making spans
+    // half-open — and a running sum whose maximum is the peak. Rows
+    // tied on (t, delta) are interchangeable, so the running-value
+    // MULTISET (and hence the max and its first time) is order-
+    // independent — engine-safe without a per-row total order. One
+    // type-partitioned window; deltas double the row count but
+    // never widen rows.
+    Q("ev_peak_concurrency",
+      (s, d) => {
+        import s.implicits._
+        val W = org.apache.spark.sql.expressions.Window
+        val w = W.partitionBy($"event_type").orderBy($"t", $"delta")
+          .rowsBetween(W.unboundedPreceding, 0)
+        val spans = Tables.events(s, d)
+          .select($"event_type", unix_micros($"ts").as("s0"))
+        val deltas = spans.select($"event_type", $"s0".as("t"), lit(1L).as("delta"))
+          .unionByName(spans.select($"event_type",
+            ($"s0" + 300000000L).as("t"), lit(-1L).as("delta")))
+        deltas
+          .withColumn("running", sum($"delta").over(w))
+          .withColumn("peak",
+            max($"running").over(W.partitionBy($"event_type")))
+          .filter($"running" === $"peak")
+          .groupBy($"event_type")
+          .agg(first($"peak").as("peak_concurrency"),
+            min($"t").as("t_peak_us"))
+      },
+      Some("""WITH deltas AS (
+          SELECT event_type, epoch_us(ts) AS t, 1 AS delta FROM events
+          UNION ALL
+          SELECT event_type, epoch_us(ts) + 300000000 AS t, -1 AS delta
+          FROM events),
+        swept AS (
+          SELECT event_type, t, delta,
+            SUM(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+          FROM deltas),
+        peaks AS (
+          SELECT event_type, t, running,
+            MAX(running) OVER (PARTITION BY event_type) AS peak
+          FROM swept)
+        SELECT event_type, CAST(peak AS BIGINT) AS peak_concurrency,
+          MIN(t) AS t_peak_us
+        FROM peaks WHERE running = peak
+        GROUP BY event_type, peak""")),
+
+    // ------------------------------------------------------------------
+    // Cohort LTV matrix: cumulative purchase value per signup cohort
+    // by age week. Money stays DECIMAL through BOTH the per-cell
+    // aggregation and the cumulative window (decimal addition is
+    // associative — a double cum-sum could flutter under DuckDB's
+    // segment-tree window evaluation), cast to double only on
+    // export. The cohort join co-partitions on user_id; the
+    // cumulative window rides the tiny (cohort × age) matrix.
+    Q("ev_cohort_ltv",
+      (s, d) => {
+        import s.implicits._
+        val W = org.apache.spark.sql.expressions.Window
+        val w = W.partitionBy($"cohort_day").orderBy($"age_week")
+          .rowsBetween(W.unboundedPreceding, 0)
+        val ev = Tables.events(s, d)
+        val cohort = ev.groupBy($"user_id")
+          .agg(min(to_date($"ts")).as("cohort_day"))
+        ev.filter($"event_type" === "purchase")
+          .select($"user_id", to_date($"ts").as("day"), $"value")
+          .join(cohort, "user_id")
+          .groupBy($"cohort_day",
+            expr("datediff(day, cohort_day) div 7").as("age_week"))
+          .agg(countDistinct($"user_id").as("n_buyers"),
+            sum($"value".cast(org.apache.spark.sql.types.DecimalType(27, 6)))
+              .as("wv_dec"))
+          .withColumn("cum_dec", sum($"wv_dec").over(w))
+          .select($"cohort_day", $"age_week", $"n_buyers",
+            $"wv_dec".cast("double").as("week_value"),
+            $"cum_dec".cast("double").as("cum_value"))
+      },
+      Some("""WITH cohort AS (
+          SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+          FROM events GROUP BY user_id),
+        cells AS (
+          SELECT cohort_day,
+            (CAST(ts AS DATE) - cohort_day) // 7 AS age_week,
+            COUNT(DISTINCT e.user_id) AS n_buyers,
+            SUM(CAST(value AS DECIMAL(27,6))) AS wv_dec
+          FROM events e JOIN cohort c ON e.user_id = c.user_id
+          WHERE event_type = 'purchase'
+          GROUP BY 1, 2)
+        SELECT cohort_day, age_week, n_buyers,
+          CAST(wv_dec AS DOUBLE) AS week_value,
+          CAST(SUM(wv_dec) OVER (PARTITION BY cohort_day ORDER BY age_week
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+            AS cum_value
+        FROM cells"""))
   )
 }

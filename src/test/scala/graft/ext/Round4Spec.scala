@@ -161,6 +161,50 @@ class Round4Spec extends AnyFunSuite {
     }
   }
 
+  test("rel_pareto_frontier: mutually non-dominated, size rises with price") {
+    val rows = run("rel_pareto_frontier").collect()
+      .sortBy(_.getDouble(0))
+    assert(rows.nonEmpty)
+    for (Array(a, b) <- rows.sliding(2)) {
+      assert(a.getDouble(0) < b.getDouble(0), "distinct ascending prices")
+      assert(a.getInt(1) < b.getInt(1),
+        "along the frontier size must strictly increase")
+    }
+  }
+
+  test("ev_peak_concurrency matches a driver-side sweep") {
+    import spark.implicits._
+    val got = run("ev_peak_concurrency").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val evs = graft.Tables.events(spark, sf)
+      .select($"event_type", unix_micros($"ts"))
+      .as[(String, Long)].collect()
+    for ((tpe, grp) <- evs.groupBy(_._1)) {
+      val deltas = (grp.map(e => (e._2, 1L)) ++
+        grp.map(e => (e._2 + 300000000L, -1L))).sortBy(x => (x._1, x._2))
+      var run0 = 0L; var peak = 0L; var tPeak = Long.MaxValue
+      for ((t, dl) <- deltas) {
+        run0 += dl
+        if (run0 > peak) { peak = run0; tPeak = t }
+      }
+      assert(got(tpe) == ((peak, tPeak)), s"type $tpe")
+    }
+  }
+
+  test("ev_cohort_ltv: cumulative column telescopes the week values") {
+    val rows = run("ev_cohort_ltv").collect()
+    assert(rows.nonEmpty)
+    for ((_, grp) <- rows.groupBy(_.getDate(0).toString)) {
+      val sorted = grp.sortBy(_.getLong(1))
+      var cum = BigDecimal(0)
+      for (r <- sorted) {
+        cum += BigDecimal(r.getDouble(3))
+        assert(math.abs(cum.toDouble - r.getDouble(4)) < 1e-6,
+          s"cum mismatch at ${r.mkString(",")}")
+      }
+    }
+  }
+
   test("gr_common_neighbors: predictions are non-adjacent and cn-bounded") {
     import spark.implicits._
     val rows = run("gr_common_neighbors").collect()
