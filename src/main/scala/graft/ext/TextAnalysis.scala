@@ -931,6 +931,21 @@ object TextAnalysis {
         FROM per_doc p LEFT JOIN new_terms n ON p.doc_id = n.doc_id"""))
   )
 
+  /** Priority-sampling projection shared by `txt_weighted_sample` and
+    * `StreamingOps.prioritySampleStream`: (doc_id, weight, prio) with
+    * prio = h div weight, h a 32-bit salted md5 of the doc id and
+    * weight its token count (>= 1). Bottom-k by (prio, doc_id) is the
+    * deterministic weight-biased sample. */
+  def withSamplePriority(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        greatest(size(tokens(col("text"))).cast("long"), lit(1L))
+          .as("weight"),
+        conv(substring(
+            md5(concat(lit("wsample:"), col("doc_id").cast("string"))), 1, 8),
+          16, 10).cast("long").as("h"))
+      .select(col("doc_id"), col("weight"), expr("h div weight").as("prio"))
+
   /** 8-hex-digit md5 prefix as a BIGINT in [0, 2^32) — the uniform
     * deterministic hash behind weighted sampling. DuckDB lacks a
     * hex→int conversion, so the oracle rebuilds it by positional
@@ -952,18 +967,9 @@ object TextAnalysis {
     // top-k (TakeOrderedAndProject — per-partition heaps, no full
     // sort); integer division only, so both engines agree bit-exactly.
     Q("txt_weighted_sample",
-      (s, d) => {
-        import s.implicits._
-        val w = greatest(size(tokens($"text")).cast("long"), lit(1L))
-        val h = conv(substring(
-            md5(concat(lit("wsample:"), $"doc_id".cast("string"))), 1, 8),
-          16, 10).cast("long")
-        Tables.documents(s, d)
-          .select($"doc_id", w.as("weight"), h.as("h"))
-          .select($"doc_id", $"weight", expr("h div weight").as("prio"))
-          .orderBy($"prio", $"doc_id")
-          .limit(100)
-      },
+      (s, d) => withSamplePriority(Tables.documents(s, d))
+        .orderBy(col("prio"), col("doc_id"))
+        .limit(100),
       Some(s"""SELECT doc_id, weight, prio FROM (
           SELECT doc_id,
             greatest(CAST(len(string_split_regex(trim(lower(text)), '\\s+'))

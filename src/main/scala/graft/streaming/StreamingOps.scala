@@ -92,6 +92,25 @@ object StreamingOps {
         .topKPairs(col("ord"), col("value"), k).as("top"))
       .select(col("window.start").as("window_start"), col("top"))
 
+  /** Streaming weighted sample: the deterministic priority sample
+    * (`txt_weighted_sample`'s key — see
+    * [[graft.ext.TextAnalysis.withSamplePriority]]) maintained as a
+    * running bottom-k over everything ingested so far. TopKRows on
+    * ord = −prio keeps the k smallest priorities with the ascending
+    * doc_id tie preference, so after ANY sequence of micro-batches
+    * the state — k (prio, doc_id) pairs, never the corpus — equals
+    * the batch query over the union of the batches (spec-pinned).
+    * Update/complete output mode; no watermark, the sample covers
+    * the full stream history.
+    */
+  def prioritySampleStream(docs: DataFrame, k: Int = 100): DataFrame =
+    graft.ext.TextAnalysis.withSamplePriority(docs)
+      .groupBy()
+      .agg(graft.functions.NativeFunctions
+        .topKPairs(-col("prio"), col("doc_id"), k).as("sample"))
+      .select(explode(col("sample")).as("s"))
+      .select((-col("s.ord")).as("prio"), col("s.value").as("doc_id"))
+
   /** Built-in session windows (gap-close semantics). */
   def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
     events

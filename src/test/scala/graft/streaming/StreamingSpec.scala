@@ -384,4 +384,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSet === Set((1L, 50.0)), got.mkString(","))
     q.stop()
   }
+
+  test("priority-sample stream equals the batch sample over all batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = StreamingOps.prioritySampleStream(docs, k = 5)
+      .writeStream.format("memory").queryName("psample")
+      .outputMode("complete").start()
+    val batch1 = (1L to 20L).map(i => (i, ("w " * i.toInt).trim))
+    val batch2 = (21L to 40L).map(i => (i, ("w " * (i.toInt % 7 + 1)).trim))
+    mem.addData(batch1: _*)
+    q.processAllAvailable()
+    mem.addData(batch2: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("psample").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    // Batch equivalent over the union of both batches.
+    val expected = graft.ext.TextAnalysis
+      .withSamplePriority((batch1 ++ batch2).toDF("doc_id", "text"))
+      .orderBy(col("prio"), col("doc_id")).limit(5)
+      .collect().map(r => (r.getLong(2), r.getLong(0))).toSet
+    assert(streamed == expected,
+      s"stream $streamed vs batch $expected")
+  }
 }
