@@ -754,5 +754,49 @@ object Advanced {
           FROM top WHERE rk = 1)
         SELECT price, size, n_parts FROM flagged
         WHERE m IS NULL OR size > m"""))
+  ,
+    // ------------------------------------------------------------------
+    // Month-over-month rank movers: nations ranked by monthly order
+    // revenue, each carrying its previous-month rank and the delta —
+    // the "movers report" over two stacked windows (rank within
+    // month, lag along each nation's month series) that both ride
+    // the tiny month×nation rollup. Revenue is an exact decimal sum
+    // exported double; rank ties are impossible by construction
+    // (nation is unique within a month and is the tiebreak).
+    Q("rel_rank_movers",
+      (s, d) => {
+        import s.implicits._
+        val W = org.apache.spark.sql.expressions.Window
+        val wMonth = W.partitionBy($"month")
+          .orderBy($"revenue".desc, $"nation")
+        val wNation = W.partitionBy($"nation").orderBy($"month")
+        Tables.orders(s, d)
+          .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+          .join(Tables.nation(s, d), $"c_nationkey" === $"n_nationkey")
+          .groupBy(date_trunc("month", $"o_orderdate").as("month"),
+            $"n_name".as("nation"))
+          .agg(dsum($"o_totalprice", 2).as("revenue"))
+          .withColumn("rnk", rank().over(wMonth))
+          .withColumn("prev_rnk", lag($"rnk", 1).over(wNation))
+          .withColumn("moved", $"prev_rnk" - $"rnk")
+      },
+      Some("""WITH rev AS (
+          SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+            n_name AS nation,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE)
+              AS revenue
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY 1, 2),
+        ranked AS (
+          SELECT month, nation, revenue,
+            RANK() OVER (PARTITION BY month
+              ORDER BY revenue DESC, nation) AS rnk
+          FROM rev)
+        SELECT month, nation, revenue, rnk,
+          LAG(rnk) OVER (PARTITION BY nation ORDER BY month) AS prev_rnk,
+          LAG(rnk) OVER (PARTITION BY nation ORDER BY month) - rnk AS moved
+        FROM ranked"""))
   )
 }

@@ -1310,5 +1310,30 @@ object EventsOps {
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
             AS cum_value
         FROM cells"""))
+  ,
+    // ------------------------------------------------------------------
+    // Day-of-week × hour seasonality heatmap: the load-shape profile
+    // capacity planning reads. Exact distinct users per cell (two-
+    // phase distinct), value totals as exact decimal sums exported
+    // double. Spark's dayofweek is 1-based Sunday=1; DuckDB's dow is
+    // 0-based Sunday=0 — normalized to the 0-based form on the Spark
+    // side. One map-side-combined rollup to a 7×24 matrix.
+    Q("ev_seasonality",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .groupBy((dayofweek($"ts") - 1).as("dow"),
+            hour($"ts").as("hr"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct($"user_id").as("n_users"),
+            sum($"value".cast(org.apache.spark.sql.types.DecimalType(27, 6)))
+              .cast("double").as("total_value"))
+      },
+      Some("""SELECT CAST(date_part('dow', ts) AS INT) AS dow,
+          CAST(date_part('hour', ts) AS INT) AS hr,
+          COUNT(*) AS n_events,
+          COUNT(DISTINCT user_id) AS n_users,
+          CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+        FROM events GROUP BY 1, 2"""))
   )
 }

@@ -1171,6 +1171,74 @@ object TextAnalysis {
           ((SUM(n) * SUM(n) - SUM(n * n)) * 1000000)
             // (SUM(n) * SUM(n)) AS gini_ppm
         FROM per GROUP BY source"""))
+  ,
+    // ------------------------------------------------------------------
+    // RAKE keyword extraction: phrases are maximal stopword-free
+    // token runs (islands between stopword occurrences); a word's
+    // degree is the summed length of every phrase containing it,
+    // its score deg/freq — ranked per doc, top 3. Everything after
+    // the position explode rides ONE doc_id shuffle: the island id
+    // (running stopword count), the phrase length (island-partition
+    // window) and the final per-doc rank reuse the same partitioning;
+    // only the (doc, word) rollup re-keys. Scores are integer ppm so
+    // rank boundaries cannot flutter.
+    Q("txt_rake_keywords",
+      (s, d) => {
+        import s.implicits._
+        val stopList = Seq("the", "a", "of", "and", "is", "to", "in")
+        val W = org.apache.spark.sql.expressions.Window
+        val wPos = W.partitionBy($"doc_id").orderBy($"pos")
+          .rowsBetween(W.unboundedPreceding, 0)
+        val wIsl = W.partitionBy($"doc_id", $"island")
+        val wDoc = W.partitionBy($"doc_id")
+          .orderBy($"score_ppm".desc, $"word")
+        Tables.documents(s, d)
+          .select($"doc_id", posexplode(tokens($"text")))
+          .withColumnRenamed("col", "tok")
+          .withColumn("stop",
+            when($"tok".isInCollection(stopList), 1L).otherwise(0L))
+          .withColumn("island", sum($"stop").over(wPos))
+          .filter($"stop" === 0)
+          .withColumn("phrase_len", count(lit(1)).over(wIsl))
+          .groupBy($"doc_id", $"tok")
+          .agg(sum($"phrase_len").as("deg"), count(lit(1)).as("freq"))
+          .select($"doc_id", $"tok".as("word"), $"deg", $"freq",
+            expr("(deg * 1000000) div freq").as("score_ppm"))
+          .withColumn("rk", row_number().over(wDoc))
+          .filter($"rk" <= 3)
+      },
+      Some("""WITH base AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+          FROM documents),
+        pos AS (
+          SELECT doc_id, i, toks[i] AS tok
+          FROM (SELECT doc_id, toks,
+                  unnest(generate_series(1, len(toks))) AS i
+                FROM base) x),
+        isl AS (
+          SELECT doc_id, i, tok, stop,
+            SUM(stop) OVER (PARTITION BY doc_id ORDER BY i
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+          FROM (SELECT doc_id, i, tok,
+                  CASE WHEN tok IN ('the','a','of','and','is','to','in')
+                       THEN 1 ELSE 0 END AS stop
+                FROM pos) f),
+        occ AS (
+          SELECT doc_id, tok, island,
+            COUNT(*) OVER (PARTITION BY doc_id, island) AS phrase_len
+          FROM isl WHERE stop = 0),
+        words AS (
+          SELECT doc_id, tok AS word, SUM(phrase_len) AS deg,
+            COUNT(*) AS freq
+          FROM occ GROUP BY 1, 2),
+        ranked AS (
+          SELECT doc_id, word, deg, freq,
+            (deg * 1000000) // freq AS score_ppm,
+            ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY (deg * 1000000) // freq DESC, word) AS rk
+          FROM words)
+        SELECT doc_id, word, deg, freq, score_ppm, rk
+        FROM ranked WHERE rk <= 3"""))
   )
 
   /** Library form of the quality/stat projections for reuse. */

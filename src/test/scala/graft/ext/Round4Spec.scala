@@ -205,6 +205,47 @@ class Round4Spec extends AnyFunSuite {
     }
   }
 
+  test("txt_rake_keywords: top-3 per doc, stopwords excluded, score exact") {
+    val stop = Set("the", "a", "of", "and", "is", "to", "in")
+    val rows = run("txt_rake_keywords").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (word, deg, freq, score, rk) = (r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getInt(5))
+      assert(!stop.contains(word), s"stopword $word surfaced as keyword")
+      assert(deg >= freq, "each occurrence contributes phrase_len >= 1")
+      assert(score == deg * 1000000L / freq)
+      assert(rk >= 1 && rk <= 3)
+    }
+    for ((_, grp) <- rows.groupBy(_.getLong(0))) {
+      assert(grp.length <= 3)
+      assert(grp.map(_.getInt(5)).sorted.toSeq == (1 to grp.length))
+    }
+  }
+
+  test("ev_seasonality: a 7x24 load matrix accounting for every event") {
+    val rows = run("ev_seasonality").collect()
+    assert(rows.length <= 168)
+    for (r <- rows) {
+      assert(r.getInt(0) >= 0 && r.getInt(0) <= 6)
+      assert(r.getInt(1) >= 0 && r.getInt(1) <= 23)
+      assert(r.getLong(3) <= r.getLong(2), "distinct users <= events")
+    }
+    val total = rows.map(_.getLong(2)).sum
+    assert(total == graft.Tables.events(spark, sf).count())
+  }
+
+  test("rel_rank_movers: ranks are a permutation per month, moves add up") {
+    val rows = run("rel_rank_movers").collect()
+    assert(rows.nonEmpty)
+    for ((_, grp) <- rows.groupBy(_.getTimestamp(0))) {
+      assert(grp.map(_.getInt(3)).sorted.toSeq == (1 to grp.length),
+        "month ranks must be 1..n")
+    }
+    for (r <- rows; if !r.isNullAt(4))
+      assert(r.getInt(5) == r.getInt(4) - r.getInt(3))
+  }
+
   test("gr_common_neighbors: predictions are non-adjacent and cn-bounded") {
     import spark.implicits._
     val rows = run("gr_common_neighbors").collect()
