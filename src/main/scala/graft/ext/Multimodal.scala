@@ -254,5 +254,63 @@ object Multimodal {
           unnest(generate_series(0, n_frames - 1)) * hop + flen
             AS end_sample
         FROM framed WHERE n_frames > 0"""))
+  ,
+    // ------------------------------------------------------------------
+    // Scene-cut detection through the batched decode path: per video
+    // frame, a STUB signature (one text codepoint sampled at a
+    // deterministic payload position — a real codec emits a frame
+    // histogram here) and a cut wherever the signature jumps by > 16
+    // against the previous frame. Frame count comes from the real
+    // decodeFeatures stub; the oracle reconstructs it from the
+    // payload length. Per-doc lag window rides the doc_id equi-join
+    // partitioning; output is one row per video.
+    Q("mm_scene_cuts",
+      (s, d) => {
+        import s.implicits._
+        val W = org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy($"frame_idx")
+        decodeFeatures(mediaFromDocuments(s, d)).toDF()
+          .filter($"kind" === "video")
+          .select($"doc_id", $"n_frames".cast("long").as("n_frames"))
+          .join(Tables.documents(s, d).select($"doc_id", $"text"), "doc_id")
+          .select($"doc_id", $"n_frames", $"text",
+            explode(sequence(lit(0L), $"n_frames" - 1)).as("frame_idx"))
+          .withColumn("pos",
+            ($"frame_idx" * 37) % greatest(length($"text"), lit(1)))
+          .withColumn("sig",
+            expr("ascii(substring(text, cast(pos + 1 as int), 1))"))
+          .withColumn("cut",
+            when($"frame_idx" > 0 &&
+              abs($"sig" - lag($"sig", 1).over(W)) > 16, 1L)
+              .otherwise(0L))
+          .groupBy($"doc_id")
+          .agg(min($"n_frames").as("n_frames"),
+            sum($"cut").as("n_cuts"),
+            min(when($"cut" === 1, $"frame_idx")).as("first_cut"))
+      },
+      Some("""WITH vids AS (
+          SELECT doc_id, text,
+            CAST(1 + octet_length(encode(text)) % 32 AS BIGINT) AS n_frames
+          FROM documents WHERE doc_id % 3 = 2),
+        frames AS (
+          SELECT doc_id, n_frames, text,
+            unnest(generate_series(0, n_frames - 1)) AS frame_idx
+          FROM vids),
+        sigs AS (
+          SELECT doc_id, n_frames, frame_idx,
+            ascii(substr(text,
+              CAST((frame_idx * 37) % greatest(length(text), 1) + 1
+                   AS INT), 1)) AS sig
+          FROM frames),
+        flagged AS (
+          SELECT doc_id, n_frames, frame_idx,
+            CASE WHEN frame_idx > 0 AND abs(sig - LAG(sig) OVER (
+                   PARTITION BY doc_id ORDER BY frame_idx)) > 16
+                 THEN 1 ELSE 0 END AS cut
+          FROM sigs)
+        SELECT doc_id, MIN(n_frames) AS n_frames,
+          CAST(SUM(cut) AS BIGINT) AS n_cuts,
+          MIN(CASE WHEN cut = 1 THEN frame_idx END) AS first_cut
+        FROM flagged GROUP BY doc_id"""))
   )
 }

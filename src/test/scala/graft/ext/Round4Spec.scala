@@ -246,6 +246,22 @@ class Round4Spec extends AnyFunSuite {
       assert(r.getInt(5) == r.getInt(4) - r.getInt(3))
   }
 
+  test("mm_scene_cuts: cut accounting per video") {
+    val rows = run("mm_scene_cuts").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (nFrames, nCuts) = (r.getLong(1), r.getLong(2))
+      assert(nFrames >= 1 && nFrames <= 32)
+      assert(nCuts >= 0 && nCuts < nFrames,
+        "a cut needs a previous frame")
+      if (nCuts == 0) assert(r.isNullAt(3), "no cuts -> no first cut")
+      else {
+        assert(!r.isNullAt(3))
+        assert(r.getLong(3) >= 1 && r.getLong(3) <= nFrames - 1)
+      }
+    }
+  }
+
   test("gr_common_neighbors: predictions are non-adjacent and cn-bounded") {
     import spark.implicits._
     val rows = run("gr_common_neighbors").collect()
