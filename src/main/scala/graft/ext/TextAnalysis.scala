@@ -1239,6 +1239,45 @@ object TextAnalysis {
           FROM words)
         SELECT doc_id, word, deg, freq, score_ppm, rk
         FROM ranked WHERE rk <= 3"""))
+  ,
+    // ------------------------------------------------------------------
+    // BPE merge-pair counting — the inner loop of tokenizer training:
+    // adjacent CHARACTER pairs weighted by word frequency, top 20.
+    // The corpus collapses to the vocabulary first (one token
+    // shuffle), so the quadratic-ish char-pair explode runs over
+    // |vocab| distinct words, not the corpus — the trick that makes
+    // BPE training feasible at 100 TB (vocab grows ~Heaps-sublinearly
+    // while the corpus grows linearly). Pure integer counts with a
+    // total-order tiebreak.
+    Q("txt_bpe_merge_count",
+      (s, d) => {
+        import s.implicits._
+        val vocab = Tables.documents(s, d)
+          .select(explode(tokens($"text")).as("w"))
+          .groupBy($"w").agg(count(lit(1)).as("freq"))
+          .filter(length($"w") >= 2)
+        vocab
+          .select($"w", $"freq",
+            explode(sequence(lit(1), length($"w") - 1)).as("i"))
+          .select(expr("substring(w, i, 1)").as("c1"),
+            expr("substring(w, i + 1, 1)").as("c2"), $"freq")
+          .groupBy($"c1", $"c2").agg(sum($"freq").as("n_pairs"))
+          .orderBy($"n_pairs".desc, $"c1", $"c2")
+          .limit(20)
+      },
+      Some("""WITH vocab AS (
+          SELECT w, COUNT(*) AS freq FROM (
+            SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+            FROM documents) t
+          GROUP BY w HAVING length(w) >= 2),
+        pairs AS (
+          SELECT substr(w, i, 1) AS c1, substr(w, i + 1, 1) AS c2, freq
+          FROM (SELECT w, freq,
+                  unnest(generate_series(1, length(w) - 1)) AS i
+                FROM vocab) x)
+        SELECT c1, c2, SUM(freq) AS n_pairs
+        FROM pairs GROUP BY 1, 2
+        ORDER BY n_pairs DESC, c1, c2 LIMIT 20"""))
   )
 
   /** Library form of the quality/stat projections for reuse. */

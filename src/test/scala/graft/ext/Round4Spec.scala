@@ -246,6 +246,18 @@ class Round4Spec extends AnyFunSuite {
       assert(r.getInt(5) == r.getInt(4) - r.getInt(3))
   }
 
+  test("txt_bpe_merge_count: single chars, weighted by vocab frequency") {
+    val rows = run("txt_bpe_merge_count").collect()
+    assert(rows.length == 20)
+    for (r <- rows) {
+      assert(r.getString(0).length == 1 && r.getString(1).length == 1)
+      assert(r.getLong(2) >= 1)
+    }
+    val keys = rows.toSeq
+      .map(r => (-r.getLong(2), r.getString(0), r.getString(1)))
+    assert(keys == keys.sorted, "ordered by pair count desc")
+  }
+
   test("mm_scene_cuts: cut accounting per video") {
     val rows = run("mm_scene_cuts").collect()
     assert(rows.nonEmpty)
