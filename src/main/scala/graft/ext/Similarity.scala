@@ -504,6 +504,46 @@ object Similarity {
           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
           vec_id = cluster_id AS is_kept
         FROM verdict"""))
+  ,
+    // ------------------------------------------------------------------
+    // Threshold-calibration sweep: per label block, candidate-pair
+    // counts above cosine 0.90 / 0.95 / 0.99 from ONE pass of the
+    // within-block scan (conditional aggregation), instead of three
+    // separate near-dup runs — how a dedup pipeline picks its
+    // threshold before committing to one. Same label-blocked join
+    // bound as sim_embedding_neardup (never corpus²; IVF cells play
+    // the label role at scale); thresholds are well-separated from
+    // the data's cosine mass, the ranked/filter-only FloatVecDot
+    // regime.
+    Q("sim_threshold_sweep",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+          .select($"vec_id", $"label", $"embedding")
+          .withColumn("nrm", sqrt(dot($"embedding", $"embedding")))
+        emb.as("a").join(emb.as("b"),
+            col("a.label") === col("b.label") &&
+            col("a.vec_id") < col("b.vec_id"))
+          .withColumn("cos", dot(col("a.embedding"), col("b.embedding")) /
+            (col("a.nrm") * col("b.nrm")))
+          .groupBy(col("a.label").as("label"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when($"cos" > 0.90, 1L).otherwise(0L)).as("n_90"),
+            sum(when($"cos" > 0.95, 1L).otherwise(0L)).as("n_95"),
+            sum(when($"cos" > 0.99, 1L).otherwise(0L)).as("n_99"))
+      },
+      Some(s"""WITH scored AS (
+          SELECT a.label,
+            ${dotSql("a.embedding", "b.embedding")} /
+              (sqrt(${dotSql("a.embedding", "a.embedding")}) *
+               sqrt(${dotSql("b.embedding", "b.embedding")})) AS cos
+          FROM embeddings a JOIN embeddings b
+            ON a.label = b.label AND a.vec_id < b.vec_id)
+        SELECT label, COUNT(*) AS n_pairs,
+          SUM(CASE WHEN cos > 0.90 THEN 1 ELSE 0 END) AS n_90,
+          SUM(CASE WHEN cos > 0.95 THEN 1 ELSE 0 END) AS n_95,
+          SUM(CASE WHEN cos > 0.99 THEN 1 ELSE 0 END) AS n_99
+        FROM scored GROUP BY label"""))
   )
 
   /** PQ codebook assignment shared by `sim_pq_encode` and

@@ -258,6 +258,17 @@ class Round4Spec extends AnyFunSuite {
     assert(keys == keys.sorted, "ordered by pair count desc")
   }
 
+  test("sim_threshold_sweep: monotone counts across thresholds") {
+    val rows = run("sim_threshold_sweep").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (n, a, b, c) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))
+      assert(a >= b && b >= c, "tighter threshold, fewer pairs")
+      assert(a <= n)
+    }
+  }
+
   test("mm_scene_cuts: cut accounting per video") {
     val rows = run("mm_scene_cuts").collect()
     assert(rows.nonEmpty)
