@@ -47,7 +47,10 @@ object Bench {
     "sim_knn_graph", "sim_kmeans_step", "rel_scd2_dimension",
     "rel_merge_upsert", "txt_bigram_lm", "ev_sliding_window_counts",
     "gr_pagerank", "gr_triangle_count", "rel_small_qty_revenue",
-    "rel_dq_audit")
+    "rel_dq_audit", "gr_kcore", "gr_common_neighbors",
+    "txt_rake_keywords", "txt_weighted_sample", "rel_weighted_median",
+    "rel_price_deciles", "ev_peak_concurrency", "ev_cohort_ltv",
+    "sim_threshold_sweep", "mm_scene_cuts")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
