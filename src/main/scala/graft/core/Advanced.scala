@@ -798,5 +798,41 @@ object Advanced {
           LAG(rnk) OVER (PARTITION BY nation ORDER BY month) AS prev_rnk,
           LAG(rnk) OVER (PARTITION BY nation ORDER BY month) - rnk AS moved
         FROM ranked"""))
+  ,
+    // ------------------------------------------------------------------
+    // Distribution-window semantics pin: percent_rank, cume_dist,
+    // nth_value and ntile stacked over ONE totally-ordered window —
+    // the window functions engines historically disagree on (default
+    // frames, tie handling). The full (qty, orderkey, linenumber)
+    // tiebreak makes rank = row_number, so percent_rank/cume_dist
+    // divide exact small integers (one IEEE division each, bit-
+    // identical) and nth_value's running frame is row-deterministic;
+    // the price is selected, never computed. One exchange + sort.
+    Q("rel_window_semantics",
+      (s, d) => {
+        import s.implicits._
+        val W = org.apache.spark.sql.expressions.Window
+        val ord = W.partitionBy($"l_returnflag")
+          .orderBy($"l_quantity", $"l_orderkey", $"l_linenumber")
+        val frame = ord.rowsBetween(W.unboundedPreceding, W.currentRow)
+        Tables.lineitem(s, d)
+          .filter($"l_orderkey" % 10 === 0)
+          .select($"l_returnflag", $"l_quantity", $"l_orderkey",
+            $"l_linenumber", $"l_extendedprice")
+          .withColumn("pr", percent_rank().over(ord))
+          .withColumn("cd", cume_dist().over(ord))
+          .withColumn("nth3", nth_value($"l_extendedprice", 3).over(frame))
+          .withColumn("quartile", ntile(4).over(ord))
+      },
+      Some("""SELECT l_returnflag, l_quantity, l_orderkey, l_linenumber,
+          l_extendedprice,
+          percent_rank() OVER w AS pr,
+          cume_dist() OVER w AS cd,
+          nth_value(l_extendedprice, 3) OVER (w ROWS BETWEEN UNBOUNDED
+            PRECEDING AND CURRENT ROW) AS nth3,
+          ntile(4) OVER w AS quartile
+        FROM lineitem WHERE l_orderkey % 10 = 0
+        WINDOW w AS (PARTITION BY l_returnflag
+          ORDER BY l_quantity, l_orderkey, l_linenumber)"""))
   )
 }

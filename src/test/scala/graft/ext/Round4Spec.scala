@@ -258,6 +258,27 @@ class Round4Spec extends AnyFunSuite {
     assert(keys == keys.sorted, "ordered by pair count desc")
   }
 
+  test("rel_window_semantics: distribution-window invariants") {
+    val rows = run("rel_window_semantics").collect()
+    assert(rows.nonEmpty)
+    for ((_, grp0) <- rows.groupBy(_.getString(0))) {
+      val grp = grp0.sortBy(r =>
+        (r.getDouble(1), r.getLong(2), r.getInt(3)))
+      val n = grp.length
+      for ((r, idx) <- grp.zipWithIndex) {
+        assert(r.getDouble(5) == (if (n == 1) 0.0
+          else idx.toDouble / (n - 1)), "percent_rank under a total order")
+        assert(r.getDouble(6) == (idx + 1).toDouble / n,
+          "cume_dist under a total order")
+        if (idx < 2) assert(r.isNullAt(7), "nth_value null before 3 rows")
+        else assert(r.getDouble(7) == grp(2).getDouble(4),
+          "nth_value = third row's price once seen")
+      }
+      val sizes = grp.groupBy(_.getInt(8)).values.map(_.size)
+      assert(sizes.max - sizes.min <= 1, "ntile balance")
+    }
+  }
+
   test("sim_threshold_sweep: monotone counts across thresholds") {
     val rows = run("sim_threshold_sweep").collect()
     assert(rows.nonEmpty)
