@@ -31,7 +31,7 @@ class Round4InvarianceSpec extends AnyFunSuite {
     "ev_changepoint_cusum", "ev_peak_concurrency", "ev_cohort_ltv",
     "ev_seasonality", "rel_price_deciles", "rel_weighted_median",
     "rel_pareto_frontier", "rel_rank_movers", "mm_scene_cuts",
-    "sim_threshold_sweep")
+    "sim_threshold_sweep", "rel_window_semantics")
 
   test("results are bit-identical under 4 and 7 shuffle partitions") {
     def snapshot(name: String): Seq[String] =
