@@ -728,17 +728,10 @@ object Advanced {
     Q("rel_pareto_frontier",
       (s, d) => {
         import s.implicits._
-        val W = org.apache.spark.sql.expressions.Window
-        val wp = W.partitionBy($"price").orderBy($"size".desc)
-        val w = W.orderBy($"price").rowsBetween(W.unboundedPreceding, -1)
-        Tables.part(s, d)
-          .groupBy($"p_retailprice".as("price"), $"p_size".as("size"))
-          .agg(count(lit(1)).as("n_parts"))
-          .withColumn("rk", row_number().over(wp))
-          .filter($"rk" === 1).drop("rk")
-          .withColumn("m", max($"size").over(w))
-          .filter($"m".isNull || $"size" > $"m")
-          .select($"price", $"size", $"n_parts")
+        Skyline.paretoFrontier(
+          Tables.part(s, d)
+            .groupBy($"p_retailprice".as("price"), $"p_size".as("size"))
+            .agg(count(lit(1)).as("n_parts")))
       },
       Some("""WITH ps AS (
           SELECT p_retailprice AS price, p_size AS size, COUNT(*) AS n_parts
