@@ -108,31 +108,40 @@ object GraphOps {
     * (1.0 ≡ 10¹²). See the object scaladoc for the determinism and
     * scale reasoning.
     */
-  def pagerank(edges0: DataFrame, rounds: Int = 3): DataFrame = {
+  def pagerank(edges0: DataFrame, rounds: Int = 3,
+               broadcastThreshold: Long = 10000000L): DataFrame = {
     val s = edges0.sparkSession
     import s.implicits._
     val edges = pin(edges0)
     val deg0 = edges.groupBy($"src").agg(count(lit(1)).as("outdeg"))
+    // One scalar pre-pass (node count) — same two-pass shape as
+    // the broadcast-median queries; 1 job, 1 row to the driver. The
+    // count doubles as the path switch: node-sized frames broadcast
+    // while they fit, and beyond that every round join goes
+    // SHUFFLE_HASH (the stats-less LogicalRDD leaves would otherwise
+    // plan sort-merge — same reasoning as Dedup.connectedComponents'
+    // iterative path; neither side broadcasts at 10⁹ nodes).
+    val n = deg0.count()
+    def maybeB(df: DataFrame): DataFrame =
+      if (n <= broadcastThreshold) broadcast(df) else df.hint("SHUFFLE_HASH")
     // Edge frame with the sender's out-degree attached — the only
-    // big table; pinned, scanned once per round, never shuffled.
+    // big table; pinned, scanned once per round, never shuffled in
+    // the broadcast regime.
     val em = pin(edges
-      .join(broadcast(deg0.withColumnRenamed("src", "dsrc")),
+      .join(maybeB(deg0.withColumnRenamed("src", "dsrc")),
         col("src") === col("dsrc"))
       .select($"src", $"dst", $"outdeg"))
-    // One scalar pre-pass (node count) — same two-pass shape as
-    // the broadcast-median queries; 1 job, 1 row to the driver.
-    val n = deg0.count()
     val unit = 1000000000000L / math.max(n, 1L)
     val base = (15L * unit) / 100L
     var ranks = pin(deg0.select($"src".as("id"))
       .withColumn("r", lit(unit)))
     for (_ <- 1 to rounds) {
       val contrib = em
-        .join(broadcast(ranks), $"src" === $"id")
+        .join(maybeB(ranks), $"src" === $"id")
         .groupBy($"dst")
         .agg(sum(expr("r div outdeg")).as("c"))
       ranks = pin(ranks.select($"id")
-        .join(broadcast(contrib), $"id" === $"dst", "left")
+        .join(maybeB(contrib), $"id" === $"dst", "left")
         .select($"id",
           (lit(base) + expr("(85 * coalesce(c, 0L)) div 100")).as("r")))
     }

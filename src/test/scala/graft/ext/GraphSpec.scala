@@ -69,6 +69,17 @@ class GraphSpec extends AnyFunSuite {
     assert(row._1 == 0L && row._3 == 40L)
   }
 
+  test("pagerank beyond-broadcast path: SHUFFLE_HASH rounds, same ranks") {
+    import spark.implicits._
+    val edges = sym(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L, 1L -> 3L)
+    val b = GraphOps.pagerank(edges, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    val sh = GraphOps.pagerank(edges, rounds = 3, broadcastThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(b == sh,
+      "the shuffle-hash regime must not change a single micro-rank unit")
+  }
+
   test("kcore peeling: tail nodes peel off, the core survives intact") {
     import spark.implicits._
     // K4 core {1,2,3,4} with a pendant path 4-5-6: one round removes
