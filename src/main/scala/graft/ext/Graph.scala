@@ -297,26 +297,33 @@ object GraphOps {
     * Returns surviving (node_id, deg) with deg measured in the final
     * induced subgraph. See gr_kcore for the fixed-rounds rationale.
     */
-  def kcorePeel(edges0: DataFrame, k: Int, rounds: Int): DataFrame = {
+  def kcorePeel(edges0: DataFrame, k: Int, rounds: Int,
+                broadcastSurvivors: Boolean = true): DataFrame = {
     val s = edges0.sparkSession
     import s.implicits._
     var edges = pin(edges0)
     for (_ <- 1 to rounds)
-      edges = pin(kcoreRound(edges, k))
+      edges = pin(kcoreRound(edges, k, broadcastSurvivors))
     edges.groupBy($"src".as("node_id")).agg(count(lit(1)).as("deg"))
   }
 
   /** One peel round, unpinned (so its plan stays inspectable —
     * PlanSpec asserts the survivor set broadcasts into both semi
-    * joins): keep nodes with degree >= k, induce the subgraph. */
-  def kcoreRound(edges: DataFrame, k: Int): DataFrame = {
+    * joins): keep nodes with degree >= k, induce the subgraph.
+    * `broadcastSurvivors = false` is the beyond-broadcast regime
+    * (10⁹ nodes): both semi joins go SHUFFLE_HASH — the stats-less
+    * LogicalRDD survivor frame would otherwise plan sort-merge. */
+  def kcoreRound(edges: DataFrame, k: Int,
+                 broadcastSurvivors: Boolean = true): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
+    def maybeB(df: DataFrame): DataFrame =
+      if (broadcastSurvivors) broadcast(df) else df.hint("SHUFFLE_HASH")
     val keep = pin(edges.groupBy($"src").agg(count(lit(1)).as("deg"))
       .filter($"deg" >= k).select($"src".as("v")))
     edges
-      .join(broadcast(keep), $"src" === $"v", "left_semi")
-      .join(broadcast(keep.withColumnRenamed("v", "v2")),
+      .join(maybeB(keep), $"src" === $"v", "left_semi")
+      .join(maybeB(keep.withColumnRenamed("v", "v2")),
         $"dst" === $"v2", "left_semi")
   }
 

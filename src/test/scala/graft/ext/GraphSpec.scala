@@ -105,6 +105,18 @@ class GraphSpec extends AnyFunSuite {
     assert(after2.count() == 0L, "a pure path has no 2-core")
   }
 
+  test("kcore beyond-broadcast regime yields identical survivors") {
+    import spark.implicits._
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val g = sym((k4 ++ Seq((4L, 5L), (5L, 6L))): _*)
+    val b = GraphOps.kcorePeel(g, k = 3, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    val sh = GraphOps.kcorePeel(g, k = 3, rounds = 4,
+        broadcastSurvivors = false)
+      .as[(Long, Long)].collect().toMap
+    assert(b == sh)
+  }
+
   test("empty graphs: pagerank yields no rows, triangles a zero row") {
     import spark.implicits._
     val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
