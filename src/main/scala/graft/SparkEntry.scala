@@ -18,6 +18,7 @@ object SparkEntry {
     core.Advanced.all ++
     core.Advanced.all2 ++
     core.Advanced.all3 ++
+    core.TpchFinal.all ++
     core.Lifecycle.all ++
     ext.EventsOps.all ++
     ext.EventsOps.all2 ++
