@@ -268,6 +268,28 @@ object Dedup {
     }
   }
 
+  /** Per-doc connected-component cluster assignment over the LSH
+    * candidate graph (the dedup_cc body, reusable):
+    * bucket root + size via ONE whole-partition window over the
+    * banded keys — a groupBy-roots-then-join-back formulation
+    * recomputes the banded subtree (corpus scan + MinHash pass)
+    * twice, because Catalyst does not dedupe repeated subplans.
+    */
+  def ccAssignments(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wBand = org.apache.spark.sql.expressions.Window
+      .partitionBy($"band_idx", $"band_hash")
+    val star = bandedKeys(minhashSignatures(corpus(s, d)))
+      .withColumn("root", min($"doc_id").over(wBand))
+      .withColumn("n", count(lit(1)).over(wBand))
+      .filter($"n" > 1 && $"doc_id" =!= $"root")
+      .select($"root".as("src"), $"doc_id".as("dst"))
+      .distinct()
+    val edges = star
+      .unionByName(star.select($"dst".as("src"), $"src".as("dst")))
+    connectedComponents(edges)
+  }
+
   val all: Seq[Q] = Seq(
     // ------------------------------------------------------------------
     // Exact dedup: content-hash groupBy, canonical = min id.
@@ -418,24 +440,7 @@ object Dedup {
     // jumping — see [[connectedComponents]], which also carries the
     // small-graph fast path the bench-scale graph takes.
     Q("dedup_cc",
-      (s, d) => {
-        import s.implicits._
-        // Bucket root + size via ONE whole-partition window over the
-        // banded keys — a groupBy-roots-then-join-back formulation
-        // recomputes the banded subtree (corpus scan + MinHash pass)
-        // twice, because Catalyst does not dedupe repeated subplans.
-        val wBand = org.apache.spark.sql.expressions.Window
-          .partitionBy($"band_idx", $"band_hash")
-        val star = bandedKeys(minhashSignatures(corpus(s, d)))
-          .withColumn("root", min($"doc_id").over(wBand))
-          .withColumn("n", count(lit(1)).over(wBand))
-          .filter($"n" > 1 && $"doc_id" =!= $"root")
-          .select($"root".as("src"), $"doc_id".as("dst"))
-          .distinct()
-        val edges = star
-          .unionByName(star.select($"dst".as("src"), $"src".as("dst")))
-        connectedComponents(edges)
-      },
+      (s, d) => ccAssignments(s, d),
       Some(s"""WITH RECURSIVE $corpusSql, $signaturesSql, $bandsSql,
         edges AS (SELECT doc_a AS a, doc_b AS b FROM candidates
                   UNION ALL SELECT doc_b AS a, doc_a AS b FROM candidates),
@@ -681,6 +686,36 @@ object Dedup {
           COUNT(CASE WHEN is_dup THEN 1 END) AS n_dup_spans,
           (1000 * COUNT(CASE WHEN is_dup THEN 1 END)) // COUNT(*)
             AS dup_permille
-        FROM flagged GROUP BY doc_id"""))
+        FROM flagged GROUP BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // Duplicate-family size distribution: how many near-dup clusters
+    // of each size exist — the shape report that decides whether a
+    // corpus needs dedup at all (a few huge families vs a long tail
+    // of pairs). Two integer-count aggregations over the CC cluster
+    // assignment; sizes and counts are exact integers, so the oracle
+    // (the same recursive-CTE components, re-aggregated) is
+    // hash-stable by construction.
+    Q("dedup_cluster_sizes",
+      (s, d) => {
+        import s.implicits._
+        ccAssignments(s, d)
+          .groupBy($"cluster_id")
+          .agg(count(lit(1)).as("sz"))
+          .groupBy($"sz".as("cluster_size"))
+          .agg(count(lit(1)).as("n_clusters"))
+      },
+      Some(s"""WITH RECURSIVE $corpusSql, $signaturesSql, $bandsSql,
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM candidates
+                  UNION ALL SELECT doc_b AS a, doc_a AS b FROM candidates),
+        reach(v, r) AS (
+          SELECT DISTINCT a AS v, a AS r FROM edges
+          UNION
+          SELECT e.b AS v, reach.r FROM reach JOIN edges e ON e.a = reach.v),
+        comp AS (SELECT v, MIN(r) AS cluster_id FROM reach GROUP BY v),
+        sizes AS (SELECT cluster_id, COUNT(*) AS sz
+                  FROM comp GROUP BY cluster_id)
+        SELECT sz AS cluster_size, COUNT(*) AS n_clusters
+        FROM sizes GROUP BY sz"""))
   )
 }

@@ -1334,6 +1334,51 @@ object EventsOps {
           COUNT(*) AS n_events,
           COUNT(DISTINCT user_id) AS n_users,
           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
-        FROM events GROUP BY 1, 2"""))
+        FROM events GROUP BY 1, 2""")),
+
+    // ------------------------------------------------------------------
+    // Dwell-time percentiles: seconds until the user's NEXT event,
+    // attributed to the current event's type, summarized per type
+    // with percentile_disc — which selects a STORED integer, the one
+    // percentile form with zero IEEE caveats cross-engine (see
+    // rel_percentile_disc). Gaps are whole-second integers from
+    // epoch math; the lead window orders by (ts, event_id) so equal
+    // timestamps cannot flip the gap assignment between engines.
+    Q("ev_dwell_percentiles",
+      (s, d) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id").orderBy($"ts", $"event_id")
+        Tables.events(s, d)
+          .select($"user_id", $"event_id", $"event_type", $"ts")
+          .withColumn("dwell_s",
+            (unix_timestamp(lead($"ts", 1).over(w)) - unix_timestamp($"ts"))
+              .cast("long"))
+          .filter($"dwell_s".isNotNull)
+          .createOrReplaceTempView("dwell_tmp")
+        // Spark's percentile_disc returns DOUBLE even over integer
+        // input; the selected value is a stored exact integer, so the
+        // BIGINT cast is lossless and matches DuckDB's BIGINT output
+        // type (the driver compares schemas, not just values).
+        s.sql("""SELECT event_type, COUNT(*) AS n_dwells,
+            CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY dwell_s)
+              AS BIGINT) AS p50_s,
+            CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY dwell_s)
+              AS BIGINT) AS p90_s,
+            MAX(dwell_s) AS max_s
+          FROM dwell_tmp GROUP BY event_type""")
+      },
+      Some("""WITH dwell AS (
+          SELECT event_type,
+            LEAD(epoch_us(ts) // 1000000, 1) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id)
+              - epoch_us(ts) // 1000000 AS dwell_s
+          FROM events)
+        SELECT event_type, COUNT(*) AS n_dwells,
+          percentile_disc(0.5) WITHIN GROUP (ORDER BY dwell_s) AS p50_s,
+          percentile_disc(0.9) WITHIN GROUP (ORDER BY dwell_s) AS p90_s,
+          MAX(dwell_s) AS max_s
+        FROM dwell WHERE dwell_s IS NOT NULL
+        GROUP BY event_type"""))
   )
 }

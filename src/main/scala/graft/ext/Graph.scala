@@ -431,6 +431,49 @@ object GraphOps {
         deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)
         SELECT length(bin(deg)) - 1 AS bucket, COUNT(*) AS n_nodes,
                MIN(deg) AS min_deg, MAX(deg) AS max_deg
-        FROM deg GROUP BY 1"""))
+        FROM deg GROUP BY 1""")),
+
+    // ------------------------------------------------------------------
+    // Synchronous min-label propagation, FIXED two rounds, over the
+    // part co-purchase graph: each round every node takes the min of
+    // its own label and its neighbors' previous labels. Two rounds
+    // labels each node with the smallest node id within graph
+    // distance 2 — a deterministic community-seeding pass (full
+    // convergence is dedup_cc's job; a fixed round count keeps the
+    // quantity well-defined and oracle-expressible, same rationale
+    // as gr_kcore). Each round is one node-sized broadcast hash join
+    // against the edge list plus a partial-agg'd min; label frames
+    // are pinned because round i+1 references round i twice (self +
+    // neighbor wing). Beyond broadcastable node counts the label
+    // join follows the module's SHUFFLE_HASH regime.
+    Q("gr_label_prop",
+      (s, d) => {
+        import s.implicits._
+        val edges = pin(copurchaseSym(s, d))
+        var labels = pin(edges.select($"src".as("v")).distinct()
+          .select($"v", $"v".as("lbl")))
+        for (_ <- 1 to 2) {
+          val fromNbr = edges
+            .join(broadcast(labels.select($"v".as("u"), $"lbl")),
+              $"src" === $"u")
+            .select($"dst".as("v"), $"lbl")
+          labels = pin(labels.unionByName(fromNbr)
+            .groupBy($"v").agg(min($"lbl").as("lbl")))
+        }
+        labels.select($"v".as("node_id"), $"lbl".as("label"))
+      },
+      Some(s"""WITH $copurchaseSymSql,
+        l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM e0),
+        l1 AS (SELECT v, MIN(lbl) AS lbl FROM (
+            SELECT v, lbl FROM l0
+            UNION ALL
+            SELECT e.dst AS v, l.lbl FROM e0 e JOIN l0 l ON e.src = l.v) u1
+          GROUP BY v),
+        l2 AS (SELECT v, MIN(lbl) AS lbl FROM (
+            SELECT v, lbl FROM l1
+            UNION ALL
+            SELECT e.dst AS v, l.lbl FROM e0 e JOIN l1 l ON e.src = l.v) u2
+          GROUP BY v)
+        SELECT v AS node_id, lbl AS label FROM l2"""))
   )
 }

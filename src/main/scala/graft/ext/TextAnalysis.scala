@@ -1277,7 +1277,71 @@ object TextAnalysis {
                 FROM vocab) x)
         SELECT c1, c2, SUM(freq) AS n_pairs
         FROM pairs GROUP BY 1, 2
-        ORDER BY n_pairs DESC, c1, c2 LIMIT 20"""))
+        ORDER BY n_pairs DESC, c1, c2 LIMIT 20""")),
+
+    // ------------------------------------------------------------------
+    // Gopher-style repetition filter inputs: per document, the share
+    // of positions covered by the single most frequent unigram and
+    // bigram. ONE tokenize + explode feeds both via a unioned
+    // (kind, key) frame (Catalyst does not dedupe repeated subtrees,
+    // so two separate explodes would scan the corpus twice); max
+    // count per (doc, kind) collapses with a conditional agg. All
+    // counts are integers; the two ratios are single IEEE divisions
+    // of exact integers. Docs need >= 2 tokens for a bigram — the
+    // filter keeps the ratio denominators positive.
+    Q("txt_repetition_ratio",
+      (s, d) => {
+        import s.implicits._
+        val base = Tables.documents(s, d)
+          .select($"doc_id", tokens($"text").as("toks"))
+          .filter(size($"toks") >= 2)
+          .select($"doc_id", size($"toks").as("n_toks"),
+            explode(sequence(lit(1), size($"toks"))).as("i"), $"toks")
+        val keyed = base.select($"doc_id", $"n_toks",
+          explode(array(
+            struct(lit("uni").as("kind"),
+              element_at($"toks", $"i").as("key")),
+            struct(lit("bi").as("kind"),
+              when($"i" < $"n_toks",
+                concat_ws(" ", element_at($"toks", $"i"),
+                  element_at($"toks", $"i" + 1))).as("key"))))
+            .as("kk"))
+          .filter($"kk.key".isNotNull)
+        keyed
+          .groupBy($"doc_id", $"n_toks", $"kk.kind", $"kk.key")
+          .agg(count(lit(1)).as("c"))
+          .groupBy($"doc_id", $"n_toks")
+          .agg(max(when($"kind" === "uni", $"c")).as("max_uni"),
+               max(when($"kind" === "bi", $"c")).as("max_bi"))
+          .select($"doc_id", $"n_toks", $"max_uni", $"max_bi",
+            ($"max_uni".cast("double") / $"n_toks").as("top_unigram_frac"),
+            ($"max_bi".cast("double") / ($"n_toks" - 1)).as("top_bigram_frac"))
+      },
+      Some("""WITH base AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+          FROM documents
+          WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 2),
+        pos AS (
+          SELECT doc_id, len(toks) AS n_toks, toks,
+            unnest(generate_series(1, len(toks))) AS i
+          FROM base),
+        keyed AS (
+          SELECT doc_id, n_toks, 'uni' AS kind, toks[i] AS key FROM pos
+          UNION ALL
+          SELECT doc_id, n_toks, 'bi' AS kind,
+            toks[i] || ' ' || toks[i + 1] AS key
+          FROM pos WHERE i < n_toks),
+        counts AS (
+          SELECT doc_id, n_toks, kind, key, COUNT(*) AS c
+          FROM keyed GROUP BY doc_id, n_toks, kind, key)
+        SELECT doc_id, n_toks,
+          MAX(CASE WHEN kind = 'uni' THEN c END) AS max_uni,
+          MAX(CASE WHEN kind = 'bi' THEN c END) AS max_bi,
+          CAST(MAX(CASE WHEN kind = 'uni' THEN c END) AS DOUBLE) / n_toks
+            AS top_unigram_frac,
+          CAST(MAX(CASE WHEN kind = 'bi' THEN c END) AS DOUBLE) / (n_toks - 1)
+            AS top_bigram_frac
+        FROM counts GROUP BY doc_id, n_toks"""))
   )
 
   /** Library form of the quality/stat projections for reuse. */
