@@ -29,6 +29,7 @@ object SparkEntry {
     ext.Dedup.all ++
     ext.Similarity.all ++
     ext.Multimodal.all ++
+    ext.Multimodal.all2 ++
     ext.GraphOps.all ++
     ext.GraphOps.all2 ++
     parity.ParityQueries.all

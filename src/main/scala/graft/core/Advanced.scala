@@ -826,6 +826,67 @@ object Advanced {
           ntile(4) OVER w AS quartile
         FROM lineitem WHERE l_orderkey % 10 = 0
         WINDOW w AS (PARTITION BY l_returnflag
-          ORDER BY l_quantity, l_orderkey, l_linenumber)"""))
+          ORDER BY l_quantity, l_orderkey, l_linenumber)""")),
+
+    // ------------------------------------------------------------------
+    // Customer-value decile lift table: rank customers by lifetime
+    // spend, cut into ntile(10) deciles, report each decile's
+    // revenue share and cumulative share — the "top decile drives
+    // X% of revenue" concentration report. Spend is an exact
+    // decimal sum; ntile orders by (spend DESC, custkey), a total
+    // order, so bucket assignment is deterministic. Shares are
+    // single divisions of decimal-exact numerators/denominators
+    // (magnitudes ≪ the 17-sig-digit decimal→double caveat). The
+    // ntile window is whole-table — fine for customer-sized frames;
+    // at 10⁹+ customers the same cut comes from approx_percentile
+    // boundaries + a range join, trading exactness of the bucket
+    // EDGES (not of the per-bucket sums) for full parallelism. The
+    // 10-row decile frame then carries cumulative/total windows for
+    // free.
+    Q("rel_decile_lift",
+      (s, d) => {
+        import s.implicits._
+        val spend = Tables.orders(s, d)
+          .groupBy($"o_custkey")
+          .agg(sum($"o_totalprice".cast(DecimalType(27, 2))).as("spend"))
+        val wN = Window.orderBy($"spend".desc, $"o_custkey")
+        val deciles = spend
+          .withColumn("decile", ntile(10).over(wN))
+          .groupBy($"decile")
+          .agg(count(lit(1)).as("n_customers"), sum($"spend").as("rev"))
+        val wCum = Window.orderBy($"decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wTot = Window.partitionBy()
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        deciles
+          .withColumn("cum_rev", sum($"rev").over(wCum))
+          .withColumn("tot_rev", sum($"rev").over(wTot))
+          .select($"decile", $"n_customers",
+            $"rev".cast("double").as("decile_rev"),
+            ($"rev".cast("double") / $"tot_rev".cast("double"))
+              .as("rev_share"),
+            ($"cum_rev".cast("double") / $"tot_rev".cast("double"))
+              .as("cum_share"))
+      },
+      Some("""WITH spend AS (
+          SELECT o_custkey,
+            SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS spend
+          FROM orders GROUP BY o_custkey),
+        deciles AS (
+          SELECT decile, COUNT(*) AS n_customers, SUM(spend) AS rev
+          FROM (SELECT spend,
+                  NTILE(10) OVER (ORDER BY spend DESC, o_custkey) AS decile
+                FROM spend) x
+          GROUP BY decile),
+        framed AS (
+          SELECT decile, n_customers, rev,
+            SUM(rev) OVER (ORDER BY decile) AS cum_rev,
+            SUM(rev) OVER () AS tot_rev
+          FROM deciles)
+        SELECT decile, n_customers,
+          CAST(rev AS DOUBLE) AS decile_rev,
+          CAST(rev AS DOUBLE) / CAST(tot_rev AS DOUBLE) AS rev_share,
+          CAST(cum_rev AS DOUBLE) / CAST(tot_rev AS DOUBLE) AS cum_share
+        FROM framed"""))
   )
 }

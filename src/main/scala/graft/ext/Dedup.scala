@@ -716,6 +716,70 @@ object Dedup {
         sizes AS (SELECT cluster_id, COUNT(*) AS sz
                   FROM comp GROUP BY cluster_id)
         SELECT sz AS cluster_size, COUNT(*) AS n_clusters
-        FROM sizes GROUP BY sz"""))
+        FROM sizes GROUP BY sz""")),
+
+    // ------------------------------------------------------------------
+    // Asymmetric containment: |A∩B| / min(|A|,|B|) over distinct
+    // token 3-grams — the measure that catches a small document
+    // EMBEDDED in a larger one, which symmetric Jaccard dilutes
+    // below threshold (|A∩B|/|A∪B| → small when |B| ≫ |A|). Same
+    // inverted-index pair generation and window-carried gram counts
+    // as dedup_ngram_jaccard (one corpus scan, no sizes join-back);
+    // the intersection count is exact-integer, the ratio one IEEE
+    // division. Docs shorter than 3 tokens are excluded — both
+    // engines then build identical gram sets (no partial-gram
+    // fabrication at the tail).
+    Q("dedup_containment",
+      (s, d) => {
+        import s.implicits._
+        val toks = split(norm($"text"), " ")
+        val grams = corpus(s, d)
+          .select($"doc_id", $"text")
+          .withColumn("toks", toks)
+          .filter(size($"toks") >= 3)
+          .select($"doc_id",
+            explode(sequence(lit(1), size($"toks") - 2)).as("i"), $"toks")
+          .select($"doc_id", concat_ws(" ",
+            element_at($"toks", $"i"), element_at($"toks", $"i" + 1),
+            element_at($"toks", $"i" + 2)).as("gram"))
+          .distinct()
+        val wDoc = org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id")
+        val sized = grams.withColumn("n", count(lit(1)).over(wDoc))
+        sized.as("a")
+          .join(sized.as("b"),
+            $"a.gram" === $"b.gram" && $"a.doc_id" < $"b.doc_id")
+          .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+            $"a.n".as("na"), $"b.n".as("nb"))
+          .groupBy($"doc_a", $"doc_b", $"na", $"nb")
+          .agg(count(lit(1)).as("n_inter"))
+          .withColumn("containment",
+            $"n_inter".cast("double") / least($"na", $"nb").cast("double"))
+          .filter($"containment" >= 0.8)
+          .select($"doc_a", $"doc_b", $"n_inter", $"na", $"nb",
+            $"containment")
+      },
+      Some(s"""WITH $corpusSql,
+        grams AS (
+          SELECT DISTINCT doc_id,
+            toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+          FROM (SELECT doc_id, toks,
+                  unnest(generate_series(1, len(toks) - 2)) AS i
+                FROM (SELECT doc_id, string_split($normSql, ' ') AS toks
+                      FROM corpus) y
+                WHERE len(toks) >= 3) x),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+          FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+        SELECT doc_a, doc_b, n_inter, sa.n_grams AS na, sb.n_grams AS nb,
+          CAST(n_inter AS DOUBLE) / CAST(least(sa.n_grams, sb.n_grams) AS DOUBLE)
+            AS containment
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(n_inter AS DOUBLE) / CAST(least(sa.n_grams, sb.n_grams) AS DOUBLE)
+              >= 0.8"""))
   )
 }

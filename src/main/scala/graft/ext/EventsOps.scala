@@ -1379,6 +1379,168 @@ object EventsOps {
           percentile_disc(0.9) WITHIN GROUP (ORDER BY dwell_s) AS p90_s,
           MAX(dwell_s) AS max_s
         FROM dwell WHERE dwell_s IS NOT NULL
-        GROUP BY event_type"""))
+        GROUP BY event_type""")),
+
+    // ------------------------------------------------------------------
+    // Activity streaks (gaps-and-islands): per user, the longest run
+    // of consecutive active DAYS, total active days, and number of
+    // distinct streaks. The island anchor is `day - row_number()` —
+    // consecutive days share an anchor, any gap starts a new one.
+    // Distinct (user, day) first so duplicate same-day events cannot
+    // split an island; everything downstream is dates and counts
+    // (no floats). One shuffle on user_id serves the window AND both
+    // groupBys (identical partitioning — Catalyst reuses the
+    // exchange), so the whole query is a single-exchange pipeline
+    // that scales linearly in users.
+    Q("ev_streaks",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"day")
+        Tables.events(s, d)
+          .select($"user_id", to_date($"ts").as("day")).distinct()
+          .withColumn("anchor", date_sub($"day", row_number().over(w)))
+          .groupBy($"user_id", $"anchor")
+          .agg(count(lit(1)).as("len"))
+          .groupBy($"user_id")
+          .agg(max($"len").as("longest_streak"),
+               sum($"len").as("n_active_days"),
+               count(lit(1)).as("n_streaks"))
+      },
+      Some("""WITH days AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        islands AS (
+          SELECT user_id, day - CAST(ROW_NUMBER() OVER (
+              PARTITION BY user_id ORDER BY day) AS INT) AS anchor
+          FROM days),
+        streaks AS (
+          SELECT user_id, anchor, COUNT(*) AS len
+          FROM islands GROUP BY user_id, anchor)
+        SELECT user_id, MAX(len) AS longest_streak,
+          CAST(SUM(len) AS BIGINT) AS n_active_days,
+          COUNT(*) AS n_streaks
+        FROM streaks GROUP BY user_id""")),
+
+    // ------------------------------------------------------------------
+    // Multi-touch attribution: every click in the 7 days before a
+    // same-user purchase shares that purchase's credit. Linear
+    // credit is dealt in exact integer parts-per-million — each
+    // touch gets 1000000 div n and the LAST touch absorbs the
+    // remainder, so credits sum to exactly 1e6 per purchase and the
+    // whole query stays float-free (an IEEE 1/n credit would
+    // accumulate ulp drift under reordered sums). First/last flags
+    // come from the same two orderings; ties break on event_id.
+    // Summarized by the touch's hour-of-day. The purchase×click
+    // join keys on user_id — user-bounded fan-out, shuffle-hash
+    // friendly at scale — and the three windows share one
+    // purchase_id partitioning.
+    Q("ev_multitouch_attribution",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"user_id", $"event_id".as("purchase_id"),
+            unix_micros($"ts").as("p_us"))
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"user_id", $"event_id".as("click_id"),
+            unix_micros($"ts").as("c_us"),
+            hour($"ts").cast("long").as("touch_hour"))
+        val wP = Window.partitionBy($"purchase_id")
+        val wAsc = Window.partitionBy($"purchase_id")
+          .orderBy($"c_us", $"click_id")
+        val wDesc = Window.partitionBy($"purchase_id")
+          .orderBy($"c_us".desc, $"click_id".desc)
+        purchases.join(clicks, Seq("user_id"))
+          .filter($"c_us" < $"p_us" &&
+            $"c_us" >= $"p_us" - lit(7L * 86400L * 1000000L))
+          .withColumn("n", count(lit(1)).over(wP))
+          .withColumn("rn_first", row_number().over(wAsc))
+          .withColumn("rn_last", row_number().over(wDesc))
+          .withColumn("credit_ppm", expr("1000000L div n") +
+            when($"rn_last" === 1, expr("1000000L % n")).otherwise(0L))
+          .groupBy($"touch_hour")
+          .agg(count(lit(1)).as("n_touches"),
+               sum($"credit_ppm").as("credit_ppm"),
+               sum(when($"rn_first" === 1, 1L).otherwise(0L)).as("n_first"),
+               sum(when($"rn_last" === 1, 1L).otherwise(0L)).as("n_last"))
+      },
+      Some("""WITH touches AS (
+          SELECT p.event_id AS purchase_id,
+            EXTRACT(hour FROM c.ts) AS touch_hour,
+            epoch_us(c.ts) AS c_us, c.event_id AS click_id
+          FROM events p JOIN events c
+            ON c.user_id = p.user_id
+           AND epoch_us(c.ts) < epoch_us(p.ts)
+           AND epoch_us(c.ts) >= epoch_us(p.ts) - 604800000000
+          WHERE p.event_type = 'purchase' AND c.event_type = 'click'),
+        ranked AS (
+          SELECT touch_hour,
+            COUNT(*) OVER (PARTITION BY purchase_id) AS n,
+            ROW_NUMBER() OVER (PARTITION BY purchase_id
+              ORDER BY c_us, click_id) AS rn_first,
+            ROW_NUMBER() OVER (PARTITION BY purchase_id
+              ORDER BY c_us DESC, click_id DESC) AS rn_last
+          FROM touches)
+        SELECT touch_hour, COUNT(*) AS n_touches,
+          CAST(SUM(1000000 // n + CASE WHEN rn_last = 1
+            THEN 1000000 % n ELSE 0 END) AS BIGINT) AS credit_ppm,
+          CAST(SUM(CASE WHEN rn_first = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_first,
+          CAST(SUM(CASE WHEN rn_last = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_last
+        FROM ranked GROUP BY touch_hour""")),
+
+    // ------------------------------------------------------------------
+    // Churn-risk buckets: per user, whole days between their last
+    // event and the corpus's last observed day, bucketed into
+    // lifecycle bands (active = same day, cooling = 1 day silent,
+    // at-risk = 2 days, churned = 3+; day-granularity edges because
+    // the synthetic corpus is dense — a production horizon would use
+    // 7/14/30). The corpus horizon is a one-row scalar
+    // aggregate cross-joined in (broadcast — the per-user frame
+    // never reshuffles for it; a window-based max would drag every
+    // user row into one partition). Day arithmetic is integer
+    // date_diff; bucket edges are integer comparisons — no floats
+    // anywhere, and each user lands in exactly one band.
+    Q("ev_churn_risk",
+      (s, d) => {
+        import s.implicits._
+        val perUser = Tables.events(s, d)
+          .groupBy($"user_id")
+          .agg(max(to_date($"ts")).as("last_day"),
+               count(lit(1)).as("n_events"))
+        val horizon = Tables.events(s, d)
+          .agg(max(to_date($"ts")).as("horizon"))
+        perUser.crossJoin(broadcast(horizon))
+          .withColumn("days_silent",
+            datediff($"horizon", $"last_day").cast("long"))
+          .withColumn("band",
+            when($"days_silent" < 1, "active")
+              .when($"days_silent" < 2, "cooling")
+              .when($"days_silent" < 3, "at_risk")
+              .otherwise("churned"))
+          .groupBy($"band")
+          .agg(count(lit(1)).as("n_users"),
+               sum($"n_events").as("total_events"),
+               min($"days_silent").as("min_silent"),
+               max($"days_silent").as("max_silent"))
+      },
+      Some("""WITH per_user AS (
+          SELECT user_id, MAX(CAST(ts AS DATE)) AS last_day,
+            COUNT(*) AS n_events
+          FROM events GROUP BY user_id),
+        h AS (SELECT MAX(CAST(ts AS DATE)) AS horizon FROM events),
+        banded AS (
+          SELECT n_events,
+            CAST(date_diff('day', last_day, horizon) AS BIGINT)
+              AS days_silent,
+            CASE WHEN date_diff('day', last_day, horizon) < 1 THEN 'active'
+                 WHEN date_diff('day', last_day, horizon) < 2 THEN 'cooling'
+                 WHEN date_diff('day', last_day, horizon) < 3 THEN 'at_risk'
+                 ELSE 'churned' END AS band
+          FROM per_user, h)
+        SELECT band, COUNT(*) AS n_users,
+          CAST(SUM(n_events) AS BIGINT) AS total_events,
+          MIN(days_silent) AS min_silent, MAX(days_silent) AS max_silent
+        FROM banded GROUP BY band"""))
   )
 }

@@ -474,6 +474,54 @@ object GraphOps {
             UNION ALL
             SELECT e.dst AS v, l.lbl FROM e0 e JOIN l1 l ON e.src = l.v) u2
           GROUP BY v)
-        SELECT v AS node_id, lbl AS label FROM l2"""))
+        SELECT v AS node_id, lbl AS label FROM l2""")),
+
+    // ------------------------------------------------------------------
+    // Layered BFS reachability: from the seed set (every 100th part
+    // key in the co-purchase graph), the number of nodes first
+    // reached at hop 0, 1, 2, 3 — the reachability profile that
+    // sizes a traversal before running it. Each hop is frontier ⋈
+    // edges + a min-distance merge: the same broadcast-join round as
+    // gr_label_prop (node-sized label frame, pinned lineage), with
+    // min() keeping the FIRST hop a node was reached at — so the
+    // final histogram is exactly the BFS layer decomposition, fixed
+    // at 3 rounds for oracle expressibility. Pure integers
+    // throughout; unreached nodes are absent (no sentinel rows).
+    Q("gr_bfs_reach",
+      (s, d) => {
+        import s.implicits._
+        val edges = pin(copurchaseSym(s, d))
+        var dist = pin(edges.select($"src".as("v")).distinct()
+          .filter($"v" % 100 === 0)
+          .select($"v", lit(0L).as("dist")))
+        for (h <- 1 to 3) {
+          val next = edges
+            .join(broadcast(dist.select($"v".as("u"), $"dist")),
+              $"src" === $"u")
+            .select($"dst".as("v"), ($"dist" + 1L).as("dist"))
+          dist = pin(dist.unionByName(next)
+            .groupBy($"v").agg(min($"dist").as("dist")))
+        }
+        dist.groupBy($"dist").agg(count(lit(1)).as("n_nodes"))
+      },
+      Some(s"""WITH $copurchaseSymSql,
+        d0 AS (SELECT DISTINCT src AS v, CAST(0 AS BIGINT) AS dist
+               FROM e0 WHERE src % 100 = 0),
+        d1 AS (SELECT v, MIN(dist) AS dist FROM (
+            SELECT v, dist FROM d0
+            UNION ALL
+            SELECT e.dst AS v, p.dist + 1 FROM e0 e JOIN d0 p ON e.src = p.v)
+          u GROUP BY v),
+        d2 AS (SELECT v, MIN(dist) AS dist FROM (
+            SELECT v, dist FROM d1
+            UNION ALL
+            SELECT e.dst AS v, p.dist + 1 FROM e0 e JOIN d1 p ON e.src = p.v)
+          u GROUP BY v),
+        d3 AS (SELECT v, MIN(dist) AS dist FROM (
+            SELECT v, dist FROM d2
+            UNION ALL
+            SELECT e.dst AS v, p.dist + 1 FROM e0 e JOIN d2 p ON e.src = p.v)
+          u GROUP BY v)
+        SELECT dist, COUNT(*) AS n_nodes FROM d3 GROUP BY dist"""))
   )
 }

@@ -313,4 +313,97 @@ object Multimodal {
           MIN(CASE WHEN cut = 1 THEN frame_idx END) AS first_cut
         FROM flagged GROUP BY doc_id"""))
   )
+
+  val all2: Seq[Q] = Seq(
+    // ------------------------------------------------------------------
+    // Perceptual-hash near-duplicate pairs: a 16-bit stub pHash per
+    // payload (4 md5 nibbles standing in for the DCT hash a real
+    // image decoder would emit — the banding/pairing plumbing is the
+    // real artifact), candidate pairs generated by SPLITTING the
+    // hash into 4 nibble bands and self-joining per (kind, band,
+    // value) — the pigeonhole guarantee: hamming ≤ 3 over 16 bits
+    // forces at least one of 4 bands identical, so banding loses no
+    // true pair while replacing the O(n²)-per-kind cross join with
+    // bucket-local joins that shuffle-hash at any corpus size. The
+    // oracle is the direct quadratic join — tractable at oracle
+    // scale, and pigeonhole-equal to the banded plan. Hamming
+    // distance is bit_count(xor) on integers: exact cross-engine.
+    Q("mm_phash_hamming",
+      (s, d) => {
+        import s.implicits._
+        val alphabet = "0123456789abcdef"
+        val hashed = Tables.documents(s, d).select(
+          $"doc_id",
+          element_at(array(lit("image"), lit("audio"), lit("video")),
+            ($"doc_id" % 3 + 1).cast("int")).as("kind"),
+          md5(encode($"text", "UTF-8")).as("h"))
+        val withPh = hashed.selectExpr("doc_id", "kind",
+          s"""CAST((instr('$alphabet', substr(h, 1, 1)) - 1) * 4096 +
+                   (instr('$alphabet', substr(h, 2, 1)) - 1) * 256 +
+                   (instr('$alphabet', substr(h, 3, 1)) - 1) * 16 +
+                   (instr('$alphabet', substr(h, 4, 1)) - 1) AS BIGINT) AS ph""",
+          "substr(h, 1, 4) AS nibs")
+        val bands = withPh.select($"doc_id", $"kind", $"ph",
+          posexplode(split($"nibs", "(?!^)"))) // one row per nibble char
+          .toDF("doc_id", "kind", "ph", "band_idx", "band_val")
+        val pairs = bands.as("a")
+          .join(bands.as("b"),
+            $"a.kind" === $"b.kind" && $"a.band_idx" === $"b.band_idx" &&
+            $"a.band_val" === $"b.band_val" && $"a.doc_id" < $"b.doc_id")
+          .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+            $"a.ph".as("ph_a"), $"b.ph".as("ph_b"))
+          .distinct()
+        pairs
+          .withColumn("hamming",
+            expr("CAST(bit_count(ph_a ^ ph_b) AS BIGINT)"))
+          .filter($"hamming" <= 3)
+          .select($"doc_a", $"doc_b", $"hamming")
+      },
+      Some("""WITH ph AS (
+          SELECT doc_id,
+            ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+            CAST((strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 4096 +
+                 (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) * 256 +
+                 (strpos('0123456789abcdef', substr(md5(text), 3, 1)) - 1) * 16 +
+                 (strpos('0123456789abcdef', substr(md5(text), 4, 1)) - 1)
+              AS BIGINT) AS ph
+          FROM documents)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+        FROM ph a JOIN ph b ON a.kind = b.kind AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.ph, b.ph)) <= 3""")),
+
+    // ------------------------------------------------------------------
+    // Modality × language balance sheet: the pre-training mixture
+    // report a multimodal shard planner starts from — per (kind,
+    // lang): document count, total/max payload bytes and the median
+    // payload size via percentile_disc (selects a STORED integer —
+    // the zero-IEEE-caveat percentile form). One scan, one
+    // aggregation; byte lengths are exact integers from the binary
+    // payload column.
+    Q("mm_modality_balance",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"doc_id", $"lang",
+            element_at(array(lit("image"), lit("audio"), lit("video")),
+              ($"doc_id" % 3 + 1).cast("int")).as("kind"),
+            octet_length(encode($"text", "UTF-8")).cast("long")
+              .as("byte_len"))
+          .createOrReplaceTempView("media_meta")
+        s.sql("""SELECT kind, lang, COUNT(*) AS n_docs,
+            SUM(byte_len) AS total_bytes, MAX(byte_len) AS max_bytes,
+            CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY byte_len)
+              AS BIGINT) AS p50_bytes
+          FROM media_meta GROUP BY kind, lang""")
+      },
+      Some("""SELECT
+          ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+          lang, COUNT(*) AS n_docs,
+          CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+          CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes,
+          percentile_disc(0.5) WITHIN GROUP (
+            ORDER BY CAST(octet_length(encode(text)) AS BIGINT)) AS p50_bytes
+        FROM documents GROUP BY 1, 2"""))
+  )
 }

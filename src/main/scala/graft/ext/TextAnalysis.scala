@@ -1341,7 +1341,134 @@ object TextAnalysis {
             AS top_unigram_frac,
           CAST(MAX(CASE WHEN kind = 'bi' THEN c END) AS DOUBLE) / (n_toks - 1)
             AS top_bigram_frac
-        FROM counts GROUP BY doc_id, n_toks"""))
+        FROM counts GROUP BY doc_id, n_toks""")),
+
+    // ------------------------------------------------------------------
+    // N-gram novelty curve: per document, the fraction of its
+    // distinct token 3-grams never seen in any EARLIER document
+    // (doc_id order) — the freshness measure that tells a pipeline
+    // when additional data stops contributing new content. Each
+    // gram's first owner is a min-window over the gram key (one
+    // shuffle on gram; a first-owner aggregate joined back would
+    // re-derive the whole explode subtree — Catalyst does not dedupe
+    // repeated subplans). Counts are exact integers; the novelty
+    // ratio is one IEEE division. Docs with < 3 tokens are excluded
+    // so both engines build identical gram sets.
+    Q("txt_ngram_novelty",
+      (s, d) => {
+        import s.implicits._
+        val grams = Tables.documents(s, d)
+          .select($"doc_id", tokens($"text").as("toks"))
+          .filter(size($"toks") >= 3)
+          .select($"doc_id",
+            explode(sequence(lit(1), size($"toks") - 2)).as("i"), $"toks")
+          .select($"doc_id", concat_ws(" ",
+            element_at($"toks", $"i"), element_at($"toks", $"i" + 1),
+            element_at($"toks", $"i" + 2)).as("gram"))
+          .distinct()
+        val wG = org.apache.spark.sql.expressions.Window
+          .partitionBy($"gram")
+        grams
+          .withColumn("owner", min($"doc_id").over(wG))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+               sum(when($"owner" === $"doc_id", 1L).otherwise(0L))
+                 .as("n_novel"))
+          .withColumn("novelty",
+            $"n_novel".cast("double") / $"n_grams".cast("double"))
+      },
+      Some("""WITH grams AS (
+          SELECT DISTINCT doc_id,
+            toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+          FROM (SELECT doc_id, toks,
+                  unnest(generate_series(1, len(toks) - 2)) AS i
+                FROM (SELECT doc_id,
+                        string_split_regex(trim(lower(text)), '\s+') AS toks
+                      FROM documents) y
+                WHERE len(toks) >= 3) x),
+        owned AS (
+          SELECT doc_id, MIN(doc_id) OVER (PARTITION BY gram) AS owner
+          FROM grams)
+        SELECT doc_id, COUNT(*) AS n_grams,
+          CAST(SUM(CASE WHEN owner = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_novel,
+          CAST(SUM(CASE WHEN owner = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE) AS novelty
+        FROM owned GROUP BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // Vocabulary coverage curve: what fraction of all token
+    // OCCURRENCES the top-k most frequent types cover, at k = 100 /
+    // 1000 / 10000 — the curve that sizes a tokenizer vocabulary.
+    // Deliberately NOT a global per-type ranking (sorting 10⁸ types
+    // through one window at 100 TB): types with equal frequency are
+    // interchangeable for coverage, so the corpus-sized work is just
+    // token → freq → a FREQUENCY HISTOGRAM (freq, n_types), which is
+    // tiny (≲ thousands of distinct frequencies under any Zipf-ish
+    // law). The cumulative window runs over that histogram only; a
+    // rank cut landing inside a class takes a pro-rata
+    // (k − types_before)·freq slice. All integers; coverage_ppm is
+    // exact integer division, identical cross-engine.
+    Q("txt_vocab_coverage",
+      (s, d) => {
+        import s.implicits._
+        val classes = Tables.documents(s, d)
+          .select(explode(tokens($"text")).as("tok"))
+          .groupBy($"tok").agg(count(lit(1)).as("freq"))
+          .groupBy($"freq").agg(count(lit(1)).as("n_types"))
+        val wCum = org.apache.spark.sql.expressions.Window
+          .orderBy($"freq".desc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, org.apache.spark.sql.expressions.Window
+            .currentRow)
+        val wAll = org.apache.spark.sql.expressions.Window
+          .partitionBy()
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, org.apache.spark.sql.expressions.Window
+            .unboundedFollowing)
+        classes
+          .withColumn("cum_types", sum($"n_types").over(wCum))
+          .withColumn("total_occ", sum($"freq" * $"n_types").over(wAll))
+          .withColumn("total_types", sum($"n_types").over(wAll))
+          .crossJoin(Seq(100L, 1000L, 10000L).toDF("k"))
+          .withColumn("contrib",
+            least($"n_types",
+              greatest($"k" - ($"cum_types" - $"n_types"), lit(0L)))
+              * $"freq")
+          .groupBy($"k")
+          .agg(min($"total_types").as("tt"), min($"total_occ").as("to_"),
+               sum($"contrib").as("covered_occ"))
+          .select($"k", least($"k", $"tt").as("covered_types"),
+            $"covered_occ", $"to_".as("total_occ"),
+            expr("(1000000L * covered_occ) div to_").as("coverage_ppm"))
+      },
+      Some("""WITH vocab AS (
+          SELECT tok, COUNT(*) AS freq
+          FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+                  AS tok
+                FROM documents) t
+          GROUP BY tok),
+        classes AS (SELECT freq, COUNT(*) AS n_types FROM vocab
+                    GROUP BY freq),
+        cum AS (
+          SELECT freq, n_types,
+            CAST(SUM(n_types) OVER (ORDER BY freq DESC) AS BIGINT)
+              AS cum_types,
+            CAST(SUM(freq * n_types) OVER () AS BIGINT) AS total_occ,
+            CAST(SUM(n_types) OVER () AS BIGINT) AS total_types
+          FROM classes),
+        ks AS (SELECT CAST(unnest([100, 1000, 10000]) AS BIGINT) AS k),
+        contrib AS (
+          SELECT k, total_occ, total_types,
+            least(n_types, greatest(k - (cum_types - n_types), 0)) * freq
+              AS c
+          FROM cum, ks)
+        SELECT k, least(k, MIN(total_types)) AS covered_types,
+          CAST(SUM(c) AS BIGINT) AS covered_occ,
+          MIN(total_occ) AS total_occ,
+          (1000000 * CAST(SUM(c) AS BIGINT)) // MIN(total_occ)
+            AS coverage_ppm
+        FROM contrib GROUP BY k"""))
   )
 
   /** Library form of the quality/stat projections for reuse. */
