@@ -50,7 +50,9 @@ object Bench {
     "rel_dq_audit", "gr_kcore", "gr_common_neighbors",
     "txt_rake_keywords", "txt_weighted_sample", "rel_weighted_median",
     "rel_price_deciles", "ev_peak_concurrency", "ev_cohort_ltv",
-    "sim_threshold_sweep", "mm_scene_cuts")
+    "sim_threshold_sweep", "mm_scene_cuts",
+    "dedup_containment", "txt_ngram_novelty", "txt_vocab_coverage",
+    "mm_phash_hamming", "ev_multitouch_attribution", "gr_bfs_reach")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -110,8 +110,8 @@ object Dedup {
     * columns (e.g. a length or prefix) ride along so callers that
     * need per-doc attributes inside buckets don't re-derive the
     * banding or join back to the corpus. */
-  private def bandedKeys(signatures: DataFrame,
-                         carry: Seq[String] = Nil): DataFrame = {
+  def bandedKeys(signatures: DataFrame,
+                 carry: Seq[String] = Nil): DataFrame = {
     val s = signatures.sparkSession
     import s.implicits._
     def bandKey(x: Column, y: Column): Column =

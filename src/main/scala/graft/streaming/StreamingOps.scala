@@ -366,4 +366,76 @@ object StreamingOps {
     if (versions.isEmpty) None
     else Some(spark.read.parquet(s"$snapshotDir/v=${versions.max}"))
   }
+
+  final case class DocBand(doc_id: Long, ts: java.sql.Timestamp,
+                           band_idx: Int, band_hash: String)
+  final case class BandOwner(owner: Long, lastSeenMs: Long)
+  final case class BandHit(doc_id: Long, band_idx: Int, owner_id: Long,
+                           is_hit: Boolean)
+
+  /** Streaming near-duplicate suppression — the streaming twin of the
+    * batch `dedup_lsh_pairs`/`dedup_verdict` path. Each arriving
+    * document's fused MinHash signature (the same
+    * [[graft.functions.MinHashSig]] one-pass expression and the same
+    * band layout as [[graft.ext.Dedup.bandedKeys]] — batch and stream
+    * agree on candidates BY CONSTRUCTION) is split into LSH bands;
+    * state is keyed per (band_idx, band_hash) bucket and stores only
+    * the bucket's first-claiming doc_id — O(1) per bucket, not
+    * per-document history. A document landing in a bucket that an
+    * earlier document already claimed is flagged a near-dup suspect
+    * for that band (`is_hit`); callers roll suspect bands up per doc
+    * (any-hit = candidate, exactly the batch LSH candidate rule) and
+    * send hits to a verifier or quarantine sink.
+    *
+    * Within a micro-batch, rows are processed in (ts, doc_id) order,
+    * so ownership does not depend on arrival order inside the batch —
+    * replayed batches produce identical output (exactly-once safe).
+    * Buckets idle longer than `ownerTtlMs` past the watermark time
+    * out and evict, so state is bounded by the duplicate-arrival
+    * horizon — the same posture as `dropDuplicatesWithinWatermark`;
+    * an unbounded owner map would grow with corpus size and OOM the
+    * state store at 100 TB/day. Emitted per (doc, band) in Append
+    * mode: downstream aggregation belongs in `foreachBatch` (chaining
+    * a second stateful operator after flatMapGroupsWithState
+    * restricts output modes).
+    *
+    * Input columns: `doc_id` long, `ts` timestamp, `text` string.
+    */
+  def nearDupStream(docs: DataFrame, watermark: String = "1 hour",
+                    ownerTtlMs: Long = 3600000L): Dataset[BandHit] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val sigs = docs.withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"),
+        graft.functions.NativeFunctions.minHashSig(
+          trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id"), col("ts"),
+        col("sig").getItem(0).as("h1"), col("sig").getItem(1).as("h2"),
+        col("sig").getItem(2).as("h3"), col("sig").getItem(3).as("h4"))
+    graft.ext.Dedup.bandedKeys(sigs, carry = Seq("ts")).as[DocBand]
+      .groupByKey(b => (b.band_idx, b.band_hash))
+      .flatMapGroupsWithState[BandOwner, BandHit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: (Int, String), batch: Iterator[DocBand],
+         state: GroupState[BandOwner]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val rows = batch.toSeq.sortBy(b => (b.ts.getTime, b.doc_id))
+            var owner = state.getOption.map(_.owner).getOrElse(-1L)
+            val out = Seq.newBuilder[BandHit]
+            for (b <- rows) {
+              if (owner < 0) owner = b.doc_id
+              out += BandHit(b.doc_id, b.band_idx, owner,
+                owner != b.doc_id)
+            }
+            val lastMs = rows.map(_.ts.getTime).max
+            state.update(BandOwner(owner, lastMs))
+            state.setTimeoutTimestamp(lastMs + ownerTtlMs)
+            out.result().iterator
+          }
+      }
+  }
 }

@@ -410,4 +410,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == expected,
       s"stream $streamed vs batch $expected")
   }
+
+  test("nearDupStream flags cross-batch near-dups, agrees with batch LSH") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val textA = "the quick brown fox jumps over the lazy dog again and again"
+    val textB = "completely different content about spark shuffle partitions"
+    val textC = "a third unrelated document mentioning broadcast joins only"
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val docs = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = StreamingOps.nearDupStream(docs)
+      .writeStream.format("memory").queryName("neardup")
+      .outputMode("append").start()
+    mem.addData((1L, ts("2024-01-01 10:00:00"), textA),
+                (2L, ts("2024-01-01 10:00:01"), textB))
+    q.processAllAvailable()
+    // A later batch re-sends textA under a new id, plus a fresh doc
+    // and an IN-BATCH duplicate pair (5 before 6 by timestamp).
+    mem.addData((3L, ts("2024-01-01 10:05:00"), textA),
+                (4L, ts("2024-01-01 10:05:01"), textC),
+                (6L, ts("2024-01-01 10:06:02"),
+                  "window functions need a deterministic order by clause"),
+                (5L, ts("2024-01-01 10:06:01"),
+                  "window functions need a deterministic order by clause"))
+    q.processAllAvailable()
+    val hits = spark.table("neardup").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
+    q.stop()
+    val byDoc = hits.groupBy(_._1)
+    // Every doc emits one row per band:
+    assert(byDoc.forall(_._2.map(_._2).sorted.toSeq == Seq(0, 1)))
+    def flagged(doc: Long) = byDoc(doc).exists(_._4)
+    assert(!flagged(1L) && !flagged(2L) && !flagged(4L))
+    // doc 3 duplicates doc 1's text: every band hits owner 1.
+    assert(byDoc(3L).forall { case (_, _, owner, hit) => hit && owner == 1L })
+    // In-batch pair: the (ts, doc_id)-smaller doc 5 owns, 6 hits it —
+    // ownership is sorted, not arrival-ordered (5 was added AFTER 6).
+    assert(!flagged(5L))
+    assert(byDoc(6L).forall { case (_, _, owner, hit) => hit && owner == 5L })
+  }
 }
