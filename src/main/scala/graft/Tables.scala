@@ -17,19 +17,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
-  /** `events.parquet` stores TIMESTAMP(NANOS), which the vectorized
-    * parquet reader rejects; read nanos as long and convert exactly to
-    * a microsecond timestamp with integer division (the data has zero
-    * sub-microsecond remainder — and DuckDB's reader performs the same
-    * ns→us narrowing, so oracle comparisons stay bit-exact).
+  /** `events.ts` has shipped as TIMESTAMP(NANOS) in some testdata
+    * vintages (vectorized reader rejects it — read nanos as long and
+    * divide) and plain TIMESTAMP(MICROS) in others (reads as
+    * TIMESTAMP_NTZ under Spark 4's NTZ inference). Adapt to whichever
+    * schema the files carry and normalize to the session-UTC
+    * TimestampType every downstream query was written against; both
+    * conversions are exact integer microseconds, and DuckDB reads the
+    * same micros, so oracle comparisons stay bit-exact.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    // Left enabled: the conf is consulted again at execution time, and
-    // no other testdata table carries nanos timestamps.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    // Left enabled: consulted again at execution time; no other
+    // testdata table carries nanos timestamps.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = apply(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // nanos-as-long vintage: exact ns → us
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => // micros vintage: same instant, UTC wall clock
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
