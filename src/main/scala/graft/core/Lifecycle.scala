@@ -526,6 +526,58 @@ object Lifecycle {
             // COUNT(*) AS error_permille,
           COUNT(CASE WHEN event_type = 'error' THEN 1 END) * 1000
             // COUNT(*) > 250 AS budget_burned
-        FROM events GROUP BY 1"""))
+        FROM events GROUP BY 1""")),
+
+    // ------------------------------------------------------------------
+    // Content fingerprint: an order-independent per-(returnflag,
+    // linestatus) checksum of lineitem — SUM over rows of a 32-bit
+    // md5 prefix of the row's canonical string form. Addition is
+    // commutative, so the fingerprint needs NO global sort: replicas,
+    // migrations and engine ports compare checksums without moving
+    // data (the 100 TB promotion audit rel_snapshot_diff's full outer
+    // join is too expensive for). Canonical forms chosen for
+    // engine parity: integers and decimals render identically in
+    // Spark and DuckDB, timestamps travel as epoch microseconds
+    // (double→string would diverge, see verify notes). The DECIMAL(38)
+    // sum keeps the checksum exact at any row count.
+    Q("rel_table_fingerprint",
+      (s, d) => {
+        import s.implicits._
+        val key = concat_ws("|",
+          $"l_orderkey", $"l_linenumber",
+          $"l_quantity".cast(DecimalType(12, 2)).cast("string"),
+          $"l_extendedprice".cast(DecimalType(14, 2)).cast("string"),
+          $"l_discount".cast(DecimalType(4, 2)).cast("string"),
+          $"l_returnflag", $"l_linestatus",
+          unix_micros($"l_shipdate".cast("timestamp")))
+        Tables.lineitem(s, d)
+          .select($"l_returnflag", $"l_linestatus",
+            conv(substring(md5(key), 1, 8), 16, 10).cast("long").as("h"))
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(count(lit(1)).as("n_rows"),
+            sum($"h".cast(DecimalType(38, 0))).as("fingerprint"))
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+          SUM(CAST(${hex8Sql("md5(key)")} AS DECIMAL(38,0)))
+            AS fingerprint
+        FROM (
+          SELECT l_returnflag, l_linestatus,
+            CAST(l_orderkey AS VARCHAR) || '|' ||
+            CAST(l_linenumber AS VARCHAR) || '|' ||
+            CAST(CAST(l_quantity AS DECIMAL(12,2)) AS VARCHAR) || '|' ||
+            CAST(CAST(l_extendedprice AS DECIMAL(14,2)) AS VARCHAR)
+              || '|' ||
+            CAST(CAST(l_discount AS DECIMAL(4,2)) AS VARCHAR) || '|' ||
+            l_returnflag || '|' || l_linestatus || '|' ||
+            CAST(epoch_us(l_shipdate) AS VARCHAR) AS key
+          FROM lineitem) t
+        GROUP BY l_returnflag, l_linestatus"""))
   )
+
+  /** DuckDB-side 32-bit int from 8 hex chars of a hash (no conv()
+    * there) — same digit-arithmetic shape as TextAnalysis.hex8Sql. */
+  private def hex8Sql(h: String): String =
+    (0 until 8).map { i =>
+      s"(instr('0123456789abcdef', substr($h, ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}"
+    }.mkString("(", " + ", ")")
 }

@@ -543,7 +543,117 @@ object Similarity {
           SUM(CASE WHEN cos > 0.90 THEN 1 ELSE 0 END) AS n_90,
           SUM(CASE WHEN cos > 0.95 THEN 1 ELSE 0 END) AS n_95,
           SUM(CASE WHEN cos > 0.99 THEN 1 ELSE 0 END) AS n_99
-        FROM scored GROUP BY label"""))
+        FROM scored GROUP BY label""")),
+
+    // ------------------------------------------------------------------
+    // ANN index-quality evaluation: recall@5 of the IVF 2-probe search
+    // (sim_ann_ivf's exact pipeline) against the exact brute-force
+    // top-5 (sim_cosine_topk's), per query — the measurement that
+    // decides nprobe/ncells before an index ships. The exact side is
+    // the broadcast-queries × corpus scan; the IVF side reuses the
+    // coarse assignment; hits come from one (qid, neighbor) join of
+    // two k-row-per-query sets. Both sides are deterministic (cos
+    // desc, vec_id tiebreak), so recall is an exact integer and the
+    // whole evaluation is DuckDB-checkable — unlike the ANN queries
+    // themselves, which are rows-only checked.
+    Q("sim_ivf_recall",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+        val cents = emb.filter($"vec_id" < 16)
+          .select($"vec_id".as("cid"), $"embedding".as("cemb"))
+        def nearestCells(vecs: DataFrame, n: Int): DataFrame = {
+          val wAssign = Window.partitionBy(col("vec_id"))
+            .orderBy(col("ccos").desc, col("cid"))
+          vecs.crossJoin(broadcast(cents))
+            .withColumn("ccos", cosine(col("embedding"), col("cemb")))
+            .withColumn("crank", row_number().over(wAssign))
+            .filter(col("crank") <= n)
+            .select(col("vec_id"), col("cid"))
+        }
+        val queries = emb.filter($"vec_id" % 97 === 0)
+        val wTop = Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
+        val exact = emb.crossJoin(broadcast(
+            queries.select($"vec_id".as("qid"), $"embedding".as("qemb"))))
+          .filter($"vec_id" =!= $"qid")
+          .withColumn("cos", cosine($"qemb", $"embedding"))
+          .withColumn("rank", row_number().over(wTop))
+          .filter($"rank" <= 5)
+          .select($"qid", $"vec_id".as("neighbor_id"))
+        val assigned = nearestCells(emb, 1).join(emb, "vec_id")
+        val probes = nearestCells(queries, 2)
+          .join(emb, "vec_id")
+          .select($"vec_id".as("qid"), $"cid", $"embedding".as("qemb"))
+        val ivf = assigned.join(broadcast(probes), "cid")
+          .filter($"vec_id" =!= $"qid")
+          .withColumn("cos", cosine($"qemb", $"embedding"))
+          .withColumn("rank", row_number().over(wTop))
+          .filter($"rank" <= 5)
+          .select($"qid", $"vec_id".as("neighbor_id"))
+        val hits = ivf.select($"qid".as("h_qid"),
+          $"neighbor_id".as("h_neighbor"))
+        exact.join(hits,
+            $"qid" === $"h_qid" && $"neighbor_id" === $"h_neighbor",
+            "left")
+          .groupBy($"qid")
+          .agg(count(lit(1)).as("n_exact"),
+            count($"h_neighbor").as("n_hit"))
+          .withColumn("recall_ppm", expr("n_hit * 1000000 div n_exact"))
+      },
+      Some(s"""WITH q AS (
+          SELECT vec_id AS qid, embedding AS qemb FROM embeddings
+          WHERE vec_id % 97 = 0),
+        c AS (
+          SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+          WHERE vec_id < 16),
+        exact AS (
+          SELECT qid, vec_id AS neighbor_id FROM (
+            SELECT q.qid, e.vec_id,
+              ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                ${dotSql("q.qemb", "e.embedding")} /
+                (sqrt(${dotSql("q.qemb", "q.qemb")}) *
+                 sqrt(${dotSql("e.embedding", "e.embedding")})) DESC,
+                e.vec_id) AS rank
+            FROM embeddings e, q WHERE e.vec_id <> q.qid) t
+          WHERE rank <= 5),
+        assign AS (
+          SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                ${dotSql("e.embedding", "c.cemb")} /
+                (sqrt(${dotSql("e.embedding", "e.embedding")}) *
+                 sqrt(${dotSql("c.cemb", "c.cemb")})) DESC, c.cid)
+                AS crank
+            FROM embeddings e, c) t WHERE crank = 1),
+        probes AS (
+          SELECT qid, cid FROM (
+            SELECT q.qid, c.cid,
+              ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                ${dotSql("q.qemb", "c.cemb")} /
+                (sqrt(${dotSql("q.qemb", "q.qemb")}) *
+                 sqrt(${dotSql("c.cemb", "c.cemb")})) DESC, c.cid)
+                AS crank
+            FROM q, c) t WHERE crank <= 2),
+        ivf AS (
+          SELECT qid, vec_id AS neighbor_id FROM (
+            SELECT q.qid, e.vec_id,
+              ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                ${dotSql("q.qemb", "e.embedding")} /
+                (sqrt(${dotSql("q.qemb", "q.qemb")}) *
+                 sqrt(${dotSql("e.embedding", "e.embedding")})) DESC,
+                e.vec_id) AS rank
+            FROM probes p
+            JOIN assign a ON a.cid = p.cid
+            JOIN embeddings e ON e.vec_id = a.vec_id
+            JOIN q ON q.qid = p.qid
+            WHERE e.vec_id <> p.qid) t
+          WHERE rank <= 5)
+        SELECT x.qid, COUNT(*) AS n_exact,
+          COUNT(i.neighbor_id) AS n_hit,
+          COUNT(i.neighbor_id) * 1000000 // COUNT(*) AS recall_ppm
+        FROM exact x LEFT JOIN ivf i
+          ON i.qid = x.qid AND i.neighbor_id = x.neighbor_id
+        GROUP BY x.qid"""))
   )
 
   /** PQ codebook assignment shared by `sim_pq_encode` and

@@ -1468,8 +1468,77 @@ object TextAnalysis {
           MIN(total_occ) AS total_occ,
           (1000000 * CAST(SUM(c) AS BIGINT)) // MIN(total_occ)
             AS coverage_ppm
-        FROM contrib GROUP BY k"""))
+        FROM contrib GROUP BY k""")),
+
+    // ------------------------------------------------------------------
+    // DSIR-style domain-importance proxy (Xie et al. 2023 shape): how
+    // much each document resembles a target domain (source 'src0'),
+    // scored by its hashed bigram features. Per md5 bucket (4096 —
+    // hashing trick, so the model is a bounded table, never a
+    // vocabulary), the target share t_ppm = target-occurrences·10⁶
+    // div corpus-occurrences; a document's affinity is the exact
+    // integer mean of its bigram instances' t_ppm. The bucket model
+    // aggregates once from the exploded grams (map-side combinable)
+    // and BROADCASTS back — the corpus rescans its own grams narrow,
+    // the importance-resampling weight pass a pretraining mixture
+    // runs at 100 TB. Everything is integer division: both engines
+    // floor identically, no log/IEEE anywhere.
+    Q("txt_domain_affinity",
+      (s, d) => {
+        import s.implicits._
+        val bucket = conv(substring(md5(concat_ws(" ", $"w1", $"w2")),
+          1, 3), 16, 10).cast("int")
+        val grams = Tables.documents(s, d)
+          .select($"doc_id", $"source", tokens($"text").as("toks"))
+          .filter(size($"toks") >= 2)
+          .select($"doc_id", $"source",
+            explode(sequence(lit(1), size($"toks") - 1)).as("i"),
+            $"toks")
+          .select($"doc_id", $"source",
+            element_at($"toks", $"i").as("w1"),
+            element_at($"toks", $"i" + 1).as("w2"))
+          .select($"doc_id", $"source", bucket.as("bucket"))
+        val model = grams.groupBy($"bucket")
+          .agg(count(lit(1)).as("cc"),
+            count(when($"source" === "src0", 1)).as("ct"))
+          .withColumn("t_ppm", expr("ct * 1000000 div cc"))
+          .select($"bucket", $"t_ppm")
+        grams.join(broadcast(model), "bucket")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum($"t_ppm").as("sum_ppm"))
+          .withColumn("affinity_ppm", expr("sum_ppm div n_grams"))
+          .select($"doc_id", $"n_grams", $"sum_ppm", $"affinity_ppm")
+      },
+      Some(s"""WITH base AS (
+          SELECT doc_id, source,
+            string_split_regex(trim(lower(text)), '\\s+') AS toks
+          FROM documents
+          WHERE len(string_split_regex(trim(lower(text)), '\\s+')) >= 2),
+        grams AS (
+          SELECT doc_id, source,
+            ${hex3Sql("md5(toks[i] || ' ' || toks[i + 1])")} AS bucket
+          FROM (SELECT doc_id, source, toks,
+                  unnest(generate_series(1, len(toks) - 1)) AS i
+                FROM base) x),
+        model AS (
+          SELECT bucket,
+            COUNT(CASE WHEN source = 'src0' THEN 1 END) * 1000000
+              // COUNT(*) AS t_ppm
+          FROM grams GROUP BY bucket)
+        SELECT g.doc_id, COUNT(*) AS n_grams,
+          CAST(SUM(m.t_ppm) AS BIGINT) AS sum_ppm,
+          CAST(SUM(m.t_ppm) AS BIGINT) // COUNT(*) AS affinity_ppm
+        FROM grams g JOIN model m ON m.bucket = g.bucket
+        GROUP BY g.doc_id"""))
   )
+
+  /** DuckDB-side 12-bit int from 3 hex chars of a hash (same digit
+    * arithmetic as [[hex8Sql]]). */
+  private def hex3Sql(h: String): String =
+    (0 until 3).map { i =>
+      s"(instr('0123456789abcdef', substr($h, ${i + 1}, 1)) - 1) * ${1 << (4 * (2 - i))}"
+    }.mkString("(", " + ", ")")
 
   /** Library form of the quality/stat projections for reuse. */
   def withTextStats(docs: DataFrame, textCol: String = "text"): DataFrame = {

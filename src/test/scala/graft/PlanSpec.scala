@@ -381,4 +381,28 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1,
       s"expected one l_returnflag exchange, got $exchanges\n$p")
   }
+
+  test("table fingerprint is one aggregation — no sort, no join") {
+    val p = plan("rel_table_fingerprint")
+    assert(!p.contains("Join") && !p.contains("Sort"),
+      "an order-independent checksum must not order or join\n" + p.take(600))
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"one partial-agg shuffle expected, got $exchanges\n$p")
+  }
+
+  test("domain affinity broadcasts the bucket model back to the grams") {
+    val p = plan("txt_domain_affinity")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 4096-bucket model must broadcast — the gram side never shuffles " +
+        "for the join\n" + p.take(600))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(600))
+  }
+
+  test("IVF recall evaluation broadcasts probes/queries, no bare cartesian") {
+    val p = plan("sim_ivf_recall")
+    assert(!p.contains("CartesianProduct"),
+      "only broadcast nested loops against the tiny query/centroid sets " +
+        "are acceptable\n" + p.take(600))
+  }
 }
