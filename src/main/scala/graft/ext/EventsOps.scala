@@ -1542,5 +1542,60 @@ object EventsOps {
           CAST(SUM(n_events) AS BIGINT) AS total_events,
           MIN(days_silent) AS min_silent, MAX(days_silent) AS max_silent
         FROM banded GROUP BY band"""))
+  ,
+    // ------------------------------------------------------------------
+    // Exact-integer EWMA trend baseline: per event type, each day's
+    // count against the exponentially-weighted average of its 8 PRIOR
+    // daily observations (α = 1/5). The usual float recurrence
+    // ewma = α·x + (1−α)·ewma accumulates IEEE ulps in history order;
+    // here the truncated expansion's rational weights α(1−α)^(k−1) =
+    // 4^(k−1)·5^(8−k) / 5⁸ share the exact denominator 5⁸, so the
+    // weighted sum is a pure BIGINT dot product over 8 lags and the
+    // above-trend test (n·5⁸ > ewma_q) is integer-exact — engine-
+    // identical, no flutter at the alert edge. Warmup rows (fewer
+    // than 8 priors) are dropped, as in ev_anomaly_zscore; the
+    // truncated tail mass (4/5)⁸ ≈ 17% is a documented constant of
+    // the estimator. One event_type shuffle; lags and row_number
+    // share the single window sort.
+    Q("ev_ewma_trend",
+      (s, d) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"event_type").orderBy($"day")
+        val weights = (1 to 8).map(k =>
+          math.pow(4, k - 1).toLong * math.pow(5, 8 - k).toLong)
+        val daily = Tables.events(s, d)
+          .groupBy($"event_type", to_date($"ts").as("day"))
+          .agg(count(lit(1)).as("n"))
+        val ewmaQ = (1 to 8).map(k =>
+          coalesce(lag($"n", k).over(w), lit(0L)) * weights(k - 1))
+          .reduce(_ + _)
+        daily
+          .withColumn("rn", row_number().over(w))
+          .withColumn("ewma_q", ewmaQ)
+          .filter($"rn" > 8)
+          .select($"event_type", $"day", $"n", $"ewma_q",
+            ($"ewma_q".cast("double") / lit(390625.0)).as("ewma"),
+            ($"n" * lit(390625L) > $"ewma_q").as("above_trend"))
+      },
+      Some {
+        val terms = (1 to 8).map { k =>
+          val wk = math.pow(4, k - 1).toLong * math.pow(5, 8 - k).toLong
+          s"COALESCE(LAG(n, $k) OVER w, 0) * $wk"
+        }.mkString(" + ")
+        s"""WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+          FROM events GROUP BY 1, 2),
+        lagged AS (
+          SELECT event_type, day, n,
+            ROW_NUMBER() OVER w AS rn,
+            CAST($terms AS BIGINT) AS ewma_q
+          FROM daily
+          WINDOW w AS (PARTITION BY event_type ORDER BY day))
+        SELECT event_type, day, n, ewma_q,
+          CAST(ewma_q AS DOUBLE) / 390625.0 AS ewma,
+          n * 390625 > ewma_q AS above_trend
+        FROM lagged WHERE rn > 8"""
+      })
   )
 }

@@ -212,6 +212,66 @@ object GraphOps {
         e0 AS (SELECT a AS src, b AS dst FROM pairs
                UNION ALL SELECT b AS src, a AS dst FROM pairs)"""
 
+  /** Two broadcast-join min-label rounds (distance-2 community
+    * seeding) — shared by `gr_label_prop` (which outputs it) and
+    * `gr_modularity` (which scores it). Label frames pinned: round
+    * i+1 references round i twice (self + neighbor wing). */
+  private def labelProp2(s: SparkSession, edges: DataFrame): DataFrame = {
+    import s.implicits._
+    var labels = pin(edges.select($"src".as("v")).distinct()
+      .select($"v", $"v".as("lbl")))
+    for (_ <- 1 to 2) {
+      val fromNbr = edges
+        .join(broadcast(labels.select($"v".as("u"), $"lbl")),
+          $"src" === $"u")
+        .select($"dst".as("v"), $"lbl")
+      labels = pin(labels.unionByName(fromNbr)
+        .groupBy($"v").agg(min($"lbl").as("lbl")))
+    }
+    labels
+  }
+
+  /** Newman modularity of a community assignment over a symmetric
+    * directed edge list — exact-integer numerator/denominator, one
+    * final correctly-rounded division (see gr_modularity's
+    * commentary). `labels` must cover every edge endpoint, columns
+    * (v, lbl). */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val totals = edges
+      .join(broadcast(labels.select(col("v").as("sv"),
+        col("lbl").as("src_lbl"))), col("src") === col("sv"))
+      .join(broadcast(labels.select(col("v").as("dv"),
+        col("lbl").as("dst_lbl"))), col("dst") === col("dv"))
+      .agg(count(lit(1)).as("m_directed"),
+        count(when(col("src_lbl") === col("dst_lbl"), 1)).as("n_within"))
+    val degSq = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .join(broadcast(labels), col("src") === col("v"))
+      .groupBy(col("lbl")).agg(sum(col("deg")).as("d_c"))
+      .agg(count(lit(1)).as("n_communities"),
+        sum(col("d_c") * col("d_c")).as("sum_dc2"))
+    totals.crossJoin(degSq)
+      .select(col("n_communities"), col("m_directed"), col("n_within"),
+        (col("n_within") * col("m_directed") - col("sum_dc2")).as("q_num"),
+        ((col("n_within") * col("m_directed") - col("sum_dc2"))
+          .cast("double") /
+         (col("m_directed") * col("m_directed")).cast("double"))
+          .as("modularity"))
+  }
+
+  /** Oracle CTEs mirroring [[labelProp2]] (requires e0). */
+  private val labelPropSql =
+    """l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM e0),
+        l1 AS (SELECT v, MIN(lbl) AS lbl FROM (
+            SELECT v, lbl FROM l0
+            UNION ALL
+            SELECT e.dst AS v, l.lbl FROM e0 e JOIN l0 l ON e.src = l.v) u1
+          GROUP BY v),
+        l2 AS (SELECT v, MIN(lbl) AS lbl FROM (
+            SELECT v, lbl FROM l1
+            UNION ALL
+            SELECT e.dst AS v, l.lbl FROM e0 e JOIN l1 l ON e.src = l.v) u2
+          GROUP BY v)"""
+
   private val kcoreOracle = {
     // One peel round: recompute degrees, keep >=3, induce the
     // subgraph — unrolled four times (see gr_kcore's scaladoc for
@@ -450,30 +510,10 @@ object GraphOps {
       (s, d) => {
         import s.implicits._
         val edges = pin(copurchaseSym(s, d))
-        var labels = pin(edges.select($"src".as("v")).distinct()
-          .select($"v", $"v".as("lbl")))
-        for (_ <- 1 to 2) {
-          val fromNbr = edges
-            .join(broadcast(labels.select($"v".as("u"), $"lbl")),
-              $"src" === $"u")
-            .select($"dst".as("v"), $"lbl")
-          labels = pin(labels.unionByName(fromNbr)
-            .groupBy($"v").agg(min($"lbl").as("lbl")))
-        }
-        labels.select($"v".as("node_id"), $"lbl".as("label"))
+        labelProp2(s, edges).select($"v".as("node_id"), $"lbl".as("label"))
       },
       Some(s"""WITH $copurchaseSymSql,
-        l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM e0),
-        l1 AS (SELECT v, MIN(lbl) AS lbl FROM (
-            SELECT v, lbl FROM l0
-            UNION ALL
-            SELECT e.dst AS v, l.lbl FROM e0 e JOIN l0 l ON e.src = l.v) u1
-          GROUP BY v),
-        l2 AS (SELECT v, MIN(lbl) AS lbl FROM (
-            SELECT v, lbl FROM l1
-            UNION ALL
-            SELECT e.dst AS v, l.lbl FROM e0 e JOIN l1 l ON e.src = l.v) u2
-          GROUP BY v)
+        $labelPropSql
         SELECT v AS node_id, lbl AS label FROM l2""")),
 
     // ------------------------------------------------------------------
@@ -522,6 +562,49 @@ object GraphOps {
             UNION ALL
             SELECT e.dst AS v, p.dist + 1 FROM e0 e JOIN d2 p ON e.src = p.v)
           u GROUP BY v)
-        SELECT dist, COUNT(*) AS n_nodes FROM d3 GROUP BY dist"""))
+        SELECT dist, COUNT(*) AS n_nodes FROM d3 GROUP BY dist""")),
+
+    // ------------------------------------------------------------------
+    // Newman modularity of the label-propagation communities — the
+    // quality metric that decides whether a partitioning is worth
+    // keeping before expensive per-community work. With M directed
+    // edges, W within-community directed edges and per-community
+    // degree sums d_c:  Q = (W·M − Σ_c d_c²) / M².  Numerator and
+    // denominator are EXACT integers (Q's usual per-community
+    // fraction sum would accumulate IEEE ulps in engine-dependent
+    // order); the single final division of two exactly-representable
+    // integers is correctly rounded in both engines. Two node-sized
+    // broadcast joins annotate the edge list; everything else is
+    // map-side-combinable counting.
+    Q("gr_modularity",
+      (s, d) => {
+        val edges = pin(copurchaseSym(s, d))
+        modularity(edges, labelProp2(s, edges))
+      },
+      Some(s"""WITH $copurchaseSymSql,
+        $labelPropSql,
+        ann AS (
+          SELECT ls.lbl AS src_lbl, ld.lbl AS dst_lbl
+          FROM e0 e
+          JOIN l2 ls ON e.src = ls.v
+          JOIN l2 ld ON e.dst = ld.v),
+        tot AS (
+          SELECT COUNT(*) AS m_directed,
+            COUNT(CASE WHEN src_lbl = dst_lbl THEN 1 END) AS n_within
+          FROM ann),
+        degc AS (
+          SELECT l.lbl, CAST(SUM(dc.deg) AS BIGINT) AS d_c
+          FROM (SELECT src, COUNT(*) AS deg FROM e0 GROUP BY src) dc
+          JOIN l2 l ON dc.src = l.v
+          GROUP BY l.lbl),
+        sq AS (
+          SELECT COUNT(*) AS n_communities,
+            CAST(SUM(d_c * d_c) AS BIGINT) AS sum_dc2
+          FROM degc)
+        SELECT n_communities, m_directed, n_within,
+          n_within * m_directed - sum_dc2 AS q_num,
+          CAST(n_within * m_directed - sum_dc2 AS DOUBLE) /
+            CAST(m_directed * m_directed AS DOUBLE) AS modularity
+        FROM tot, sq"""))
   )
 }

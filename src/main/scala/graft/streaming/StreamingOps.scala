@@ -111,6 +111,33 @@ object StreamingOps {
       .select(explode(col("sample")).as("s"))
       .select((-col("s.ord")).as("prio"), col("s.value").as("doc_id"))
 
+  /** Streaming content fingerprint — the incremental twin of
+    * `rel_table_fingerprint`: per-group running row count and SUM of
+    * a 32-bit md5 prefix of each row's canonical string. Addition is
+    * commutative and associative, so the checksum state is ONE pair
+    * of numbers per group regardless of history size, every
+    * micro-batch folds in with a map-side-combined partial, and
+    * after any sequence of batches the state equals the batch
+    * checksum over their union (spec-pinned) — continuous
+    * replication verification without ever rescanning the ingested
+    * table. Update/complete output mode; no watermark (the
+    * fingerprint covers full history).
+    *
+    * @param keyCols  canonical textual columns (caller pre-casts
+    *                 doubles/timestamps to engine-stable forms, as
+    *                 rel_table_fingerprint does)
+    */
+  def fingerprintStream(rows: DataFrame, groupCols: Seq[String],
+                        keyCols: Seq[String]): DataFrame =
+    rows
+      .withColumn("__h",
+        conv(substring(md5(concat_ws("|", keyCols.map(col): _*)), 1, 8),
+          16, 10).cast("long"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("__h").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .as("fingerprint"))
+
   /** Built-in session windows (gap-close semantics). */
   def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
     events

@@ -117,6 +117,25 @@ class GraphSpec extends AnyFunSuite {
     assert(b == sh)
   }
 
+  test("modularity: two disjoint triangles under their own communities = 1/2") {
+    import spark.implicits._
+    // Classic closed form: k equal disjoint cliques as communities
+    // give Q = 1 - 1/k; for k = 2, exactly 0.5.
+    val g = sym((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L))
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L),
+      (6L, 4L)).toDF("v", "lbl")
+    val r = GraphOps.modularity(g, labels)
+      .as[(Long, Long, Long, Long, Double)].head()
+    // M = 12, W = 12 (all edges within), d_c = 6 each:
+    // q_num = 12*12 - 2*36 = 72; Q = 72/144 = 0.5
+    assert(r == ((2L, 12L, 12L, 72L, 0.5)))
+    // One community for everything scores exactly zero.
+    val one = Seq(1L, 2L, 3L, 4L, 5L, 6L).map((_, 0L)).toDF("v", "lbl")
+    val r1 = GraphOps.modularity(g, one)
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(r1._4 == 0L && r1._5 == 0.0)
+  }
+
   test("empty graphs: pagerank yields no rows, triangles a zero row") {
     import spark.implicits._
     val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")

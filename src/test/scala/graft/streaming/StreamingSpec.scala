@@ -411,6 +411,38 @@ class StreamingSpec extends AnyFunSuite {
       s"stream $streamed vs batch $expected")
   }
 
+  test("fingerprint stream equals the batch checksum over all batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, String)]
+    val rows = mem.toDF().toDF("grp", "id", "payload")
+    val q = StreamingOps.fingerprintStream(rows,
+        groupCols = Seq("grp"), keyCols = Seq("id", "payload"))
+      .writeStream.format("memory").queryName("fprint")
+      .outputMode("complete").start()
+    val batch1 = (1L to 50L).map(i => (s"g${i % 3}", i, s"v$i"))
+    val batch2 = (51L to 90L).map(i => (s"g${i % 3}", i, s"v$i"))
+    mem.addData(batch1: _*)
+    q.processAllAvailable()
+    mem.addData(batch2: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("fprint").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).toBigInteger.longValueExact())).toSet
+    q.stop()
+    // State is one (count, sum) pair per group — after any batch
+    // sequence it must equal the batch checksum over the union.
+    val expected = StreamingOps.fingerprintStream(
+        (batch1 ++ batch2).toDF("grp", "id", "payload"),
+        groupCols = Seq("grp"), keyCols = Seq("id", "payload"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).toBigInteger.longValueExact())).toSet
+    assert(streamed == expected, s"stream $streamed vs batch $expected")
+    assert(streamed.map(_._1) == Set("g0", "g1", "g2"))
+    assert(streamed.toSeq.map(_._2).sum == 90L)
+  }
+
   test("nearDupStream flags cross-batch near-dups, agrees with batch LSH") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
