@@ -1597,5 +1597,38 @@ object EventsOps {
           n * 390625 > ewma_q AS above_trend
         FROM lagged WHERE rn > 8"""
       })
+  ,
+    // ------------------------------------------------------------------
+    // Semi-additive rollup: `value` as an account balance — additive
+    // across users, NOT across time — so the daily total must take
+    // each user's LAST observation of the day (ts, event_id
+    // tiebreak), then sum across users. The window top-1 lowers to
+    // WindowGroupLimit partial filtering before the (user, day)
+    // exchange (the rel_merge_upsert machinery); the cross-user sum
+    // is exact decimal. The balance-style measure every warehouse
+    // handles specially — a plain SUM over time double-counts.
+    Q("ev_semi_additive_balance",
+      (s, d) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id", $"day")
+          .orderBy($"ts".desc, $"event_id".desc)
+        Tables.events(s, d)
+          .withColumn("day", to_date($"ts"))
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .groupBy($"day")
+          .agg(count(lit(1)).as("n_accounts"),
+            sum($"value".cast(DecimalType(27, 6))).cast("double")
+              .as("eod_total"))
+      },
+      Some("""SELECT day, COUNT(*) AS n_accounts,
+          CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS eod_total
+        FROM (
+          SELECT CAST(ts AS DATE) AS day, user_id, value,
+            ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+              ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) t
+        WHERE rn = 1 GROUP BY day"""))
   )
 }

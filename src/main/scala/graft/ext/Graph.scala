@@ -605,6 +605,66 @@ object GraphOps {
           n_within * m_directed - sum_dc2 AS q_num,
           CAST(n_within * m_directed - sum_dc2 AS DOUBLE) /
             CAST(m_directed * m_directed AS DOUBLE) AS modularity
-        FROM tot, sq"""))
+        FROM tot, sq""")),
+
+    // ------------------------------------------------------------------
+    // Degree assortativity: Pearson correlation of endpoint degrees
+    // over the directed edge list — positive r means hubs attach to
+    // hubs (social-network shape), negative means hub-and-spoke
+    // (skew risk concentrates on few keys). With gr_degree_hist this
+    // completes the pre-partitioning topology diagnosis. Same
+    // determinism discipline as rel_corr_manual: all six moment
+    // ingredients are EXACT integer sums (degrees are small ints —
+    // BIGINT never overflows), the correlation is one fixed IEEE
+    // formula on bit-identical inputs; BIGINT→DOUBLE casts are
+    // correctly rounded in both engines. Two node-sized broadcast
+    // joins annotate the edges; the moment sums are one
+    // map-side-combined aggregation.
+    Q("gr_assortativity",
+      (s, d) => {
+        import s.implicits._
+        val edges = pin(copurchaseSym(s, d))
+        val deg = edges.groupBy($"src".as("v"))
+          .agg(count(lit(1)).as("deg"))
+        def dbl(c: org.apache.spark.sql.Column) = c.cast("double")
+        edges
+          .join(broadcast(deg.select($"v".as("sv"), $"deg".as("dx"))),
+            $"src" === $"sv")
+          .join(broadcast(deg.select($"v".as("dv"), $"deg".as("dy"))),
+            $"dst" === $"dv")
+          .agg(count(lit(1)).as("m"),
+            sum($"dx").as("sx"), sum($"dy").as("sy"),
+            sum($"dx" * $"dy").as("sxy"),
+            sum($"dx" * $"dx").as("sxx"),
+            sum($"dy" * $"dy").as("syy"))
+          .select($"m", $"sx", $"sxy",
+            ((dbl($"m") * dbl($"sxy") - dbl($"sx") * dbl($"sy")) /
+             (sqrt(dbl($"m") * dbl($"sxx") - dbl($"sx") * dbl($"sx")) *
+              sqrt(dbl($"m") * dbl($"syy") - dbl($"sy") * dbl($"sy"))))
+              .as("assortativity"))
+      },
+      Some(s"""WITH $copurchaseSymSql,
+        deg AS (SELECT src AS v, COUNT(*) AS deg FROM e0 GROUP BY src),
+        ann AS (
+          SELECT dx.deg AS dx, dy.deg AS dy
+          FROM e0 e
+          JOIN deg dx ON e.src = dx.v
+          JOIN deg dy ON e.dst = dy.v),
+        agg AS (
+          SELECT COUNT(*) AS m,
+            CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
+            CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+            CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+            CAST(SUM(dy * dy) AS BIGINT) AS syy
+          FROM ann)
+        SELECT m, sx, sxy,
+          (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+          (sqrt(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+           sqrt(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+            AS assortativity
+        FROM agg"""))
   )
 }

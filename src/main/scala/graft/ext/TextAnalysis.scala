@@ -1530,7 +1530,36 @@ object TextAnalysis {
           CAST(SUM(m.t_ppm) AS BIGINT) AS sum_ppm,
           CAST(SUM(m.t_ppm) AS BIGINT) // COUNT(*) AS affinity_ppm
         FROM grams g JOIN model m ON m.bucket = g.bucket
-        GROUP BY g.doc_id"""))
+        GROUP BY g.doc_id""")),
+
+    // ------------------------------------------------------------------
+    // Inverted-index build: per (lang, term), document frequency and
+    // the head block of the sorted posting list — the search-engine
+    // artifact (and the materialization behind txt_term_stats'
+    // df counts). One explode of per-doc DISTINCT terms, one term
+    // shuffle; postings are array_sort'ed AFTER collection so the
+    // list is partition-order-independent (the ev_user_journey rule),
+    // and truncated to the first 10 doc ids — the skip-list head a
+    // real index stores inline, keeping output rows bounded however
+    // long the full posting list grows.
+    Q("txt_inverted_postings",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"doc_id", $"lang",
+            explode(array_distinct(tokens($"text"))).as("term"))
+          .groupBy($"lang", $"term")
+          .agg(count(lit(1)).as("df"),
+            slice(array_sort(collect_list($"doc_id")), 1, 10)
+              .as("postings_head"))
+      },
+      Some("""SELECT lang, term, COUNT(*) AS df,
+          list_sort(list(doc_id))[1:10] AS postings_head
+        FROM (
+          SELECT DISTINCT doc_id, lang,
+            unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+          FROM documents) t
+        GROUP BY lang, term"""))
   )
 
   /** DuckDB-side 12-bit int from 3 hex chars of a hash (same digit
