@@ -780,6 +780,103 @@ object Dedup {
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE CAST(n_inter AS DOUBLE) / CAST(least(sa.n_grams, sb.n_grams) AS DOUBLE)
-              >= 0.8"""))
+              >= 0.8""")),
+
+    // ------------------------------------------------------------------
+    // Sketch-accuracy evaluation (the dedup sibling of
+    // sim_ivf_recall): for every LSH candidate pair, the MinHash
+    // Jaccard ESTIMATE (matching signature components / 4) against
+    // the TRUE Jaccard over the same 5-char-shingle hash universe the
+    // signature sketches — the measurement that calibrates band/seed
+    // counts before a dedup run commits. True sets come from the
+    // O(n) RollingHashAll expression (array_distinct per doc, narrow);
+    // intersections are computed candidate-first (grams join the
+    // pair list, never an open self-join), so the evaluation cost
+    // scales with candidates — at 10⁹ docs you sample candidates and
+    // this query IS the sampler's scorer. Every output is an exact
+    // integer ppm: estimate, truth, and absolute error. An inner
+    // intersection join is safe because equal band mins under an
+    // injective affine transform force a shared shingle (n_inter >=
+    // 1 for every candidate).
+    Q("dedup_minhash_accuracy",
+      (s, d) => {
+        import s.implicits._
+        val sigs = minhashSignatures(corpus(s, d))
+        val cands = lshCandidates(sigs)
+        val wDoc = org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id")
+        val hg = corpus(s, d)
+          .select($"doc_id",
+            explode(array_distinct(graft.functions.NativeFunctions
+              .rollingHashAll(norm($"text"), 5))).as("h"))
+          .withColumn("n_grams", count(lit(1)).over(wDoc))
+        val inter = cands
+          .join(hg.select($"doc_id".as("da"), $"h", $"n_grams".as("n_a")),
+            $"doc_a" === $"da")
+          .join(hg.select($"doc_id".as("db"), $"h".as("hb"),
+            $"n_grams".as("n_b")),
+            $"doc_b" === $"db" && $"h" === $"hb")
+          .groupBy($"doc_a", $"doc_b")
+          .agg(count(lit(1)).as("n_inter"),
+            min($"n_a").as("n_a"), min($"n_b").as("n_b"))
+        val est = cands
+          .join(sigs.select($"doc_id".as("doc_a"), $"h1".as("a1"),
+            $"h2".as("a2"), $"h3".as("a3"), $"h4".as("a4")), "doc_a")
+          .join(sigs.select($"doc_id".as("doc_b"), $"h1".as("b1"),
+            $"h2".as("b2"), $"h3".as("b3"), $"h4".as("b4")), "doc_b")
+          .select($"doc_a", $"doc_b",
+            (when($"a1" === $"b1", 1L).otherwise(0L) +
+             when($"a2" === $"b2", 1L).otherwise(0L) +
+             when($"a3" === $"b3", 1L).otherwise(0L) +
+             when($"a4" === $"b4", 1L).otherwise(0L)).as("matches"))
+        inter.join(est, Seq("doc_a", "doc_b"))
+          .select($"doc_a", $"doc_b", $"n_inter", $"n_a", $"n_b",
+            ($"matches" * lit(250000L)).as("est_ppm"),
+            expr("n_inter * 1000000 div (n_a + n_b - n_inter)")
+              .as("true_ppm"))
+          .withColumn("err_ppm", abs($"est_ppm" - $"true_ppm"))
+      },
+      Some(s"""WITH $corpusSql, $signaturesSql, $bandsSql,
+        hgrams AS (
+          SELECT DISTINCT doc_id, h FROM (
+            SELECT doc_id,
+              CASE WHEN length(norm) >= 5 THEN
+                (CAST(ord(substr(norm, i, 1)) AS BIGINT) * 923521
+                 + CAST(ord(substr(norm, i + 1, 1)) AS BIGINT) * 29791
+                 + CAST(ord(substr(norm, i + 2, 1)) AS BIGINT) * 961
+                 + CAST(ord(substr(norm, i + 3, 1)) AS BIGINT) * 31
+                 + ord(substr(norm, i + 4, 1))) % 1000000007 END AS h
+            FROM (SELECT doc_id, norm,
+                    unnest(generate_series(1, greatest(length(norm) - 4, 1)))
+                      AS i
+                  FROM (SELECT doc_id, $normSql AS norm FROM corpus) y) x) w
+          WHERE h IS NOT NULL),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM hgrams GROUP BY doc_id),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+          FROM candidates c
+          JOIN hgrams ga ON ga.doc_id = c.doc_a
+          JOIN hgrams gb ON gb.doc_id = c.doc_b AND gb.h = ga.h
+          GROUP BY c.doc_a, c.doc_b),
+        est AS (
+          SELECT c.doc_a, c.doc_b,
+            CAST(CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END
+               + CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END
+               + CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END
+               + CASE WHEN sa.h4 = sb.h4 THEN 1 ELSE 0 END AS BIGINT)
+              AS matches
+          FROM candidates c
+          JOIN signatures sa ON sa.doc_id = c.doc_a
+          JOIN signatures sb ON sb.doc_id = c.doc_b)
+        SELECT i.doc_a, i.doc_b, i.n_inter,
+          sa.n AS n_a, sb.n AS n_b,
+          e.matches * 250000 AS est_ppm,
+          i.n_inter * 1000000 // (sa.n + sb.n - i.n_inter) AS true_ppm,
+          abs(e.matches * 250000
+            - i.n_inter * 1000000 // (sa.n + sb.n - i.n_inter)) AS err_ppm
+        FROM inter i
+        JOIN est e ON e.doc_a = i.doc_a AND e.doc_b = i.doc_b
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b"""))
   )
 }

@@ -157,11 +157,29 @@ object GraphOps {
     val s = pairs0.sparkSession
     import s.implicits._
     val pairs = pin(pairs0)
-    val deg = pairs.select($"a".as("v")).unionAll(pairs.select($"b".as("v")))
+    val deg = pairDegrees(pairs)
+    val closed = closedTriangles(pairs, deg)
+    val nEdges = pairs.agg(count(lit(1)).as("n_edges"))
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    closed.agg(count(lit(1)).as("n_triangles"))
+      .crossJoin(nEdges).crossJoin(nNodes)
+  }
+
+  private def pairDegrees(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    pairs.select($"a".as("v")).unionAll(pairs.select($"b".as("v")))
       .groupBy($"v").agg(count(lit(1)).as("deg"))
-    // Orient u→w from the (degree, id)-smaller endpoint; carry
-    // w's (deg, id) so wedge endpoints can be ordered by the SAME
-    // total order (making the closure probe a pure equi-join).
+  }
+
+  /** Degree-oriented triangle enumeration shared by [[triangleCount]]
+    * and [[localClustering]]: one (center, x, y) row per triangle.
+    * Orient u→w from the (degree, id)-smaller endpoint; carry w's
+    * (deg, id) so wedge endpoints can be ordered by the SAME total
+    * order (making the closure probe a pure equi-join). */
+  private def closedTriangles(pairs: DataFrame, deg: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
     val aFirst = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
     val oriented = pin(pairs
@@ -177,13 +195,31 @@ object GraphOps {
           (col("e1.wdeg") < col("e2.wdeg") ||
             (col("e1.wdeg") === col("e2.wdeg") &&
               col("e1.w") < col("e2.w"))))
-      .select(col("e1.w").as("x"), col("e2.w").as("y"))
-    val closed = wedges.join(oriented.as("e3"),
+      .select(col("e1.u").as("c"), col("e1.w").as("x"), col("e2.w").as("y"))
+    wedges.join(oriented.as("e3"),
       col("x") === col("e3.u") && col("y") === col("e3.w"))
-    val nEdges = pairs.agg(count(lit(1)).as("n_edges"))
-    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
-    closed.agg(count(lit(1)).as("n_triangles"))
-      .crossJoin(nEdges).crossJoin(nNodes)
+      .select(col("c"), col("x"), col("y"))
+  }
+
+  /** Per-node triangle participation and local clustering coefficient
+    * over distinct (a, b) pairs with a < b: each enumerated triangle
+    * credits all three of its nodes; cc = triangles / (deg·(deg−1)/2)
+    * in exact integer ppm. Nodes of degree < 2 (no wedge) are
+    * excluded — their coefficient is undefined. */
+  def localClustering(pairs0: DataFrame): DataFrame = {
+    val s = pairs0.sparkSession
+    import s.implicits._
+    val pairs = pin(pairs0)
+    val deg = pairDegrees(pairs)
+    val triNode = closedTriangles(pairs, deg)
+      .select(explode(array($"c", $"x", $"y")).as("v"))
+      .groupBy($"v").agg(count(lit(1)).as("n_tri"))
+    deg.filter($"deg" >= 2)
+      .join(triNode.select($"v".as("tv"), $"n_tri"), $"v" === $"tv", "left")
+      .select($"v".as("node_id"), $"deg",
+        coalesce($"n_tri", lit(0L)).as("n_tri"),
+        expr("coalesce(n_tri, 0L) * 2000000 div (deg * (deg - 1))")
+          .as("cc_ppm"))
   }
 
   /** Symmetric support-thresholded co-purchase graph — the same pair
@@ -665,6 +701,69 @@ object GraphOps {
            sqrt(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
             AS assortativity
-        FROM agg"""))
+        FROM agg""")),
+
+    // ------------------------------------------------------------------
+    // Per-node local clustering coefficient on the support-thresholded
+    // co-purchase graph: how many of each node's neighbor pairs are
+    // themselves connected — integer ppm of closed wedges, the
+    // node-level community-density signal gr_triangle_count only
+    // reports globally. Reuses the degree-oriented triangle
+    // enumeration (every triangle emitted once, each crediting its
+    // three nodes), so per-node counting adds one explode + one
+    // node-keyed aggregation to the O(m^1.5)-bounded wedge join;
+    // degree-<2 nodes have no wedge and are excluded.
+    Q("gr_local_clustering",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d).select($"l_orderkey", $"l_partkey")
+        val pairs = li
+          .join(li.select($"l_orderkey".as("ok2"), $"l_partkey".as("pk2")),
+            $"l_orderkey" === $"ok2" && $"l_partkey" < $"pk2")
+          .groupBy($"l_partkey".as("a"), $"pk2".as("b"))
+          .agg(count(lit(1)).as("support"))
+          .filter($"support" >= 2)
+          .select($"a", $"b")
+        localClustering(pairs)
+      },
+      Some("""WITH pairs AS (
+          SELECT l1.l_partkey AS a, l2.l_partkey AS b
+          FROM lineitem l1 JOIN lineitem l2
+            ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        deg AS (
+          SELECT v, COUNT(*) AS deg FROM (
+            SELECT a AS v FROM pairs UNION ALL SELECT b AS v FROM pairs)
+          GROUP BY v),
+        oriented AS (
+          SELECT CASE WHEN da.deg < db.deg
+                        OR (da.deg = db.deg AND a < b) THEN a ELSE b END AS u,
+                 CASE WHEN da.deg < db.deg
+                        OR (da.deg = db.deg AND a < b) THEN b ELSE a END AS w,
+                 CASE WHEN da.deg < db.deg
+                        OR (da.deg = db.deg AND a < b) THEN db.deg
+                      ELSE da.deg END AS wdeg
+          FROM pairs
+          JOIN deg da ON a = da.v
+          JOIN deg db ON b = db.v),
+        wedges AS (
+          SELECT e1.u AS c, e1.w AS x, e2.w AS y
+          FROM oriented e1 JOIN oriented e2
+            ON e1.u = e2.u AND (e1.wdeg < e2.wdeg
+              OR (e1.wdeg = e2.wdeg AND e1.w < e2.w))),
+        closed AS (
+          SELECT c, x, y FROM wedges JOIN oriented e3
+            ON x = e3.u AND y = e3.w),
+        tri_node AS (
+          SELECT v, COUNT(*) AS n_tri FROM (
+            SELECT c AS v FROM closed
+            UNION ALL SELECT x AS v FROM closed
+            UNION ALL SELECT y AS v FROM closed)
+          GROUP BY v)
+        SELECT d.v AS node_id, d.deg,
+          COALESCE(t.n_tri, 0) AS n_tri,
+          COALESCE(t.n_tri, 0) * 2000000 // (d.deg * (d.deg - 1)) AS cc_ppm
+        FROM deg d LEFT JOIN tri_node t ON t.v = d.v
+        WHERE d.deg >= 2"""))
   )
 }

@@ -136,6 +136,22 @@ class GraphSpec extends AnyFunSuite {
     assert(r1._4 == 0L && r1._5 == 0.0)
   }
 
+  test("local clustering: K4 nodes are fully closed, a path is fully open") {
+    import spark.implicits._
+    // K4: every node has deg 3, 3 wedges, all closed → cc = 1.
+    val k4 = (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b))
+      .toDF("a", "b")
+    val cc4 = GraphOps.localClustering(k4)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(cc4 == (1L to 4L).map((_, 3L, 3L, 1000000L)).toSet)
+    // Path 1-2-3: only the middle node has a wedge, and it is open.
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val ccP = GraphOps.localClustering(path)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(ccP == Set((2L, 2L, 0L, 0L)),
+      "degree-1 endpoints excluded; the open wedge scores zero")
+  }
+
   test("empty graphs: pagerank yields no rows, triangles a zero row") {
     import spark.implicits._
     val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
