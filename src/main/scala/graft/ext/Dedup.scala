@@ -877,6 +877,83 @@ object Dedup {
         FROM inter i
         JOIN est e ON e.doc_a = i.doc_a AND e.doc_b = i.doc_b
         JOIN sizes sa ON sa.doc_id = i.doc_a
-        JOIN sizes sb ON sb.doc_id = i.doc_b"""))
+        JOIN sizes sb ON sb.doc_id = i.doc_b""")),
+
+    // ------------------------------------------------------------------
+    // The full production dedup stack in one verdict: LEXICAL MinHash
+    // LSH band edges (dedup_verdict's half) UNIONED with SEMANTIC
+    // embedding near-dup edges (sim_semantic_verdict's half, vec_id ≡
+    // doc_id) feed one connected-components pass, so a document is
+    // dropped when it is transitively duplicated through ANY mix of
+    // the two signals — the exact composition a pretraining pipeline
+    // ships (lexical catches copies/templates, semantic catches
+    // paraphrase). Runs on the natural documents table (no synthetic
+    // copies): what survives here is the corpus a training run would
+    // actually keep. Edge sets stay candidate-sized (band buckets,
+    // label blocks); the CC side is the collapsed cluster table.
+    Q("dedup_stack_verdict",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d).select($"doc_id", $"text")
+        val wBand = org.apache.spark.sql.expressions.Window
+          .partitionBy($"band_idx", $"band_hash")
+        val lex = bandedKeys(minhashSignatures(docs))
+          .withColumn("root", min($"doc_id").over(wBand))
+          .withColumn("n", count(lit(1)).over(wBand))
+          .filter($"n" > 1 && $"doc_id" =!= $"root")
+          .select($"root".as("src"), $"doc_id".as("dst"))
+          .distinct()
+        val emb = Tables.embeddings(s, d)
+          .select($"vec_id", $"label", $"embedding")
+          .withColumn("nrm", sqrt(Similarity.dot($"embedding", $"embedding")))
+        val sem = emb.as("a").join(emb.as("b"),
+            col("a.label") === col("b.label") &&
+            col("a.vec_id") < col("b.vec_id"))
+          .withColumn("cos",
+            Similarity.dot(col("a.embedding"), col("b.embedding")) /
+              (col("a.nrm") * col("b.nrm")))
+          .filter($"cos" > 0.95)
+          .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+        val und = lex.unionByName(sem)
+        val edges = und.unionByName(
+          und.select($"dst".as("src"), $"src".as("dst")))
+        val wCluster = org.apache.spark.sql.expressions.Window
+          .partitionBy($"cluster_id")
+        docs.select($"doc_id")
+          .join(connectedComponents(edges), Seq("doc_id"), "left")
+          .withColumn("cluster_id", coalesce($"cluster_id", $"doc_id"))
+          .withColumn("cluster_size", count(lit(1)).over(wCluster))
+          .withColumn("is_kept", $"doc_id" === $"cluster_id")
+      },
+      Some(s"""WITH RECURSIVE corpus AS (
+          SELECT doc_id, text FROM documents),
+        $signaturesSql, $bandsSql,
+        sem_pairs AS (
+          SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+          FROM embeddings a JOIN embeddings b
+            ON a.label = b.label AND a.vec_id < b.vec_id
+          WHERE ${Similarity.dotSql("a.embedding", "b.embedding")} /
+                (sqrt(${Similarity.dotSql("a.embedding", "a.embedding")}) *
+                 sqrt(${Similarity.dotSql("b.embedding", "b.embedding")}))
+                > 0.95),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM candidates
+          UNION ALL SELECT doc_b AS a, doc_a AS b FROM candidates
+          UNION ALL SELECT doc_a AS a, doc_b AS b FROM sem_pairs
+          UNION ALL SELECT doc_b AS a, doc_a AS b FROM sem_pairs),
+        reach(v, r) AS (
+          SELECT DISTINCT a AS v, a AS r FROM edges
+          UNION
+          SELECT e.b AS v, reach.r FROM reach JOIN edges e ON e.a = reach.v),
+        clusters AS (
+          SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v),
+        verdict AS (
+          SELECT c.doc_id,
+            COALESCE(cl.cluster_id, c.doc_id) AS cluster_id
+          FROM corpus c LEFT JOIN clusters cl ON cl.doc_id = c.doc_id)
+        SELECT doc_id, cluster_id,
+          COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+          doc_id = cluster_id AS is_kept
+        FROM verdict"""))
   )
 }

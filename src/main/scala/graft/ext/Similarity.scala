@@ -33,7 +33,7 @@ object Similarity {
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
   /** Oracle fragment: the same dot product as a correlated ordered sum. */
-  private def dotSql(a: String, b: String): String =
+  private[ext] def dotSql(a: String, b: String): String =
     s"""(SELECT SUM(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))
         FROM generate_series(1, 64) t(i))"""
 
