@@ -47,6 +47,13 @@ object Dedup {
       UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
       UNION ALL SELECT doc_id + 200000, text || ' xtra' FROM documents WHERE doc_id % 7 = 0)"""
 
+  /** DuckDB-side 16-bit int from 4 hex chars of a hash (no conv()
+    * there) — same digit arithmetic as TextAnalysis.hex8Sql. */
+  private def hex4Sql(h: String): String =
+    (0 until 4).map { i =>
+      s"(instr('0123456789abcdef', substr($h, ${i + 1}, 1)) - 1) * ${1 << (4 * (3 - i))}"
+    }.mkString("(", " + ", ")")
+
   /** Normalized text for shingling. */
   private def norm(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
@@ -792,17 +799,23 @@ object Dedup {
     // O(n) RollingHashAll expression (array_distinct per doc, narrow);
     // intersections are computed candidate-first (grams join the
     // pair list, never an open self-join), so the evaluation cost
-    // scales with candidates — at 10⁹ docs you sample candidates and
-    // this query IS the sampler's scorer. Every output is an exact
-    // integer ppm: estimate, truth, and absolute error. An inner
-    // intersection join is safe because equal band mins under an
-    // injective affine transform force a shared shingle (n_inter >=
-    // 1 for every candidate).
+    // scales with candidates — and because an accuracy estimate only
+    // needs a sample, the pair list is thinned 10× by a deterministic
+    // md5 pick (salted pair hash, the txt_split_hash device: identical
+    // in any engine/partitioning, unlike rand()) BEFORE grams attach.
+    // At 10⁹ docs this sampled scorer is exactly what runs. Every
+    // output is an exact integer ppm: estimate, truth, and absolute
+    // error. An inner intersection join is safe because equal band
+    // mins under an injective affine transform force a shared shingle
+    // (n_inter >= 1 for every candidate).
     Q("dedup_minhash_accuracy",
       (s, d) => {
         import s.implicits._
         val sigs = minhashSignatures(corpus(s, d))
         val cands = lshCandidates(sigs)
+          .filter(conv(substring(md5(concat_ws("|",
+            lit("acc:"), $"doc_a", $"doc_b")), 1, 4), 16, 10)
+            .cast("int") % 10 === 0)
         val wDoc = org.apache.spark.sql.expressions.Window
           .partitionBy($"doc_id")
         val hg = corpus(s, d)
@@ -837,6 +850,10 @@ object Dedup {
           .withColumn("err_ppm", abs($"est_ppm" - $"true_ppm"))
       },
       Some(s"""WITH $corpusSql, $signaturesSql, $bandsSql,
+        sampled AS (
+          SELECT doc_a, doc_b FROM candidates
+          WHERE ${hex4Sql("md5('acc:' || '|' || CAST(doc_a AS VARCHAR) " +
+            "|| '|' || CAST(doc_b AS VARCHAR))")} % 10 = 0),
         hgrams AS (
           SELECT DISTINCT doc_id, h FROM (
             SELECT doc_id,
@@ -854,7 +871,7 @@ object Dedup {
         sizes AS (SELECT doc_id, COUNT(*) AS n FROM hgrams GROUP BY doc_id),
         inter AS (
           SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
-          FROM candidates c
+          FROM sampled c
           JOIN hgrams ga ON ga.doc_id = c.doc_a
           JOIN hgrams gb ON gb.doc_id = c.doc_b AND gb.h = ga.h
           GROUP BY c.doc_a, c.doc_b),
@@ -865,7 +882,7 @@ object Dedup {
                + CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END
                + CASE WHEN sa.h4 = sb.h4 THEN 1 ELSE 0 END AS BIGINT)
               AS matches
-          FROM candidates c
+          FROM sampled c
           JOIN signatures sa ON sa.doc_id = c.doc_a
           JOIN signatures sb ON sb.doc_id = c.doc_b)
         SELECT i.doc_a, i.doc_b, i.n_inter,
