@@ -52,7 +52,11 @@ object Bench {
     "rel_price_deciles", "ev_peak_concurrency", "ev_cohort_ltv",
     "sim_threshold_sweep", "mm_scene_cuts",
     "dedup_containment", "txt_ngram_novelty", "txt_vocab_coverage",
-    "mm_phash_hamming", "ev_multitouch_attribution", "gr_bfs_reach")
+    "mm_phash_hamming", "ev_multitouch_attribution", "gr_bfs_reach",
+    "rel_table_fingerprint", "rel_merkle_ranges", "sim_ivf_recall",
+    "dedup_minhash_accuracy", "dedup_stack_verdict", "gr_modularity",
+    "gr_assortativity", "gr_local_clustering", "txt_domain_affinity",
+    "ev_ewma_trend")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

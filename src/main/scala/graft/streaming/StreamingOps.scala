@@ -306,6 +306,50 @@ object StreamingOps {
                                   value: Double, z: Double)
   final case class RunningStats(n: Long, sum: Double, sumSq: Double)
 
+  final case class Observation(key: String, ts: java.sql.Timestamp, n: Long)
+  final case class EwmaFlag(key: String, ts_micros: Long, n: Long,
+                            ewma_q: Long, above_trend: Boolean)
+
+  /** Streaming EWMA trend — the streaming twin of the batch
+    * `ev_ewma_trend`, with the SAME exact-integer estimator: each
+    * observation is compared against the 8 prior observations'
+    * weighted sum under the rational weights 4^k·5^(7−k) (shared
+    * denominator 5⁸), so the above-trend test n·5⁸ > ewma_q is
+    * integer-exact and replay-deterministic. State per key is the
+    * ring of the last 8 LONG observations — bounded O(window), a
+    * different state shape from [[anomalyStream]]'s O(1) running
+    * sums: EWMA weights are position-dependent, so the history
+    * cannot collapse into moments. Warmup (fewer than 8 priors) is
+    * silent, mirroring the batch query's rn > 8; intra-batch fold
+    * order is pinned (ts, n) for exactly-once sinks.
+    */
+  def ewmaTrendStream(obs: Dataset[Observation], window: Int = 8)
+      : Dataset[EwmaFlag] = {
+    import obs.sparkSession.implicits._
+    val weights = (0 until window).map(k =>
+      math.pow(4, k).toLong * math.pow(5, window - 1 - k).toLong)
+    val denom = math.pow(5, window).toLong
+    obs.groupByKey(_.key)
+      .flatMapGroupsWithState[List[Long], EwmaFlag](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, batch: Iterator[Observation],
+         state: GroupState[List[Long]]) =>
+          var hist = state.getOption.getOrElse(Nil) // most recent first
+          val out = Seq.newBuilder[EwmaFlag]
+          for (o <- batch.toSeq.sortBy(o => (o.ts.getTime, o.n))) {
+            if (hist.size == window) {
+              val ewmaQ = hist.iterator.zipWithIndex
+                .map { case (x, k) => x * weights(k) }.sum
+              out += EwmaFlag(key, o.ts.getTime * 1000L, o.n, ewmaQ,
+                o.n * denom > ewmaQ)
+            }
+            hist = (o.n :: hist).take(window)
+          }
+          state.update(hist)
+          out.result().iterator
+      }
+  }
+
   /** Streaming anomaly detection — the streaming twin of the batch
     * `ev_anomaly_zscore`: per key, each value is z-scored against the
     * running statistics of all PRIOR events (state carries only

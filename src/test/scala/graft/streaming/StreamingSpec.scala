@@ -354,6 +354,38 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming EWMA trend matches the batch weights, silent in warmup") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp, Long)]
+    val obs = mem.toDS()
+      .map { case (k, t, n) => StreamingOps.Observation(k, t, n) }
+    val q = StreamingOps.ewmaTrendStream(obs)
+      .writeStream.format("memory").queryName("ewma")
+      .outputMode("append").start()
+    // 8 warmup observations (all 10) split across two micro-batches:
+    // nothing may emit until a full window of priors exists.
+    val base = (1 to 8).map(i =>
+      ("t0", ts(f"2024-01-01 10:$i%02d:00"), 10L))
+    mem.addData(base.take(5): _*)
+    q.processAllAvailable()
+    mem.addData(base.drop(5): _*)
+    q.processAllAvailable()
+    assert(spark.table("ewma").isEmpty, "warmup must be silent")
+    // 9th observation: priors are eight 10s, so ewma_q = 10 * (5^8 -
+    // 4^8) = 3250890; 50 is far above trend, and an independent key
+    // with no history stays silent.
+    mem.addData(("t0", ts("2024-01-01 10:09:00"), 50L),
+                ("t1", ts("2024-01-01 10:09:00"), 50L))
+    q.processAllAvailable()
+    val got = spark.table("ewma").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    q.stop()
+    assert(got.toSet == Set(("t0", 50L, 3250890L, true)),
+      got.mkString(","))
+  }
+
   test("streaming anomaly z-score flags outliers against prior state only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
