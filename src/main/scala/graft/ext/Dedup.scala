@@ -897,6 +897,90 @@ object Dedup {
         JOIN sizes sb ON sb.doc_id = i.doc_b""")),
 
     // ------------------------------------------------------------------
+    // Span SCRUB — the rewrite ACTION the dedup_span_exact inventory
+    // feeds (Lee et al. 2022 deduplicate-substrings, end to end):
+    // every 8-char window whose hash appears in MORE THAN ONE document
+    // is masked out of the text with '*', leaving the document's
+    // unique content intact. Cross-doc flags come from min≠max doc
+    // windows over ONE span-hash shuffle (dedup_span_ratio's device —
+    // no join back to a dup table); each doc then rebuilds its string
+    // with a codegen'd char-wise transform against its own SORTED
+    // start list (docs are narrow; the per-char exists() is bounded by
+    // the doc's dup-window count). Output is deterministic text +
+    // exact counts, so the whole rewrite is hash-checked cross-engine.
+    Q("dedup_span_scrub",
+      (s, d) => {
+        import s.implicits._
+        val wSpan = org.apache.spark.sql.expressions.Window
+          .partitionBy($"h")
+        val normed = corpus(s, d).select($"doc_id", norm($"text").as("norm"))
+        val spans = normed
+          .select($"doc_id", posexplode(
+            graft.functions.NativeFunctions.rollingHashAll($"norm", 8)))
+          .toDF("doc_id", "pos0", "h")
+          .select($"doc_id", ($"pos0" + 1).as("i"), $"h")
+        val starts = spans
+          .withColumn("cross",
+            min($"doc_id").over(wSpan) =!= max($"doc_id").over(wSpan))
+          .filter($"cross")
+          .groupBy($"doc_id")
+          .agg(sort_array(collect_list($"i")).as("starts"),
+            count(lit(1)).as("n_dup_windows"))
+        normed.join(starts, Seq("doc_id"), "left")
+          .withColumn("starts",
+            coalesce($"starts", expr("CAST(array() AS ARRAY<INT>)")))
+          .withColumn("n_dup_windows",
+            coalesce($"n_dup_windows", lit(0L)))
+          .withColumn("n_masked",
+            expr("""CAST(size(filter(sequence(1, length(norm)),
+                c -> exists(starts, s -> c >= s AND c < s + 8)))
+              AS BIGINT)"""))
+          .withColumn("scrubbed",
+            when(length($"norm") === 0, lit(""))
+              .otherwise(expr(
+                """array_join(transform(sequence(1, length(norm)),
+                  c -> CASE WHEN exists(starts, s -> c >= s AND c < s + 8)
+                       THEN '*' ELSE substring(norm, c, 1) END), '')""")))
+          .select($"doc_id", $"n_dup_windows", $"n_masked", $"scrubbed")
+      },
+      Some(s"""WITH $corpusSql,
+        normed AS (SELECT doc_id, $normSql AS norm FROM corpus),
+        spans AS (SELECT doc_id, i,
+          (ord(substr(norm, i, 1)) * CAST(pow(31, 7) AS BIGINT)
+           + ord(substr(norm, i + 1, 1)) * CAST(pow(31, 6) AS BIGINT)
+           + ord(substr(norm, i + 2, 1)) * CAST(pow(31, 5) AS BIGINT)
+           + ord(substr(norm, i + 3, 1)) * CAST(pow(31, 4) AS BIGINT)
+           + ord(substr(norm, i + 4, 1)) * CAST(pow(31, 3) AS BIGINT)
+           + ord(substr(norm, i + 5, 1)) * CAST(pow(31, 2) AS BIGINT)
+           + ord(substr(norm, i + 6, 1)) * 31
+           + ord(substr(norm, i + 7, 1))) % 1000000007 AS span_hash
+          FROM (SELECT doc_id, norm,
+            unnest(generate_series(1, length(norm) - 7)) AS i
+          FROM normed) x),
+        marked AS (
+          SELECT doc_id, i FROM (
+            SELECT doc_id, i,
+              MIN(doc_id) OVER (PARTITION BY span_hash)
+                <> MAX(doc_id) OVER (PARTITION BY span_hash) AS crossdoc
+            FROM spans) m
+          WHERE crossdoc),
+        starts AS (
+          SELECT doc_id, list_sort(list(i)) AS starts,
+            COUNT(*) AS n_dup_windows
+          FROM marked GROUP BY doc_id)
+        SELECT n.doc_id,
+          COALESCE(s.n_dup_windows, 0) AS n_dup_windows,
+          CAST(len(list_filter(generate_series(1, length(n.norm)),
+            c -> len(list_filter(COALESCE(s.starts, []),
+              st -> c >= st AND c < st + 8)) > 0)) AS BIGINT) AS n_masked,
+          array_to_string(list_transform(
+            generate_series(1, length(n.norm)),
+            c -> CASE WHEN len(list_filter(COALESCE(s.starts, []),
+                   st -> c >= st AND c < st + 8)) > 0
+                 THEN '*' ELSE substr(n.norm, c, 1) END), '') AS scrubbed
+        FROM normed n LEFT JOIN starts s ON s.doc_id = n.doc_id""")),
+
+    // ------------------------------------------------------------------
     // The full production dedup stack in one verdict: LEXICAL MinHash
     // LSH band edges (dedup_verdict's half) UNIONED with SEMANTIC
     // embedding near-dup edges (sim_semantic_verdict's half, vec_id ≡
