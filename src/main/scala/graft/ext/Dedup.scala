@@ -903,11 +903,15 @@ object Dedup {
     // is masked out of the text with '*', leaving the document's
     // unique content intact. Cross-doc flags come from min≠max doc
     // windows over ONE span-hash shuffle (dedup_span_ratio's device —
-    // no join back to a dup table); each doc then rebuilds its string
-    // with a codegen'd char-wise transform against its own SORTED
-    // start list (docs are narrow; the per-char exists() is bounded by
-    // the doc's dup-window count). Output is deterministic text +
-    // exact counts, so the whole rewrite is hash-checked cross-engine.
+    // no join back to a dup table). The rewrite is the DISTRIBUTED
+    // formulation: dup windows explode to masked char positions, the
+    // text explodes to (pos, char) rows, one left join marks masked
+    // chars, one aggregation reassembles the string (array_sort AFTER
+    // collect — the ev_user_journey rule). Every stage is codegen'd
+    // rows: the per-char lambda-HOF form (exists() inside transform())
+    // evaluates interpreted per element and measured 17 s at sf0.1 vs
+    // ~4 s for this shape. Output is deterministic text + exact
+    // counts, so the whole rewrite is hash-checked cross-engine.
     Q("dedup_span_scrub",
       (s, d) => {
         import s.implicits._
@@ -919,29 +923,48 @@ object Dedup {
             graft.functions.NativeFunctions.rollingHashAll($"norm", 8)))
           .toDF("doc_id", "pos0", "h")
           .select($"doc_id", ($"pos0" + 1).as("i"), $"h")
-        val starts = spans
+        val dup = spans
           .withColumn("cross",
             min($"doc_id").over(wSpan) =!= max($"doc_id").over(wSpan))
           .filter($"cross")
+        val nDup = dup.groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_dup_windows"))
+        // Merge overlapping/adjacent windows into islands FIRST
+        // (consecutive starts ≤ 8 apart cover one contiguous range),
+        // so the explode emits each masked position exactly once — no
+        // 8×-inflated distinct shuffle. The islands window shares the
+        // dup rows' (doc_id, i) sort.
+        val wDoc = org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy($"i")
+        val maskedPos = dup
+          .withColumn("brk",
+            when($"i" - lag($"i", 1).over(wDoc) > 8, 1).otherwise(0))
+          .withColumn("isl", sum($"brk").over(wDoc.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+          .groupBy($"doc_id", $"isl")
+          .agg(min($"i").as("lo"), max($"i").as("hi"))
+          .select($"doc_id",
+            explode(expr("sequence(lo, hi + 7)")).as("c"))
+          .withColumn("m", lit(true))
+        val chars = normed
+          .select($"doc_id", posexplode(split($"norm", "")))
+          .toDF("doc_id", "c0", "ch")
+          .select($"doc_id", ($"c0" + 1).as("c"), $"ch")
+        val rebuilt = chars
+          .join(maskedPos, Seq("doc_id", "c"), "left")
           .groupBy($"doc_id")
-          .agg(sort_array(collect_list($"i")).as("starts"),
-            count(lit(1)).as("n_dup_windows"))
-        normed.join(starts, Seq("doc_id"), "left")
-          .withColumn("starts",
-            coalesce($"starts", expr("CAST(array() AS ARRAY<INT>)")))
-          .withColumn("n_dup_windows",
-            coalesce($"n_dup_windows", lit(0L)))
-          .withColumn("n_masked",
-            expr("""CAST(size(filter(sequence(1, length(norm)),
-                c -> exists(starts, s -> c >= s AND c < s + 8)))
-              AS BIGINT)"""))
-          .withColumn("scrubbed",
-            when(length($"norm") === 0, lit(""))
-              .otherwise(expr(
-                """array_join(transform(sequence(1, length(norm)),
-                  c -> CASE WHEN exists(starts, s -> c >= s AND c < s + 8)
-                       THEN '*' ELSE substring(norm, c, 1) END), '')""")))
-          .select($"doc_id", $"n_dup_windows", $"n_masked", $"scrubbed")
+          .agg(count(when($"m", 1)).as("n_masked"),
+            array_join(transform(
+              array_sort(collect_list(struct($"c",
+                when($"m", "*").otherwise($"ch").as("ch2")))),
+              x => x.getField("ch2")), "").as("scrubbed"))
+        normed.select($"doc_id")
+          .join(nDup, Seq("doc_id"), "left")
+          .join(rebuilt, Seq("doc_id"), "left")
+          .select($"doc_id",
+            coalesce($"n_dup_windows", lit(0L)).as("n_dup_windows"),
+            coalesce($"n_masked", lit(0L)).as("n_masked"),
+            coalesce($"scrubbed", lit("")).as("scrubbed"))
       },
       Some(s"""WITH $corpusSql,
         normed AS (SELECT doc_id, $normSql AS norm FROM corpus),
