@@ -56,7 +56,7 @@ object Bench {
     "rel_table_fingerprint", "rel_merkle_ranges", "sim_ivf_recall",
     "dedup_minhash_accuracy", "dedup_stack_verdict", "gr_modularity",
     "gr_assortativity", "gr_local_clustering", "txt_domain_affinity",
-    "ev_ewma_trend", "dedup_span_scrub")
+    "ev_ewma_trend", "dedup_span_scrub", "ev_forecast_backtest")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1630,5 +1630,56 @@ object EventsOps {
               ORDER BY ts DESC, event_id DESC) AS rn
           FROM events) t
         WHERE rn = 1 GROUP BY day"""))
+  ,
+    // ------------------------------------------------------------------
+    // Seasonal-naive forecast backtest: per event type, "tomorrow
+    // looks like the same weekday last week" (lag-7 over daily
+    // counts) scored against what actually happened — the baseline
+    // every forecasting pipeline must beat before it earns a model,
+    // and the backtest harness shape that scores the real model
+    // later. Per-day absolute errors are exact integers; the rollup
+    // reports MAE ingredients (Σ|err|, n) plus a naive lag-1
+    // comparison, all on the tiny per-type table riding ONE
+    // event_type shuffle. No averages are divided per-row — both
+    // sums export exactly, the single MAE division is at the end.
+    Q("ev_forecast_backtest",
+      (s, d) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"event_type").orderBy($"day")
+        Tables.events(s, d)
+          .groupBy($"event_type", to_date($"ts").as("day"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("f_seasonal", lag($"n", 7).over(w))
+          .withColumn("f_naive", lag($"n", 1).over(w))
+          .filter($"f_seasonal".isNotNull)
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n_days"),
+            sum(abs($"n" - $"f_seasonal")).as("sae_seasonal"),
+            sum(abs($"n" - $"f_naive")).as("sae_naive"))
+          .withColumn("mae_seasonal_ppm",
+            expr("sae_seasonal * 1000000 div n_days"))
+          .withColumn("seasonal_beats_naive",
+            $"sae_seasonal" < $"sae_naive")
+      },
+      Some("""WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+          FROM events GROUP BY 1, 2),
+        scored AS (
+          SELECT event_type, n,
+            LAG(n, 7) OVER w AS f_seasonal,
+            LAG(n, 1) OVER w AS f_naive
+          FROM daily
+          WINDOW w AS (PARTITION BY event_type ORDER BY day))
+        SELECT event_type, COUNT(*) AS n_days,
+          CAST(SUM(abs(n - f_seasonal)) AS BIGINT) AS sae_seasonal,
+          CAST(SUM(abs(n - f_naive)) AS BIGINT) AS sae_naive,
+          CAST(SUM(abs(n - f_seasonal)) AS BIGINT) * 1000000 // COUNT(*)
+            AS mae_seasonal_ppm,
+          CAST(SUM(abs(n - f_seasonal)) AS BIGINT)
+            < CAST(SUM(abs(n - f_naive)) AS BIGINT)
+            AS seasonal_beats_naive
+        FROM scored WHERE f_seasonal IS NOT NULL
+        GROUP BY event_type"""))
   )
 }

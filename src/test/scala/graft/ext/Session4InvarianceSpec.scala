@@ -27,7 +27,8 @@ class Session4InvarianceSpec extends AnyFunSuite {
     "gr_modularity", "gr_assortativity", "ev_ewma_trend",
     "ev_semi_additive_balance", "txt_inverted_postings",
     "dedup_minhash_accuracy", "gr_local_clustering",
-    "dedup_stack_verdict", "dedup_span_scrub", "rel_merkle_ranges")
+    "dedup_stack_verdict", "dedup_span_scrub", "rel_merkle_ranges",
+    "ev_forecast_backtest")
 
   test("results are bit-identical under 4 and 7 shuffle partitions") {
     def snapshot(name: String): Seq[String] =
