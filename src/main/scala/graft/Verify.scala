@@ -1,9 +1,35 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Canonicalize each result's PHYSICAL export types to the ones the
+    * driver's pandas-based dtype-sensitive hash sees from the DuckDB
+    * side — values are untouched, only representation widens:
+    *
+    *  - int8/16/32 → int64 (DuckDB aggregates/ranks are BIGINT; a
+    *    Spark `row_number` lands as int32 and reds the compare),
+    *  - DATE / TIMESTAMP (tz) → TIMESTAMP_NTZ micros (pandas reads
+    *    DuckDB DATE and TIMESTAMP as naive datetime64[us]; Spark's
+    *    INT96 reads as ns and its tz-adjusted micros as tz-aware —
+    *    both red a strict dtype compare even when values agree).
+    *
+    * One dump-layer projection instead of 40 per-query casts; the
+    * session TZ is UTC so tz→NTZ is value-identical. */
+  private def canonical(df: DataFrame): DataFrame =
+    df.select(df.schema.fields.map { f =>
+      f.dataType match {
+        case ByteType | ShortType | IntegerType =>
+          col(f.name).cast(LongType).as(f.name)
+        case DateType | TimestampType =>
+          col(f.name).cast(TimestampNTZType).as(f.name)
+        case _ => col(f.name)
+      }
+    }.toSeq: _*)
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -11,6 +37,11 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // Write TIMESTAMP_MICROS, not INT96: pandas reads INT96 as
+      // datetime64[ns] but DuckDB's .df() yields datetime64[us] —
+      // the driver's dtype-sensitive hash then reds EVERY timestamp
+      // column. Micros round-trips identically on both sides.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .withExtensions(new functions.GraftExtensions)
       .getOrCreate()
@@ -24,7 +55,7 @@ object Verify {
     def selected(name: String): Boolean = only.forall(_.contains(name))
     SparkEntry.queries.filter(kv => selected(kv._1))
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      try canonical(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

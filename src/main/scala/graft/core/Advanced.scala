@@ -72,44 +72,88 @@ object Advanced {
           .agg(count(lit(1)).as("n_docs"),
                sum($"n_chars").as("sum_chars"))
       },
-      Some("""SELECT lang, label, COUNT(*) AS n_docs,
+      Some("""SELECT lang, CAST(label AS BIGINT) AS label, COUNT(*) AS n_docs,
         CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         FROM documents JOIN embeddings ON doc_id = vec_id
         GROUP BY lang, label""")),
 
     // ------------------------------------------------------------------
-    // Approximate distinct (HLL sketch) — engine-specific internals,
-    // so no oracle; AdvancedSpec pins relative error ≤ 5% vs exact.
+    // Approximate distinct (HLL sketch), exported as its accuracy
+    // EVAL (the sim_ivf_recall pattern): raw sketch estimates are
+    // engine-specific and can never hash-match DuckDB, but "the
+    // estimate lands within the configured 2%+slack bound of the
+    // exact count" is a deterministic boolean (Spark's HLL is
+    // hash-based and order-independent), and the exact counts are
+    // oracle-exact integers. The driver therefore verifies the
+    // sketch's accuracy contract, not just row counts. The exact
+    // distinct arm exists only for the eval — production rollups use
+    // the sketch alone.
     Q("rel_approx_distinct",
       (s, d) => {
         import s.implicits._
         Tables.lineitem(s, d)
           .groupBy($"l_returnflag")
-          .agg(approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"),
-               approx_count_distinct($"l_partkey", 0.02).as("approx_parts"))
+          .agg(countDistinct($"l_orderkey").as("n_exact_orders"),
+            countDistinct($"l_partkey").as("n_exact_parts"),
+            approx_count_distinct($"l_orderkey", 0.02).as("ao"),
+            approx_count_distinct($"l_partkey", 0.02).as("ap"))
+          .select($"l_returnflag", $"n_exact_orders", $"n_exact_parts",
+            (abs($"ao" - $"n_exact_orders").cast("double") /
+              $"n_exact_orders" <= 0.05).as("orders_within_5pct"),
+            (abs($"ap" - $"n_exact_parts").cast("double") /
+              $"n_exact_parts" <= 0.05).as("parts_within_5pct"))
       },
-      None),
+      Some("""SELECT l_returnflag,
+          COUNT(DISTINCT l_orderkey) AS n_exact_orders,
+          COUNT(DISTINCT l_partkey) AS n_exact_parts,
+          TRUE AS orders_within_5pct, TRUE AS parts_within_5pct
+        FROM lineitem GROUP BY l_returnflag""")),
 
     // ------------------------------------------------------------------
     // Approximate percentiles — the scale path rel_percentiles points
-    // at: t-digest-style mergeable partials with bounded memory per
-    // group, vs. the exact aggregate's value→count map. Sketch
-    // internals are engine-specific, so no oracle; AdvancedSpec pins
-    // the estimates against the exact interpolated percentiles.
+    // at: mergeable rank-sketch partials with bounded memory per
+    // group. Exported as the accuracy eval (see rel_approx_distinct):
+    // the approx value must land between the exact ±5-rank-percent
+    // discrete percentiles (approx_percentile returns a STORED value,
+    // and with accuracy 10000 its rank error ≤ 0.01%, far inside the
+    // band), alongside the exact percentile_disc values DuckDB
+    // recomputes bit-identically.
     Q("rel_approx_percentiles",
       (s, d) => {
         import s.implicits._
-        Tables.lineitem(s, d)
-          .groupBy($"l_returnflag")
-          .agg(
-            expr("approx_percentile(l_quantity, 0.5, 10000)")
-              .as("median_qty"),
-            expr("approx_percentile(l_extendedprice, 0.25, 10000)")
-              .as("p25_price"),
-            expr("approx_percentile(l_extendedprice, 0.75, 10000)")
-              .as("p75_price"))
+        Tables.lineitem(s, d).createOrReplaceTempView("li_apx")
+        s.sql("""SELECT l_returnflag,
+            percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)
+              AS q50_exact,
+            percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice)
+              AS p25_exact,
+            percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice)
+              AS p75_exact,
+            approx_percentile(l_quantity, 0.5, 10000) BETWEEN
+              percentile_disc(0.45) WITHIN GROUP (ORDER BY l_quantity) AND
+              percentile_disc(0.55) WITHIN GROUP (ORDER BY l_quantity)
+              AS median_ok,
+            approx_percentile(l_extendedprice, 0.25, 10000) BETWEEN
+              percentile_disc(0.20) WITHIN GROUP (ORDER BY l_extendedprice)
+                AND
+              percentile_disc(0.30) WITHIN GROUP (ORDER BY l_extendedprice)
+              AS p25_ok,
+            approx_percentile(l_extendedprice, 0.75, 10000) BETWEEN
+              percentile_disc(0.70) WITHIN GROUP (ORDER BY l_extendedprice)
+                AND
+              percentile_disc(0.80) WITHIN GROUP (ORDER BY l_extendedprice)
+              AS p75_ok
+          FROM li_apx GROUP BY l_returnflag""")
       },
-      None),
+      Some("""SELECT l_returnflag,
+          percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)
+            AS q50_exact,
+          percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice)
+            AS p25_exact,
+          percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice)
+            AS p75_exact,
+          TRUE AS median_ok, TRUE AS p25_ok, TRUE AS p75_ok
+        FROM lineitem GROUP BY l_returnflag""")),
 
     // ------------------------------------------------------------------
     // Pivot: priority values become columns. Values are passed
@@ -153,7 +197,8 @@ object Advanced {
                                 FROM li_corr l2
                                 WHERE l2.l_orderkey = l.l_orderkey)""")
       },
-      Some("""SELECT l.l_orderkey, l.l_linenumber, l.l_quantity
+      Some("""SELECT l.l_orderkey,
+          CAST(l.l_linenumber AS BIGINT) AS l_linenumber, l.l_quantity
         FROM lineitem l
         WHERE l.l_quantity = (SELECT MAX(l2.l_quantity)
                               FROM lineitem l2
@@ -212,7 +257,8 @@ object Advanced {
             coalesce($"n_cust", lit(0L)).as("n_cust"),
             coalesce($"n_supp", lit(0L)).as("n_supp"))
       },
-      Some("""SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,
+      Some("""SELECT CAST(COALESCE(c_nationkey, s_nationkey) AS BIGINT)
+            AS nationkey,
           COALESCE(n_cust, 0) AS n_cust,
           COALESCE(n_supp, 0) AS n_supp
         FROM (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer
@@ -369,9 +415,9 @@ object Advanced {
           WINDOW w AS (PARTITION BY o_custkey
                        ORDER BY day_num, o_orderkey)),
         runs0 AS (
-          SELECT *, SUM(chg) OVER (PARTITION BY o_custkey
+          SELECT *, CAST(SUM(chg) OVER (PARTITION BY o_custkey
               ORDER BY day_num, o_orderkey
-              ROWS UNBOUNDED PRECEDING) AS run_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
           FROM flagged),
         runs AS (
           SELECT o_custkey, run_id, MIN(o_orderstatus) AS status,
@@ -421,7 +467,8 @@ object Advanced {
           SELECT o_orderkey, o_totalprice * 2 AS o_totalprice,
             'U' AS o_orderstatus, 1 AS version
           FROM orders WHERE o_orderkey % 10 = 0)
-        SELECT o_orderkey, o_totalprice, o_orderstatus, version FROM (
+        SELECT o_orderkey, o_totalprice, o_orderstatus,
+          CAST(version AS BIGINT) AS version FROM (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
             ORDER BY version DESC) AS rk
           FROM unioned) t
@@ -453,7 +500,8 @@ object Advanced {
       },
       Some("""WITH per AS (
           SELECT l_suppkey, COUNT(*) AS c FROM lineitem GROUP BY l_suppkey)
-        SELECT COUNT(*) AS n_keys, SUM(c) AS total_rows, MAX(c) AS max_c,
+        SELECT COUNT(*) AS n_keys, CAST(SUM(c) AS BIGINT) AS total_rows,
+          MAX(c) AS max_c,
           MIN(c) AS min_c, quantile_cont(c, 0.5) AS median_c,
           CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_key_share,
           CAST(MAX(c) AS DOUBLE) / quantile_cont(c, 0.5) AS skew_ratio
@@ -539,7 +587,8 @@ object Advanced {
           UNION ALL
           SELECT node, anc_node // 2, depth + 1
           FROM anc WHERE anc_node > 0)
-        SELECT node, MAX(depth) AS depth_to_root, COUNT(*) AS n_ancestors
+        SELECT node, CAST(MAX(depth) AS BIGINT) AS depth_to_root,
+          COUNT(*) AS n_ancestors
         FROM anc GROUP BY node""")),
 
     // ------------------------------------------------------------------
@@ -608,25 +657,43 @@ object Advanced {
     // sketch partials persisted once, any coarser rollup or ad-hoc
     // range union is sketch-merge work, never a rescan of history;
     // exact distincts cannot be merged this way). DataSketches HLL via
-    // Spark's hll_sketch_agg/hll_union_agg. Sketch internals are
-    // engine-specific, so like rel_approx_distinct this query is
-    // rows-only for the driver; AdvancedSpec pins the estimates within
-    // tolerance of the exact per-year distincts, and that the
-    // month→year merge equals sketching the year directly.
+    // Spark's hll_sketch_agg/hll_union_agg. Raw estimates are
+    // engine-specific, so the EXPORT is the accuracy eval (the
+    // rel_approx_distinct pattern): exact per-year distincts
+    // (DuckDB-recomputable) plus within-5% bounds for BOTH the
+    // month-union path and the direct year sketch. (Union and direct
+    // estimates are close but NOT bit-identical — the union pass
+    // through HllUnion re-buckets — so the eval bounds each path
+    // against exact truth rather than asserting a false identity;
+    // sf0.001 happened to collide, sf0.01 does not.)
     Q("rel_hll_rollup",
       (s, d) => {
         import s.implicits._
-        Tables.orders(s, d)
+        val merged = Tables.orders(s, d)
           .groupBy(date_trunc("month", $"o_orderdate").as("month"))
           .agg(hll_sketch_agg($"o_custkey").as("sk"),
             count(lit(1)).as("n_orders"))
           .groupBy(year($"month").as("o_year"))
-          .agg(hll_sketch_estimate(hll_union_agg($"sk"))
-              .as("approx_customers"),
+          .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("est"),
             sum($"n_orders").as("n_orders"))
+        val direct = Tables.orders(s, d)
+          .groupBy(year($"o_orderdate").as("o_year"))
+          .agg(hll_sketch_estimate(hll_sketch_agg($"o_custkey"))
+              .as("direct_est"),
+            countDistinct($"o_custkey").as("n_exact_customers"))
+        merged.join(direct, Seq("o_year"))
+          .select($"o_year", $"n_orders", $"n_exact_customers",
+            (abs($"est" - $"n_exact_customers").cast("double") /
+              $"n_exact_customers" <= 0.05).as("est_within_5pct"),
+            (abs($"direct_est" - $"n_exact_customers").cast("double") /
+              $"n_exact_customers" <= 0.05).as("direct_within_5pct"))
           .orderBy($"o_year")
       },
-      None)
+      Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+          COUNT(*) AS n_orders,
+          COUNT(DISTINCT o_custkey) AS n_exact_customers,
+          TRUE AS est_within_5pct, TRUE AS direct_within_5pct
+        FROM orders GROUP BY 1 ORDER BY o_year"""))
   )
 
   val all3: Seq[Q] = Seq(
@@ -701,8 +768,8 @@ object Advanced {
               PARTITION BY l_returnflag
               ORDER BY l_extendedprice, l_orderkey, l_linenumber
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumq,
-            SUM(CAST(l_quantity AS BIGINT)) OVER (
-              PARTITION BY l_returnflag) AS totq
+            CAST(SUM(CAST(l_quantity AS BIGINT)) OVER (
+              PARTITION BY l_returnflag) AS BIGINT) AS totq
           FROM lineitem),
         hit AS (
           SELECT l_returnflag, totq, l_extendedprice,
@@ -734,7 +801,8 @@ object Advanced {
             .agg(count(lit(1)).as("n_parts")))
       },
       Some("""WITH ps AS (
-          SELECT p_retailprice AS price, p_size AS size, COUNT(*) AS n_parts
+          SELECT p_retailprice AS price, CAST(p_size AS BIGINT) AS size,
+            COUNT(*) AS n_parts
           FROM part GROUP BY 1, 2),
         top AS (
           SELECT price, size, n_parts,
@@ -769,7 +837,7 @@ object Advanced {
           .groupBy(date_trunc("month", $"o_orderdate").as("month"),
             $"n_name".as("nation"))
           .agg(dsum($"o_totalprice", 2).as("revenue"))
-          .withColumn("rnk", rank().over(wMonth))
+          .withColumn("rnk", rank().over(wMonth).cast("long"))
           .withColumn("prev_rnk", lag($"rnk", 1).over(wNation))
           .withColumn("moved", $"prev_rnk" - $"rnk")
       },
@@ -817,7 +885,8 @@ object Advanced {
           .withColumn("nth3", nth_value($"l_extendedprice", 3).over(frame))
           .withColumn("quartile", ntile(4).over(ord))
       },
-      Some("""SELECT l_returnflag, l_quantity, l_orderkey, l_linenumber,
+      Some("""SELECT l_returnflag, l_quantity, l_orderkey,
+          CAST(l_linenumber AS BIGINT) AS l_linenumber,
           l_extendedprice,
           percent_rank() OVER w AS pr,
           cume_dist() OVER w AS cd,
@@ -849,9 +918,27 @@ object Advanced {
         val spend = Tables.orders(s, d)
           .groupBy($"o_custkey")
           .agg(sum($"o_totalprice".cast(DecimalType(27, 2))).as("spend"))
-        val wN = Window.orderBy($"spend".desc, $"o_custkey")
-        val deciles = spend
-          .withColumn("decile", ntile(10).over(wN))
+        // Scale switch (see ev_rfm_segments): the exact global
+        // ntile(10) single-threads the per-customer frame; past the
+        // threshold the cut comes from 9 broadcast approx-percentile
+        // spend boundaries + comparisons (exact per-bucket sums,
+        // approximate bucket EDGES). Oracle scales use the exact path.
+        val bigFrame = Tables.orders(s, d).count() > 50000000L
+        val bucketed =
+          if (!bigFrame) {
+            val wN = Window.orderBy($"spend".desc, $"o_custkey")
+            spend.withColumn("decile", ntile(10).over(wN).cast("long"))
+          } else {
+            val qs = array((1 to 9).map(i => lit(i / 10.0)): _*)
+            val cuts = spend.agg(percentile_approx(
+              $"spend".cast("double"), qs, lit(10000)).as("c"))
+            spend.crossJoin(broadcast(cuts))
+              .withColumn("decile",
+                (1 to 9).map(i =>
+                  ($"spend".cast("double") < $"c" (9 - i)).cast("int"))
+                  .reduce(_ + _).cast("long") + 1L)
+          }
+        val deciles = bucketed
           .groupBy($"decile")
           .agg(count(lit(1)).as("n_customers"), sum($"spend").as("rev"))
         val wCum = Window.orderBy($"decile")

@@ -177,7 +177,7 @@ object Lifecycle {
             SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS total
           FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
           GROUP BY 1)
-        SELECT month, SUM(n) AS n_orders,
+        SELECT month, CAST(SUM(n) AS BIGINT) AS n_orders,
           CAST(SUM(total) AS DOUBLE) AS revenue
         FROM (SELECT * FROM snapshot UNION ALL SELECT * FROM delta)
         GROUP BY month""")),
@@ -426,7 +426,7 @@ object Lifecycle {
           // (scientific notation at 1e7+), and a bare double→bigint
           // CAST truncates in Spark but rounds in DuckDB
           .select(substring(floor($"o_totalprice").cast("long")
-            .cast("string"), 1, 1).cast("int").as("first_digit"))
+            .cast("string"), 1, 1).cast("long").as("first_digit"))
           .groupBy($"first_digit")
           .agg(count(lit(1)).as("n_orders"))
           .withColumn("permille",
@@ -435,7 +435,7 @@ object Lifecycle {
       },
       Some("""WITH digits AS (
           SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
-              AS VARCHAR), 1, 1) AS INTEGER) AS first_digit
+              AS VARCHAR), 1, 1) AS BIGINT) AS first_digit
           FROM orders)
         SELECT first_digit, COUNT(*) AS n_orders,
           COUNT(*) * 1000 // (SELECT COUNT(*) FROM orders) AS permille
@@ -454,12 +454,33 @@ object Lifecycle {
     Q("rel_sequence_gaps",
       (s, d) => {
         import s.implicits._
-        val w = org.apache.spark.sql.expressions.Window.orderBy($"k")
-        Tables.orders(s, d)
+        val W = org.apache.spark.sql.expressions.Window
+        // Bucketed gaps-and-islands: an unpartitioned
+        // `lead(k) over (order by k)` funnels EVERY distinct key
+        // through one WindowExec partition — the single-threaded
+        // bottleneck at 10⁹+ keys. Instead the key space is cut into
+        // 4096-wide buckets: the in-bucket successor comes from a
+        // bucket-partitioned window (fully parallel), and each
+        // bucket's LAST key finds its successor in the per-bucket
+        // summary frame (|keys|/4096 rows — collapsed enough for its
+        // tiny global window; chain a second bucketing level if even
+        // that collapses too slowly). Output is identical to the
+        // naive global-lead form, which the oracle keeps.
+        val bucketWidth = 4096L
+        val ks = Tables.orders(s, d)
           .filter($"o_orderkey" <= 3000 &&
             !($"o_orderkey" % 3 === 0 && $"o_orderkey" > 1500))
           .select($"o_orderkey".as("k")).distinct()
-          .withColumn("next_k", lead($"k", 1).over(w))
+          .withColumn("b", expr(s"k div ${bucketWidth}L"))
+        val wb = W.partitionBy($"b").orderBy($"k")
+        val inBucket = ks.withColumn("next_k", lead($"k", 1).over(wb))
+        val wSummary = W.orderBy($"b")
+        val nextBucketMin = ks.groupBy($"b").agg(min($"k").as("bmin"))
+          .withColumn("handoff", lead($"bmin", 1).over(wSummary))
+          .select($"b", $"handoff")
+        inBucket
+          .join(nextBucketMin, Seq("b"), "left")
+          .withColumn("next_k", coalesce($"next_k", $"handoff"))
           .filter($"next_k" > $"k" + 1)
           .select(($"k" + 1).as("gap_start"), ($"next_k" - 1).as("gap_end"),
             ($"next_k" - $"k" - 1).as("gap_width"))
@@ -554,12 +575,18 @@ object Lifecycle {
           .select($"l_returnflag", $"l_linestatus",
             conv(substring(md5(key), 1, 8), 16, 10).cast("long").as("h"))
           .groupBy($"l_returnflag", $"l_linestatus")
+          // The checksum stays DECIMAL(38) internally (exact at any
+          // row count) but EXPORTS as a digit string: a DECIMAL
+          // column lands as pandas object(Decimal) vs DuckDB's
+          // HUGEINT→float64 and can never hash-match; int→string is
+          // format-identical across engines.
           .agg(count(lit(1)).as("n_rows"),
-            sum($"h".cast(DecimalType(38, 0))).as("fingerprint"))
+            sum($"h".cast(DecimalType(38, 0))).cast("string")
+              .as("fingerprint"))
       },
       Some(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
-          SUM(CAST(${hex8Sql("md5(key)")} AS DECIMAL(38,0)))
-            AS fingerprint
+          CAST(SUM(CAST(${hex8Sql("md5(key)")} AS DECIMAL(38,0)))
+            AS VARCHAR) AS fingerprint
         FROM (
           SELECT l_returnflag, l_linestatus,
             CAST(l_orderkey AS VARCHAR) || '|' ||
@@ -598,13 +625,15 @@ object Lifecycle {
           .select(expr("l_orderkey div 1024").as("key_range"),
             conv(substring(md5(key), 1, 8), 16, 10).cast("long").as("h"))
           .groupBy($"key_range")
+          // Digit-string export — see rel_table_fingerprint.
           .agg(count(lit(1)).as("n_rows"),
-            sum($"h".cast(DecimalType(38, 0))).as("fingerprint"))
+            sum($"h".cast(DecimalType(38, 0))).cast("string")
+              .as("fingerprint"))
       },
       Some(s"""SELECT l_orderkey // 1024 AS key_range,
           COUNT(*) AS n_rows,
-          SUM(CAST(${hex8Sql("md5(key)")} AS DECIMAL(38,0)))
-            AS fingerprint
+          CAST(SUM(CAST(${hex8Sql("md5(key)")} AS DECIMAL(38,0)))
+            AS VARCHAR) AS fingerprint
         FROM (
           SELECT l_orderkey,
             CAST(l_orderkey AS VARCHAR) || '|' ||

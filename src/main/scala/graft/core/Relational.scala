@@ -62,7 +62,8 @@ object Relational {
                   $"l_discount" > lit(0.05) && $"l_quantity" < lit(10.0))
           .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice")
       },
-      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+          l_quantity, l_extendedprice
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
           AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
@@ -501,7 +502,7 @@ object Relational {
           .agg(dsum($"l_quantity", 2).as("sum_qty"),
                count(lit(1)).as("n_items"))
       },
-      Some("""SELECT s_nationkey,
+      Some("""SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
           CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty,
           COUNT(*) AS n_items
         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey

@@ -128,6 +128,28 @@ object Dedup {
       .toDF(("doc_id" +: carry) ++ Seq("band_idx", "band_hash"): _*)
   }
 
+  /** Bucket-star edges over banded keys: within each (band_idx,
+    * band_hash) bucket of size > 1, edge every member to the bucket's
+    * min doc_id — k−1 edges per bucket, not k(k−1)/2. NULL band
+    * hashes (docs shorter than one shingle) are dropped FIRST:
+    * Spark's window partitioning groups all NULLs into one bucket,
+    * which would weld every sub-shingle doc into a spurious cluster,
+    * while the SQL oracles' band equi-joins drop NULLs — the stated
+    * "null band hashes never join" invariant. */
+  def bucketStarEdges(banded: DataFrame): DataFrame = {
+    val s = banded.sparkSession
+    import s.implicits._
+    val wBand = org.apache.spark.sql.expressions.Window
+      .partitionBy($"band_idx", $"band_hash")
+    banded
+      .filter($"band_hash".isNotNull)
+      .withColumn("root", min($"doc_id").over(wBand))
+      .withColumn("n", count(lit(1)).over(wBand))
+      .filter($"n" > 1 && $"doc_id" =!= $"root")
+      .select($"root".as("src"), $"doc_id".as("dst"))
+      .distinct()
+  }
+
   def lshCandidates(signatures: DataFrame): DataFrame = {
     val s = signatures.sparkSession
     import s.implicits._
@@ -284,14 +306,7 @@ object Dedup {
     */
   def ccAssignments(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val wBand = org.apache.spark.sql.expressions.Window
-      .partitionBy($"band_idx", $"band_hash")
-    val star = bandedKeys(minhashSignatures(corpus(s, d)))
-      .withColumn("root", min($"doc_id").over(wBand))
-      .withColumn("n", count(lit(1)).over(wBand))
-      .filter($"n" > 1 && $"doc_id" =!= $"root")
-      .select($"root".as("src"), $"doc_id".as("dst"))
-      .distinct()
+    val star = bucketStarEdges(bandedKeys(minhashSignatures(corpus(s, d))))
     val edges = star
       .unionByName(star.select($"dst".as("src"), $"src".as("dst")))
     connectedComponents(edges)
@@ -560,14 +575,7 @@ object Dedup {
     Q("dedup_verdict",
       (s, d) => {
         import s.implicits._
-        val wBand = org.apache.spark.sql.expressions.Window
-          .partitionBy($"band_idx", $"band_hash")
-        val star = bandedKeys(minhashSignatures(corpus(s, d)))
-          .withColumn("root", min($"doc_id").over(wBand))
-          .withColumn("n", count(lit(1)).over(wBand))
-          .filter($"n" > 1 && $"doc_id" =!= $"root")
-          .select($"root".as("src"), $"doc_id".as("dst"))
-          .distinct()
+        val star = bucketStarEdges(bandedKeys(minhashSignatures(corpus(s, d))))
         val edges = star
           .unionByName(star.select($"dst".as("src"), $"src".as("dst")))
         val wCluster = org.apache.spark.sql.expressions.Window
@@ -946,8 +954,15 @@ object Dedup {
           .select($"doc_id",
             explode(expr("sequence(lo, hi + 7)")).as("c"))
           .withColumn("m", lit(true))
+        // Code-point-safe char rows: (?s). matches one CODE POINT
+        // (Java regex treats a surrogate pair as one match; DOTALL
+        // covers the line separators \s+ normalization leaves alone),
+        // aligning positions with rollingHashAll's code-point indexing
+        // and the oracle's code-point substr/length — split(norm, "")
+        // would split UTF-16 code units and shear non-BMP chars.
         val chars = normed
-          .select($"doc_id", posexplode(split($"norm", "")))
+          .select($"doc_id",
+            posexplode(regexp_extract_all($"norm", lit("(?s)."), lit(0))))
           .toDF("doc_id", "c0", "ch")
           .select($"doc_id", ($"c0" + 1).as("c"), $"ch")
         val rebuilt = chars
@@ -1019,14 +1034,7 @@ object Dedup {
       (s, d) => {
         import s.implicits._
         val docs = Tables.documents(s, d).select($"doc_id", $"text")
-        val wBand = org.apache.spark.sql.expressions.Window
-          .partitionBy($"band_idx", $"band_hash")
-        val lex = bandedKeys(minhashSignatures(docs))
-          .withColumn("root", min($"doc_id").over(wBand))
-          .withColumn("n", count(lit(1)).over(wBand))
-          .filter($"n" > 1 && $"doc_id" =!= $"root")
-          .select($"root".as("src"), $"doc_id".as("dst"))
-          .distinct()
+        val lex = bucketStarEdges(bandedKeys(minhashSignatures(docs)))
         val emb = Tables.embeddings(s, d)
           .select($"vec_id", $"label", $"embedding")
           .withColumn("nrm", sqrt(Similarity.dot($"embedding", $"embedding")))

@@ -229,8 +229,9 @@ object EventsOps {
           WHERE e.event_type = 'purchase' AND e.ts > t2.t_click
           GROUP BY e.user_id)
         SELECT t1.user_id, t_signup, t_click, t_purchase,
-          1 + CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END
-            + CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END AS stage
+          CAST(1 + CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END
+            + CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END
+            AS BIGINT) AS stage
         FROM t1
         LEFT JOIN t2 ON t1.user_id = t2.user_id
         LEFT JOIN t3 ON t1.user_id = t3.user_id""")),
@@ -673,7 +674,7 @@ object EventsOps {
           FROM seq WHERE prev_type IS NOT NULL
           GROUP BY prev_type, event_type)
         SELECT prev_type, cur_type, n,
-          SUM(n) OVER (PARTITION BY prev_type) AS row_total,
+          CAST(SUM(n) OVER (PARTITION BY prev_type) AS BIGINT) AS row_total,
           CAST(n AS DOUBLE) /
             CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
         FROM cells""")),
@@ -698,13 +699,49 @@ object EventsOps {
                sum($"value".cast(DecimalType(27, 6))).cast("double")
                  .as("monetary"))
           .withColumn("recency_days",
-            datediff(lit("2024-02-01").cast("date"), $"last_day"))
-        val rW = Window.orderBy($"recency_days".asc, $"user_id")
-        val fW = Window.orderBy($"frequency".desc, $"user_id")
-        val mW = Window.orderBy($"monetary".desc, $"user_id")
-        per.withColumn("r", ntile(4).over(rW))
-          .withColumn("f", ntile(4).over(fW))
-          .withColumn("m", ntile(4).over(mW))
+            datediff(lit("2024-02-01").cast("date"), $"last_day")
+              .cast("long"))
+        // Path selection (the documented scale switch, now real): the
+        // exact global ntile sorts the WHOLE one-row-per-user frame
+        // through one WindowExec partition — fine into the millions
+        // of users, single-threaded death beyond. Past the threshold
+        // (cheap metadata-ish count of the raw events scan, an upper
+        // bound on users) quartiles come instead from broadcast
+        // approx-percentile cutoffs + comparisons — fully parallel,
+        // trading only bucket-BOUNDARY exactness. The oracle always
+        // exercises the exact path (sf dirs are far below the
+        // threshold).
+        val bigFrame = Tables.events(s, d).count() > 50000000L
+        val scored =
+          if (!bigFrame) {
+            val rW = Window.orderBy($"recency_days".asc, $"user_id")
+            val fW = Window.orderBy($"frequency".desc, $"user_id")
+            val mW = Window.orderBy($"monetary".desc, $"user_id")
+            per.withColumn("r", ntile(4).over(rW).cast("long"))
+              .withColumn("f", ntile(4).over(fW).cast("long"))
+              .withColumn("m", ntile(4).over(mW).cast("long"))
+          } else {
+            val qs = array(lit(0.25), lit(0.5), lit(0.75))
+            val cuts = per.agg(
+              percentile_approx($"recency_days", qs, lit(10000)).as("rc"),
+              percentile_approx($"frequency", qs, lit(10000)).as("fc"),
+              percentile_approx($"monetary", qs, lit(10000)).as("mc"))
+            def bucketAsc(v: org.apache.spark.sql.Column,
+                          c: org.apache.spark.sql.Column)
+                : org.apache.spark.sql.Column =
+              (lit(1) + (v > c(0)).cast("int") + (v > c(1)).cast("int") +
+                (v > c(2)).cast("int")).cast("long")
+            def bucketDesc(v: org.apache.spark.sql.Column,
+                           c: org.apache.spark.sql.Column)
+                : org.apache.spark.sql.Column =
+              (lit(1) + (v < c(2)).cast("int") + (v < c(1)).cast("int") +
+                (v < c(0)).cast("int")).cast("long")
+            per.crossJoin(broadcast(cuts))
+              .withColumn("r", bucketAsc($"recency_days", $"rc"))
+              .withColumn("f", bucketDesc($"frequency", $"fc"))
+              .withColumn("m", bucketDesc($"monetary", $"mc"))
+          }
+        scored
           .withColumn("segment",
             concat($"r".cast("string"), $"f".cast("string"),
               $"m".cast("string")))
@@ -1084,9 +1121,9 @@ object EventsOps {
         daily AS (
           SELECT day, COUNT(*) AS n_new_users FROM first_seen GROUP BY day)
         SELECT CAST(day AS TIMESTAMP) AS day, n_new_users,
-          SUM(n_new_users) OVER (ORDER BY day
+          CAST(SUM(n_new_users) OVER (ORDER BY day
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-            AS cumulative_users
+            AS BIGINT) AS cumulative_users
         FROM daily""")),
 
     // ------------------------------------------------------------------
@@ -1197,7 +1234,7 @@ object EventsOps {
           .select($"day", $"n", $"cusum")
         val peak = c.agg(max(abs($"cusum")).as("mx"))
         c.crossJoin(peak)
-          .select($"day", $"n", $"cusum",
+          .select($"day".cast("timestamp").as("day"), $"n", $"cusum",
             when(abs($"cusum") === $"mx", 1L).otherwise(0L).as("is_peak"))
       },
       Some("""WITH daily AS (
@@ -1206,12 +1243,13 @@ object EventsOps {
         tot AS (SELECT SUM(n) AS total, COUNT(*) AS nd FROM daily),
         c AS (
           SELECT day, n,
-            SUM(n * nd - total) OVER (ORDER BY day
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+            CAST(SUM(n * nd - total) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cusum
           FROM daily, tot)
-        SELECT day, n, cusum,
-          CASE WHEN abs(cusum) = (SELECT MAX(abs(cusum)) FROM c)
-               THEN 1 ELSE 0 END AS is_peak
+        SELECT CAST(day AS TIMESTAMP) AS day, n, cusum,
+          CAST(CASE WHEN abs(cusum) = (SELECT MAX(abs(cusum)) FROM c)
+               THEN 1 ELSE 0 END AS BIGINT) AS is_peak
         FROM c"""))
   ,
     // ------------------------------------------------------------------
@@ -1289,7 +1327,8 @@ object EventsOps {
             sum($"value".cast(org.apache.spark.sql.types.DecimalType(27, 6)))
               .as("wv_dec"))
           .withColumn("cum_dec", sum($"wv_dec").over(w))
-          .select($"cohort_day", $"age_week", $"n_buyers",
+          .select($"cohort_day".cast("timestamp").as("cohort_day"),
+            $"age_week", $"n_buyers",
             $"wv_dec".cast("double").as("week_value"),
             $"cum_dec".cast("double").as("cum_value"))
       },
@@ -1304,7 +1343,7 @@ object EventsOps {
           FROM events e JOIN cohort c ON e.user_id = c.user_id
           WHERE event_type = 'purchase'
           GROUP BY 1, 2)
-        SELECT cohort_day, age_week, n_buyers,
+        SELECT CAST(cohort_day AS TIMESTAMP) AS cohort_day, age_week, n_buyers,
           CAST(wv_dec AS DOUBLE) AS week_value,
           CAST(SUM(wv_dec) OVER (PARTITION BY cohort_day ORDER BY age_week
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
@@ -1329,8 +1368,8 @@ object EventsOps {
             sum($"value".cast(org.apache.spark.sql.types.DecimalType(27, 6)))
               .cast("double").as("total_value"))
       },
-      Some("""SELECT CAST(date_part('dow', ts) AS INT) AS dow,
-          CAST(date_part('hour', ts) AS INT) AS hr,
+      Some("""SELECT CAST(date_part('dow', ts) AS BIGINT) AS dow,
+          CAST(date_part('hour', ts) AS BIGINT) AS hr,
           COUNT(*) AS n_events,
           COUNT(DISTINCT user_id) AS n_users,
           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
@@ -1574,7 +1613,8 @@ object EventsOps {
           .withColumn("rn", row_number().over(w))
           .withColumn("ewma_q", ewmaQ)
           .filter($"rn" > 8)
-          .select($"event_type", $"day", $"n", $"ewma_q",
+          .select($"event_type", $"day".cast("timestamp").as("day"),
+            $"n", $"ewma_q",
             ($"ewma_q".cast("double") / lit(390625.0)).as("ewma"),
             ($"n" * lit(390625L) > $"ewma_q").as("above_trend"))
       },
@@ -1592,7 +1632,7 @@ object EventsOps {
             CAST($terms AS BIGINT) AS ewma_q
           FROM daily
           WINDOW w AS (PARTITION BY event_type ORDER BY day))
-        SELECT event_type, day, n, ewma_q,
+        SELECT event_type, CAST(day AS TIMESTAMP) AS day, n, ewma_q,
           CAST(ewma_q AS DOUBLE) / 390625.0 AS ewma,
           n * 390625 > ewma_q AS above_trend
         FROM lagged WHERE rn > 8"""
@@ -1617,12 +1657,12 @@ object EventsOps {
           .withColumn("day", to_date($"ts"))
           .withColumn("rn", row_number().over(w))
           .filter($"rn" === 1)
-          .groupBy($"day")
+          .groupBy($"day".cast("timestamp").as("day"))
           .agg(count(lit(1)).as("n_accounts"),
             sum($"value".cast(DecimalType(27, 6))).cast("double")
               .as("eod_total"))
       },
-      Some("""SELECT day, COUNT(*) AS n_accounts,
+      Some("""SELECT CAST(day AS TIMESTAMP) AS day, COUNT(*) AS n_accounts,
           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS eod_total
         FROM (
           SELECT CAST(ts AS DATE) AS day, user_id, value,

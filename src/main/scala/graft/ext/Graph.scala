@@ -99,7 +99,7 @@ object GraphOps {
         ${iter(3)}
         SELECT id AS node_id,
           CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
-          r AS rank3
+          CAST(r AS BIGINT) AS rank3
         FROM r3 ORDER BY rank3 DESC, node_id LIMIT 30"""
   }
 

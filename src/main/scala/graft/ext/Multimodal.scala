@@ -88,11 +88,41 @@ object Multimodal {
         FROM documents""")),
 
     // ------------------------------------------------------------------
-    // Stubbed decode through the batched mapPartitions path (rows-only
-    // driver check; determinism pinned by MultimodalSpec).
+    // Stubbed decode through the batched mapPartitions path. The stub
+    // is deterministic (payload bytes are the document text), so the
+    // oracle replays it: the wrapping-Long rolling hash
+    // h' = h*31 + byte is emulated as HUGEINT arithmetic mod 2⁶⁴ via
+    // list_reduce, re-signed, with Scala's arithmetic >> 10 spelled
+    // as floor division (DuckDB `//` truncates toward zero, so the
+    // negative arm is -((-s + 1023) // 1024)). Byte-exact across all
+    // columns including negative overflowed checksums — the decode
+    // plumbing itself is what's under test; determinism is also
+    // pinned by MultimodalSpec.
     Q("mm_decode_features",
       (s, d) => decodeFeatures(mediaFromDocuments(s, d)).toDF(),
-      None),
+      Some("""WITH decoded AS (
+          SELECT doc_id,
+            (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+            octet_length(encode(text)) AS byte_len,
+            list_reduce(
+              list_prepend(CAST(0 AS HUGEINT),
+                list_transform(generate_series(1, length(text)),
+                  i -> CAST(ord(substr(text, i, 1)) AS HUGEINT))),
+              (h, b) -> (h * 31 + b) % 18446744073709551616) AS hu
+          FROM documents),
+        signed AS (
+          SELECT *, CASE WHEN hu >= 9223372036854775808
+                         THEN hu - 18446744073709551616 ELSE hu END AS s
+          FROM decoded)
+        SELECT doc_id, kind, CAST(byte_len AS BIGINT) AS byte_len,
+          CAST(16 + abs(s % 1024) AS BIGINT) AS width,
+          CAST(16 + abs((CASE WHEN s >= 0 THEN s // 1024
+                ELSE -((-s + 1023) // 1024) END) % 1024) AS BIGINT)
+            AS height,
+          CAST(CASE WHEN kind = 'video' THEN 1 + byte_len % 32
+               ELSE 1 END AS BIGINT) AS n_frames,
+          CAST(s AS BIGINT) AS checksum
+        FROM signed""")),
 
     // ------------------------------------------------------------------
     // Frame sampling: every 4th frame index of each video payload,
@@ -183,7 +213,7 @@ object Multimodal {
           .withColumn("prev_bytes",
             coalesce(sum($"byte_len").over(wPrev), lit(0L)))
           .withColumn("shard_id", expr(s"prev_bytes div ${target}L"))
-          .withColumn("pos_in_kind", row_number().over(w))
+          .withColumn("pos_in_kind", row_number().over(w).cast("long"))
           .select($"doc_id", $"kind", $"byte_len", $"shard_id",
             $"pos_in_kind")
       },
@@ -194,11 +224,11 @@ object Multimodal {
             CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
           FROM documents)
         SELECT doc_id, kind, byte_len,
-          COALESCE(SUM(byte_len) OVER (PARTITION BY kind ORDER BY doc_id
+          CAST(COALESCE(SUM(byte_len) OVER (PARTITION BY kind ORDER BY doc_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-            // 65536 AS shard_id,
-          CAST(ROW_NUMBER() OVER (PARTITION BY kind ORDER BY doc_id)
-            AS INTEGER) AS pos_in_kind
+            // 65536 AS BIGINT) AS shard_id,
+          ROW_NUMBER() OVER (PARTITION BY kind ORDER BY doc_id)
+            AS pos_in_kind
         FROM media""")),
 
     // ------------------------------------------------------------------

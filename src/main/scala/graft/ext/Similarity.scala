@@ -437,7 +437,7 @@ object Similarity {
               AS BIGINT)) FROM generate_series(1, 8) t(j)) AS lut_qd
           FROM c, (SELECT embedding FROM embeddings WHERE vec_id = 0) q,
             (SELECT unnest(generate_series(0, 7)) AS sub) g)
-        SELECT vec_id, SUM(lut_qd) AS adc_dist
+        SELECT vec_id, CAST(SUM(lut_qd) AS BIGINT) AS adc_dist
         FROM codes JOIN lut ON codes.sub = lut.sub AND codes.code = lut.cid
         GROUP BY vec_id
         ORDER BY adc_dist, vec_id LIMIT 10""")),
@@ -539,10 +539,10 @@ object Similarity {
                sqrt(${dotSql("b.embedding", "b.embedding")})) AS cos
           FROM embeddings a JOIN embeddings b
             ON a.label = b.label AND a.vec_id < b.vec_id)
-        SELECT label, COUNT(*) AS n_pairs,
-          SUM(CASE WHEN cos > 0.90 THEN 1 ELSE 0 END) AS n_90,
-          SUM(CASE WHEN cos > 0.95 THEN 1 ELSE 0 END) AS n_95,
-          SUM(CASE WHEN cos > 0.99 THEN 1 ELSE 0 END) AS n_99
+        SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n_pairs,
+          CAST(SUM(CASE WHEN cos > 0.90 THEN 1 ELSE 0 END) AS BIGINT) AS n_90,
+          CAST(SUM(CASE WHEN cos > 0.95 THEN 1 ELSE 0 END) AS BIGINT) AS n_95,
+          CAST(SUM(CASE WHEN cos > 0.99 THEN 1 ELSE 0 END) AS BIGINT) AS n_99
         FROM scored GROUP BY label""")),
 
     // ------------------------------------------------------------------
@@ -672,7 +672,7 @@ object Similarity {
         slice($"cemb", $"sub" * 8 + 1, lit(8))))
       .groupBy($"vec_id", $"sub")
       .agg(min(struct($"qdist", $"cid")).as("best"))
-      .select($"vec_id", $"sub",
+      .select($"vec_id", $"sub".cast("long").as("sub"),
         $"best.cid".as("code"), $"best.qdist".as("qdist"))
   }
 
@@ -684,12 +684,12 @@ object Similarity {
         WHERE vec_id < 16),
       pq_scored AS (
         SELECT e.vec_id, g.sub, c.cid,
-          (SELECT SUM(CAST(floor(
+          CAST((SELECT SUM(CAST(floor(
               (CAST(e.embedding[g.sub * 8 + j] AS DOUBLE) -
                CAST(c.cemb[g.sub * 8 + j] AS DOUBLE)) *
               (CAST(e.embedding[g.sub * 8 + j] AS DOUBLE) -
                CAST(c.cemb[g.sub * 8 + j] AS DOUBLE)) * 1000000.0)
-            AS BIGINT)) FROM generate_series(1, 8) t(j)) AS qdist
+            AS BIGINT)) FROM generate_series(1, 8) t(j)) AS BIGINT) AS qdist
         FROM embeddings e, c,
           (SELECT unnest(generate_series(0, 7)) AS sub) g),
       codes AS (

@@ -575,7 +575,7 @@ object TextAnalysis {
         val wTop = Window.partitionBy($"lang")
           .orderBy($"c_bigram".desc, $"w1", $"w2")
         bg.withColumn("c_left", sum($"c_bigram").over(wLeft))
-          .withColumn("rk", row_number().over(wTop))
+          .withColumn("rk", row_number().over(wTop).cast("long"))
           .filter($"rk" <= 20)
           .withColumn("p_cond",
             $"c_bigram".cast("double") / $"c_left".cast("double"))
@@ -598,7 +598,8 @@ object TextAnalysis {
           CAST(c_bigram AS DOUBLE) / CAST(c_left AS DOUBLE) AS p_cond, rk
         FROM (
           SELECT lang, w1, w2, c_bigram,
-            SUM(c_bigram) OVER (PARTITION BY lang, w1) AS c_left,
+            CAST(SUM(c_bigram) OVER (PARTITION BY lang, w1) AS BIGINT)
+              AS c_left,
             ROW_NUMBER() OVER (PARTITION BY lang
               ORDER BY c_bigram DESC, w1, w2) AS rk
           FROM bg) t
@@ -710,7 +711,8 @@ object TextAnalysis {
           .withColumn("bucket",
             element_at(array(lit("tail"), lit("middle"), lit("head")),
               $"tercile"))
-          .select($"doc_id", $"lang", $"mean_pq", $"tercile", $"bucket")
+          .select($"doc_id", $"lang", $"mean_pq",
+            $"tercile".cast("long").as("tercile"), $"bucket")
       },
       Some(s"""WITH $surprisalSql
         SELECT doc_id, lang, mean_pq, tercile,
@@ -922,12 +924,12 @@ object TextAnalysis {
           GROUP BY doc_id)
         SELECT p.doc_id, p.n_tokens,
           COALESCE(n.n_new_terms, 0) AS n_new_terms,
-          SUM(p.n_tokens) OVER (ORDER BY p.doc_id
+          CAST(SUM(p.n_tokens) OVER (ORDER BY p.doc_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-            AS cum_tokens,
-          SUM(COALESCE(n.n_new_terms, 0)) OVER (ORDER BY p.doc_id
+            AS BIGINT) AS cum_tokens,
+          CAST(SUM(COALESCE(n.n_new_terms, 0)) OVER (ORDER BY p.doc_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-            AS vocab_size
+            AS BIGINT) AS vocab_size
         FROM per_doc p LEFT JOIN new_terms n ON p.doc_id = n.doc_id"""))
   )
 
@@ -1101,17 +1103,19 @@ object TextAnalysis {
       },
       Some("""WITH per AS (
           SELECT source, COUNT(*) AS n_docs,
-            SUM(CAST(len(string_split_regex(trim(lower(text)), '\s+'))
-                AS BIGINT)) AS n_tokens
+            CAST(SUM(CAST(len(string_split_regex(trim(lower(text)), '\s+'))
+                AS BIGINT)) AS BIGINT) AS n_tokens
           FROM documents GROUP BY source),
-        tot AS (SELECT SUM(n_tokens) AS total, COUNT(*) AS n_sources
+        tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
+                  COUNT(*) AS n_sources
                 FROM per)
         SELECT source, n_docs, n_tokens,
-          (n_tokens * 1000000) // total AS share_ppm,
-          least(((total // n_sources) * 1000000) // n_tokens, 3000000)
-            AS mult_ppm,
-          CASE WHEN ((total // n_sources) * 1000000) // n_tokens > 3000000
-               THEN 1 ELSE 0 END AS capped
+          CAST((n_tokens * 1000000) // total AS BIGINT) AS share_ppm,
+          CAST(least(((total // n_sources) * 1000000) // n_tokens, 3000000)
+            AS BIGINT) AS mult_ppm,
+          CAST(CASE WHEN ((total // n_sources) * 1000000) // n_tokens
+                 > 3000000
+               THEN 1 ELSE 0 END AS BIGINT) AS capped
         FROM per, tot""")),
 
     // ------------------------------------------------------------------
@@ -1140,9 +1144,10 @@ object TextAnalysis {
         counted AS (
           SELECT source, h, COUNT(*) OVER (PARTITION BY h) AS ns FROM hs)
         SELECT source, COUNT(*) AS n_contents,
-          SUM(CASE WHEN ns >= 2 THEN 1 ELSE 0 END) AS n_shared,
-          SUM(CASE WHEN ns >= 2 THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
-            AS shared_ppm
+          CAST(SUM(CASE WHEN ns >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_shared,
+          CAST(SUM(CASE WHEN ns >= 2 THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS shared_ppm
         FROM counted GROUP BY source"""))
   ,
     // ------------------------------------------------------------------
@@ -1167,9 +1172,9 @@ object TextAnalysis {
       },
       Some("""WITH per AS (
           SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY 1, 2)
-        SELECT source, COUNT(*) AS n_langs, SUM(n) AS n_docs,
-          ((SUM(n) * SUM(n) - SUM(n * n)) * 1000000)
-            // (SUM(n) * SUM(n)) AS gini_ppm
+        SELECT source, COUNT(*) AS n_langs, CAST(SUM(n) AS BIGINT) AS n_docs,
+          CAST(((SUM(n) * SUM(n) - SUM(n * n)) * 1000000)
+            // (SUM(n) * SUM(n)) AS BIGINT) AS gini_ppm
         FROM per GROUP BY source"""))
   ,
     // ------------------------------------------------------------------
@@ -1204,7 +1209,7 @@ object TextAnalysis {
           .agg(sum($"phrase_len").as("deg"), count(lit(1)).as("freq"))
           .select($"doc_id", $"tok".as("word"), $"deg", $"freq",
             expr("(deg * 1000000) div freq").as("score_ppm"))
-          .withColumn("rk", row_number().over(wDoc))
+          .withColumn("rk", row_number().over(wDoc).cast("long"))
           .filter($"rk" <= 3)
       },
       Some("""WITH base AS (
@@ -1232,8 +1237,8 @@ object TextAnalysis {
             COUNT(*) AS freq
           FROM occ GROUP BY 1, 2),
         ranked AS (
-          SELECT doc_id, word, deg, freq,
-            (deg * 1000000) // freq AS score_ppm,
+          SELECT doc_id, word, CAST(deg AS BIGINT) AS deg, freq,
+            CAST((deg * 1000000) // freq AS BIGINT) AS score_ppm,
             ROW_NUMBER() OVER (PARTITION BY doc_id
               ORDER BY (deg * 1000000) // freq DESC, word) AS rk
           FROM words)
@@ -1275,7 +1280,7 @@ object TextAnalysis {
           FROM (SELECT w, freq,
                   unnest(generate_series(1, length(w) - 1)) AS i
                 FROM vocab) x)
-        SELECT c1, c2, SUM(freq) AS n_pairs
+        SELECT c1, c2, CAST(SUM(freq) AS BIGINT) AS n_pairs
         FROM pairs GROUP BY 1, 2
         ORDER BY n_pairs DESC, c1, c2 LIMIT 20""")),
 
@@ -1549,12 +1554,19 @@ object TextAnalysis {
           .select($"doc_id", $"lang",
             explode(array_distinct(tokens($"text"))).as("term"))
           .groupBy($"lang", $"term")
+          // The head is exported as a comma-joined STRING, not an
+          // array: the driver's pandas-based hash cannot sort/hash
+          // list columns (unhashable ndarray — the one `err` row of
+          // round 3). The list itself stays available to library
+          // callers via the pre-join aggregation.
           .agg(count(lit(1)).as("df"),
-            slice(array_sort(collect_list($"doc_id")), 1, 10)
-              .as("postings_head"))
+            array_join(transform(
+              slice(array_sort(collect_list($"doc_id")), 1, 10),
+              _.cast("string")), ",").as("postings_head"))
       },
       Some("""SELECT lang, term, COUNT(*) AS df,
-          list_sort(list(doc_id))[1:10] AS postings_head
+          array_to_string(list_sort(list(doc_id))[1:10], ',')
+            AS postings_head
         FROM (
           SELECT DISTINCT doc_id, lang,
             unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
@@ -1631,8 +1643,8 @@ object TextAnalysis {
             // SUM(c_doc) OVER (PARTITION BY lang, w1) AS p_q
         FROM dbg),
       surprisal AS (
-        SELECT doc_id, lang, SUM(c_doc) AS n_bigrams,
-          SUM(c_doc * p_q) AS sum_pq,
-          SUM(c_doc * p_q) // SUM(c_doc) AS mean_pq
+        SELECT doc_id, lang, CAST(SUM(c_doc) AS BIGINT) AS n_bigrams,
+          CAST(SUM(c_doc * p_q) AS BIGINT) AS sum_pq,
+          CAST(SUM(c_doc * p_q) // SUM(c_doc) AS BIGINT) AS mean_pq
         FROM scored GROUP BY doc_id, lang)"""
 }

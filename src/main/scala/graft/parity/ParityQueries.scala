@@ -184,10 +184,12 @@ object ParityQueries {
               AS BIGINT) AS band
           FROM flagged),
         fixed AS (
-          SELECT seq, CAST(MAX(band) OVER (PARTITION BY user_id, top) AS INT)
-            AS band
+          SELECT seq, CAST(MAX(band) OVER (PARTITION BY user_id, top)
+            AS BIGINT) AS band
           FROM names)
-        SELECT l.seq, CASE WHEN l.is_name THEN f.band ELSE 1 END AS page_line
+        SELECT l.seq,
+          CAST(CASE WHEN l.is_name THEN f.band ELSE 1 END AS BIGINT)
+            AS page_line
         FROM lines l LEFT JOIN fixed f ON l.seq = f.seq""")),
 
     // ------------------------------------------------------------------

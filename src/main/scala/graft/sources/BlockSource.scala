@@ -54,8 +54,16 @@ object BlockSource {
           .as("Geometry"))
   }
 
+  /** S3 event keys arrive URL-encoded (spaces as `+`, specials as
+    * `%XX` — the notification format), so the raw key must be decoded
+    * before any object access or output-key derivation
+    * (lambda_function.py:789's unquote_plus). */
+  def decodeEventKey(rawKey: String): String =
+    java.net.URLDecoder.decode(rawKey, java.nio.charset.StandardCharsets.UTF_8)
+
   /** Output-key derivation (lambda_function.py:811-813):
-    * `rawfarmdata/x.png` → `processedfarmdata/x.csv`. */
+    * `rawfarmdata/x.png` → `processedfarmdata/x.csv`. Pass S3 event
+    * keys through [[decodeEventKey]] first. */
   def deriveOutputKey(key: String, outPrefix: String = "processedfarmdata/"): String = {
     val base = key.split("/").last
     val stem = base.lastIndexOf('.') match {
@@ -64,4 +72,10 @@ object BlockSource {
     }
     s"$outPrefix$stem.csv"
   }
+
+  /** The full event-key → output-key chain as the reference composes
+    * it: URL-decode then derive. */
+  def outputKeyForEvent(rawKey: String,
+                        outPrefix: String = "processedfarmdata/"): String =
+    deriveOutputKey(decodeEventKey(rawKey), outPrefix)
 }

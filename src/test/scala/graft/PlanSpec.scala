@@ -405,4 +405,37 @@ class PlanSpec extends AnyFunSuite {
       "only broadcast nested loops against the tiny query/centroid sets " +
         "are acceptable\n" + p.take(600))
   }
+
+  test("merkle ranges share the fingerprint's one-agg no-sort shape") {
+    val p = plan("rel_merkle_ranges")
+    assert(!p.contains("Join") && !p.contains("Sort"),
+      "an order-independent range checksum must not order or join\n" +
+        p.take(600))
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"one partial-agg shuffle expected, got $exchanges\n$p")
+  }
+
+  test("sequence gaps window within key buckets, never one global sort") {
+    val p = plan("rel_sequence_gaps")
+    // The per-key lead must ride a bucket-hash-partitioned window —
+    // an unpartitioned WindowExec here is the 10⁹-key scale-killer.
+    assert(p.contains("hashpartitioning(b#") ||
+      p.contains("hashpartitioning(b "),
+      "in-bucket lead must run on a bucket-partitioned exchange\n" +
+        p.take(800))
+  }
+
+  test("decile lift (oracle scale) is window + two aggregations, no join " +
+       "of the spend frame") {
+    val p = plan("rel_decile_lift")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(600))
+  }
+
+  test("decode features is a pure narrow map — zero exchanges") {
+    val p = plan("mm_decode_features")
+    assert(!p.contains("Exchange"),
+      "stub decode must keep payloads in their input partitions\n" +
+        p.take(600))
+  }
 }

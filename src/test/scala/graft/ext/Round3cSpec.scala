@@ -81,7 +81,7 @@ class Round3cSpec extends AnyFunSuite {
   test("txt_bigram_lm: dense ranks, counts non-increasing, exact p_cond") {
     val out = run("txt_bigram_lm").collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2),
-        r.getLong(3), r.getLong(4), r.getDouble(5), r.getInt(6)))
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getLong(6).toInt))
     assert(out.nonEmpty)
     for ((_, rows0) <- out.groupBy(_._1)) {
       val rows = rows0.sortBy(_._7)
@@ -143,8 +143,8 @@ class Round3cSpec extends AnyFunSuite {
 
   test("ev_rfm_segments: balanced quartiles, segment is the digit triple") {
     val out = run("ev_rfm_segments").collect()
-      .map(r => (r.getLong(0), r.getInt(4), r.getInt(5), r.getInt(6),
-        r.getString(7)))
+      .map(r => (r.getLong(0), r.getLong(4).toInt, r.getLong(5).toInt,
+        r.getLong(6).toInt, r.getString(7)))
     assert(out.nonEmpty)
     for (dim <- Seq[((Long, Int, Int, Int, String)) => Int](_._2, _._3, _._4)) {
       val sizes = out.groupBy(dim).view.mapValues(_.length).values.toSeq
@@ -156,8 +156,8 @@ class Round3cSpec extends AnyFunSuite {
 
   test("mm_shard_manifest: greedy byte bin-pack reproduced exactly") {
     val out = run("mm_shard_manifest").collect()
-      .map(r => (r.getString(1), r.getInt(4), r.getLong(0), r.getLong(2),
-        r.getLong(3)))
+      .map(r => (r.getString(1), r.getLong(4).toInt, r.getLong(0),
+        r.getLong(2), r.getLong(3)))
     assert(out.nonEmpty)
     for ((_, rows0) <- out.groupBy(_._1)) {
       val rows = rows0.sortBy(_._2)

@@ -112,7 +112,7 @@ class Round4Spec extends AnyFunSuite {
 
   test("ev_changepoint_cusum: scaled deviations telescope to zero") {
     val rows = run("ev_changepoint_cusum").collect()
-      .sortBy(_.getDate(0).toString)
+      .sortBy(_.getTimestamp(0).toString)
     assert(rows.nonEmpty)
     // cusum_t = Σ(x·nd − total) ⇒ the final prefix sum is exactly 0.
     assert(rows.last.getLong(2) == 0L, "telescoping invariant")
@@ -194,7 +194,7 @@ class Round4Spec extends AnyFunSuite {
   test("ev_cohort_ltv: cumulative column telescopes the week values") {
     val rows = run("ev_cohort_ltv").collect()
     assert(rows.nonEmpty)
-    for ((_, grp) <- rows.groupBy(_.getDate(0).toString)) {
+    for ((_, grp) <- rows.groupBy(_.getTimestamp(0).toString)) {
       val sorted = grp.sortBy(_.getLong(1))
       var cum = BigDecimal(0)
       for (r <- sorted) {
@@ -211,7 +211,7 @@ class Round4Spec extends AnyFunSuite {
     assert(rows.nonEmpty)
     for (r <- rows) {
       val (word, deg, freq, score, rk) = (r.getString(1), r.getLong(2),
-        r.getLong(3), r.getLong(4), r.getInt(5))
+        r.getLong(3), r.getLong(4), r.getLong(5).toInt)
       assert(!stop.contains(word), s"stopword $word surfaced as keyword")
       assert(deg >= freq, "each occurrence contributes phrase_len >= 1")
       assert(score == deg * 1000000L / freq)
@@ -219,7 +219,7 @@ class Round4Spec extends AnyFunSuite {
     }
     for ((_, grp) <- rows.groupBy(_.getLong(0))) {
       assert(grp.length <= 3)
-      assert(grp.map(_.getInt(5)).sorted.toSeq == (1 to grp.length))
+      assert(grp.map(_.getLong(5).toInt).sorted.toSeq == (1 to grp.length))
     }
   }
 
@@ -239,11 +239,11 @@ class Round4Spec extends AnyFunSuite {
     val rows = run("rel_rank_movers").collect()
     assert(rows.nonEmpty)
     for ((_, grp) <- rows.groupBy(_.getTimestamp(0))) {
-      assert(grp.map(_.getInt(3)).sorted.toSeq == (1 to grp.length),
+      assert(grp.map(_.getLong(3).toInt).sorted.toSeq == (1 to grp.length),
         "month ranks must be 1..n")
     }
     for (r <- rows; if !r.isNullAt(4))
-      assert(r.getInt(5) == r.getInt(4) - r.getInt(3))
+      assert(r.getLong(5) == r.getLong(4) - r.getLong(3))
   }
 
   test("txt_bpe_merge_count: single chars, weighted by vocab frequency") {

@@ -80,8 +80,8 @@ class Round6Spec extends AnyFunSuite {
 
   test("decile lift: shares sum to 1, cumulative share is monotone to 1") {
     val rows = SparkEntry.queries("rel_decile_lift")(spark, sf).collect()
-      .sortBy(_.getInt(0))
-    assert(rows.map(_.getInt(0)).toSeq == (1 to 10),
+      .sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0).toInt).toSeq == (1 to 10),
       "expected exactly deciles 1..10")
     val shares = rows.map(_.getDouble(3))
     assert(math.abs(shares.sum - 1.0) < 1e-9, s"shares sum ${shares.sum}")

@@ -141,4 +141,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(BlockSource.deriveOutputKey("a/b/c.d.png") == "processedfarmdata/c.d.csv")
     assert(BlockSource.deriveOutputKey("noext") == "processedfarmdata/noext.csv")
   }
+
+  test("event keys are URL-decoded before derivation (unquote_plus)") {
+    // S3 notification encoding: '+' is a space, %XX escapes.
+    assert(BlockSource.decodeEventKey("rawfarmdata/page+1.png") ==
+      "rawfarmdata/page 1.png")
+    assert(BlockSource.decodeEventKey("rawfarmdata/page%201.png") ==
+      "rawfarmdata/page 1.png")
+    assert(BlockSource.decodeEventKey("rawfarmdata/a%2Bb%26c.png") ==
+      "rawfarmdata/a+b&c.png")
+    assert(BlockSource.outputKeyForEvent("rawfarmdata/page+1.png") ==
+      "processedfarmdata/page 1.csv")
+    assert(BlockSource.outputKeyForEvent("raw%2Ffarm/sc%C3%A9ne+2.jpeg") ==
+      "processedfarmdata/scéne 2.csv")
+  }
 }

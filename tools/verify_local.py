@@ -1,15 +1,27 @@
 #!/usr/bin/env python3
-"""Local stand-in for the driver's correctness gate: run graft.Verify
-output (parquet per query) against the DuckDB oracles in
-oracle_sql.json over the same sf dir. Compares as multisets of rows
-with columns sorted by name (mirrors the driver's sort-columns-then-
-hash compare). Exact equality required; floats compared bitwise.
+"""Local stand-in for the driver's correctness gate, replicating the
+driver's PANDAS-based compare (not a fetchall() value compare):
+
+  spark side  = pandas.read_parquet(<outdir>/<query>/)   (pyarrow)
+  oracle side = duckdb.execute(sql).df()
+  both        : columns sorted by name, rows sort_values over all
+                columns, then a dtype-SENSITIVE row hash
+                (pd.util.hash_pandas_object).
+
+This means an int64 Spark column vs a float64 DuckDB HUGEINT-sum
+column FAILS here even when the values are numerically identical —
+exactly as the driver's gate behaves (round-3 lesson: 23 value-exact
+queries were hash-red purely on dtype). Any dtype divergence is
+reported explicitly so the offending cast can be fixed at the query.
 
 Usage: python3 tools/verify_local.py [sfdir] [outdir]
-(Run `sbt "runMain graft.Verify <sfdir> <outdir>"` first.)
+(Run `sbt "runMain graft.Verify <sfdir> <outdir>"` first; honors the
+ SPARK_GRAFT_ONLY subset via the filtered oracle_sql.json it writes.)
 """
-import sys, json, math
+import sys, json, traceback
 import duckdb
+import numpy as np
+import pandas as pd
 
 sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
@@ -24,50 +36,72 @@ for t in TABLES:
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 
-def canon(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        out.append(tuple(norm(r[i]) for i in order))
-    out.sort(key=lambda t: tuple(str(x) for x in t))
-    return [cols[i] for i in order], out
 
-def norm(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return v
-    return v
+def canon(df):
+    """Mirror the driver: columns sorted by name, rows sorted by all
+    columns (this is where array/unhashable columns crash, as they do
+    driver-side), index dropped."""
+    df = df[sorted(df.columns)]
+    if len(df.columns):
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+def row_hashes(df):
+    return pd.util.hash_pandas_object(df, index=False).to_numpy()
+
 
 fails, passes = [], 0
 for name, sql in sorted(oracle.items()):
     try:
-        got_rel = con.execute(
-            f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')")
-        gcols = [d[0] for d in got_rel.description]
-        grows = got_rel.fetchall()
-        exp_rel = con.execute(sql)
-        ecols = [d[0] for d in exp_rel.description]
-        erows = exp_rel.fetchall()
-    except Exception as e:
-        fails.append((name, f"ERROR: {e}"))
+        sdf = canon(pd.read_parquet(f"{outdir}/{name}"))
+        odf = canon(con.execute(sql).df())
+    except Exception:
+        fails.append((name, "ERROR: " + traceback.format_exc(limit=3)
+                      .strip().replace("\n", " | ")))
         continue
-    gc, gr = canon(gcols, grows)
-    ec, er = canon(ecols, erows)
-    if gc != ec:
-        fails.append((name, f"schema mismatch: got {gc} want {ec}"))
-    elif gr != er:
-        msg = f"rows differ: got {len(gr)} want {len(er)}"
-        diff = [(a, b) for a, b in zip(gr, er) if a != b][:3]
-        first_only = [r for r in gr if r not in set(er)][:3]
-        msg += f"; first diffs {diff or first_only}"
-        fails.append((name, msg))
-    else:
+    if list(sdf.columns) != list(odf.columns):
+        fails.append((name, f"schema mismatch: spark {list(sdf.columns)} "
+                            f"vs oracle {list(odf.columns)}"))
+        continue
+    if len(sdf) != len(odf):
+        fails.append((name, f"row count: spark {len(sdf)} vs oracle {len(odf)}"))
+        continue
+    dtype_diffs = [
+        f"{c}: spark={sdf[c].dtype} oracle={odf[c].dtype}"
+        for c in sdf.columns if str(sdf[c].dtype) != str(odf[c].dtype)]
+    try:
+        hmatch = bool(np.array_equal(row_hashes(sdf), row_hashes(odf)))
+    except Exception:
+        fails.append((name, "ERROR hashing: " + traceback.format_exc(limit=2)
+                      .strip().replace("\n", " | ")))
+        continue
+    # Dtype divergence is a FAIL even when the value hashes coincide:
+    # int32 hashes like int64 in hash_pandas_object, and 0 hashes like
+    # 0.0, but the driver's gate reds those (round-3 lesson —
+    # mm_shard_manifest slipped through locally on all-zero shard ids).
+    if hmatch and not dtype_diffs:
         passes += 1
-        print(f"PASS {name} ({len(gr)} rows)")
+        print(f"PASS {name} ({len(sdf)} rows)")
+        continue
+    if hmatch:
+        fails.append((name, "dtype mismatch (values equal): "
+                      + "; ".join(dtype_diffs)))
+        continue
+    # Diagnose: is it dtype-only (value-exact) or a real value diff?
+    msg = "hash mismatch"
+    if dtype_diffs:
+        msg += "; DTYPE DIFFS: " + "; ".join(dtype_diffs)
+    try:
+        bad = np.where(row_hashes(sdf) != row_hashes(odf))[0][:3]
+        for i in bad:
+            msg += (f" | row{i} spark={tuple(sdf.iloc[i])} "
+                    f"oracle={tuple(odf.iloc[i])}")
+    except Exception:
+        pass
+    fails.append((name, msg))
 
 for name, msg in fails:
-    print(f"FAIL {name}: {msg}")
-print(f"\n{passes} passed, {len(fails)} failed, "
-      f"{len(oracle)} total oracles")
+    print(f"FAIL {name}: {msg[:800]}")
+print(f"\n{passes} passed, {len(fails)} failed, {len(oracle)} total oracles")
 sys.exit(1 if fails else 0)
