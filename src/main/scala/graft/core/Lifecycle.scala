@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -454,36 +454,10 @@ object Lifecycle {
     Q("rel_sequence_gaps",
       (s, d) => {
         import s.implicits._
-        val W = org.apache.spark.sql.expressions.Window
-        // Bucketed gaps-and-islands: an unpartitioned
-        // `lead(k) over (order by k)` funnels EVERY distinct key
-        // through one WindowExec partition — the single-threaded
-        // bottleneck at 10⁹+ keys. Instead the key space is cut into
-        // 4096-wide buckets: the in-bucket successor comes from a
-        // bucket-partitioned window (fully parallel), and each
-        // bucket's LAST key finds its successor in the per-bucket
-        // summary frame (|keys|/4096 rows — collapsed enough for its
-        // tiny global window; chain a second bucketing level if even
-        // that collapses too slowly). Output is identical to the
-        // naive global-lead form, which the oracle keeps.
-        val bucketWidth = 4096L
-        val ks = Tables.orders(s, d)
+        sequenceGaps(Tables.orders(s, d)
           .filter($"o_orderkey" <= 3000 &&
             !($"o_orderkey" % 3 === 0 && $"o_orderkey" > 1500))
-          .select($"o_orderkey".as("k")).distinct()
-          .withColumn("b", expr(s"k div ${bucketWidth}L"))
-        val wb = W.partitionBy($"b").orderBy($"k")
-        val inBucket = ks.withColumn("next_k", lead($"k", 1).over(wb))
-        val wSummary = W.orderBy($"b")
-        val nextBucketMin = ks.groupBy($"b").agg(min($"k").as("bmin"))
-          .withColumn("handoff", lead($"bmin", 1).over(wSummary))
-          .select($"b", $"handoff")
-        inBucket
-          .join(nextBucketMin, Seq("b"), "left")
-          .withColumn("next_k", coalesce($"next_k", $"handoff"))
-          .filter($"next_k" > $"k" + 1)
-          .select(($"k" + 1).as("gap_start"), ($"next_k" - 1).as("gap_end"),
-            ($"next_k" - $"k" - 1).as("gap_width"))
+          .select($"o_orderkey".as("k")).distinct())
       },
       Some("""WITH ks AS (
           SELECT DISTINCT o_orderkey AS k FROM orders
@@ -647,6 +621,41 @@ object Lifecycle {
           FROM lineitem) t
         GROUP BY l_orderkey // 1024"""))
   )
+
+  /** Gaps in a distinct integer key column as [gap_start, gap_end,
+    * gap_width] rows, via BUCKETED gaps-and-islands: an unpartitioned
+    * `lead(k) over (order by k)` funnels EVERY key through one
+    * WindowExec partition — the single-threaded bottleneck at 10⁹+
+    * keys. Here the key space is cut into `bucketWidth`-wide buckets:
+    * the in-bucket successor comes from a bucket-partitioned window
+    * (fully parallel), and each bucket's LAST key finds its successor
+    * in the per-bucket summary frame (|keys|/bucketWidth rows —
+    * collapsed enough for its tiny global window; chain a second
+    * bucketing level if even that collapses too slowly). `lead` over
+    * the non-empty-bucket summary hands off to the next NON-EMPTY
+    * bucket's min, so arbitrarily long runs of empty buckets read as
+    * one gap. Output is identical to the naive global-lead form
+    * (Round7InvarianceSpec pins equality across bucket boundaries;
+    * the rel_sequence_gaps oracle keeps the naive SQL form).
+    */
+  def sequenceGaps(keys: DataFrame, bucketWidth: Long = 4096L): DataFrame = {
+    val s = keys.sparkSession
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val ks = keys.withColumn("b", expr(s"k div ${bucketWidth}L"))
+    val wb = W.partitionBy($"b").orderBy($"k")
+    val inBucket = ks.withColumn("next_k", lead($"k", 1).over(wb))
+    val wSummary = W.orderBy($"b")
+    val nextBucketMin = ks.groupBy($"b").agg(min($"k").as("bmin"))
+      .withColumn("handoff", lead($"bmin", 1).over(wSummary))
+      .select($"b", $"handoff")
+    inBucket
+      .join(nextBucketMin, Seq("b"), "left")
+      .withColumn("next_k", coalesce($"next_k", $"handoff"))
+      .filter($"next_k" > $"k" + 1)
+      .select(($"k" + 1).as("gap_start"), ($"next_k" - 1).as("gap_end"),
+        ($"next_k" - $"k" - 1).as("gap_width"))
+  }
 
   /** DuckDB-side 32-bit int from 8 hex chars of a hash (no conv()
     * there) — same digit-arithmetic shape as TextAnalysis.hex8Sql. */
