@@ -686,14 +686,25 @@ object Relational {
       (s, d) => {
         import s.implicits._
         // one percentile aggregate with an array of fractions: the
-        // group's values buffer ONCE, not once per requested quantile
+        // group's values buffer ONCE, not once per requested quantile.
+        // Scale switch (the ev_rfm_segments pattern): the EXACT
+        // percentile buffers every group value in the aggregation
+        // buffer — fine while groups fit an executor, memory death
+        // beyond. Past the threshold the clip bounds come from the
+        // mergeable approx_percentile sketch instead (bounded buffer,
+        // same plan shape); only the bounds' exactness is traded, the
+        // clipped sum stays an exact decimal. Oracle scales run the
+        // exact path.
+        val bigFrame = Tables.lineitem(s, d).count() > 100000000L
+        val pctExpr =
+          if (!bigFrame) "percentile(l_extendedprice, array(0.01D, 0.99D))"
+          else "approx_percentile(l_extendedprice, array(0.01D, 0.99D), 10000)"
         val pct = Tables.lineitem(s, d)
           .groupBy($"l_returnflag")
-          .agg(expr("percentile(l_extendedprice, array(0.01D, 0.99D))")
-            .as("pcts"))
+          .agg(expr(pctExpr).as("pcts"))
           .select($"l_returnflag",
-            element_at($"pcts", 1).as("p01"),
-            element_at($"pcts", 2).as("p99"))
+            element_at($"pcts", 1).cast("double").as("p01"),
+            element_at($"pcts", 2).cast("double").as("p99"))
         Tables.lineitem(s, d)
           .join(broadcast(pct), Seq("l_returnflag"))
           .withColumn("clipped",

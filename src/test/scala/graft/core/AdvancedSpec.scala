@@ -35,18 +35,23 @@ class AdvancedSpec extends AnyFunSuite {
     }
   }
 
-  test("approx_percentile eval: exact disc values match, bounds hold") {
+  test("approx_percentile eval: exact values match, bounds hold") {
     val rows = SparkEntry.queries("rel_approx_percentiles")(spark, sf)
       .collect()
     assert(rows.nonEmpty)
     for (r <- rows; i <- 4 to 6)
       assert(r.getBoolean(i),
         s"${r.getString(0)} approx percentile out of its rank band (col $i)")
-    val exact = SparkEntry.queries("rel_percentile_disc")(spark, sf)
-      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // The exported exact percentiles are the interpolated form —
+    // bit-identical to rel_percentiles' single-fraction aggregates.
+    val exact = SparkEntry.queries("rel_percentiles")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2),
+        r.getDouble(3))).toMap
     for (r <- rows)
-      assert(r.getDouble(1) == exact(r.getString(0)),
-        s"${r.getString(0)} q50 mismatch vs rel_percentile_disc")
+      assert((r.getDouble(1), r.getDouble(2), r.getDouble(3)) ==
+        exact(r.getString(0)),
+        s"${r.getString(0)} exact percentiles mismatch vs rel_percentiles")
   }
 
   test("saltedJoin equals the plain join") {
