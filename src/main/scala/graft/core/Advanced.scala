@@ -708,24 +708,27 @@ object Advanced {
 
   val all3: Seq[Q] = Seq(
     // ------------------------------------------------------------------
-    // Equal-frequency discretization: exact price deciles via a
-    // global ntile(10) with a full (price, orderkey, linenumber)
-    // tiebreak — bucket membership is a total-order property, so
-    // both engines agree row-for-row (standard SQL ntile puts the
-    // remainder rows in the earlier buckets). This is the EXACT
-    // binning form: it costs one global range-partitioned sort
-    // (Spark samples range bounds, so the sort itself distributes;
-    // the single ntile window partition does not) — the always-on
-    // companion at 100 TB is rel_approx_percentiles' mergeable
-    // sketch; this one is for when bin edges must be exact.
+    // Equal-frequency discretization: exact price deciles with a full
+    // (price, orderkey, linenumber) tiebreak — bucket membership is a
+    // total-order property, so both engines agree row-for-row
+    // (standard SQL ntile puts the remainder rows in the earlier
+    // buckets). This is the EXACT binning form, and it runs through
+    // [[Ranking.exactNtile]]: a distributed range-partitioned sort +
+    // offset ranking instead of `ntile() over (order by ...)`, whose
+    // single WindowExec partition single-threads the whole table —
+    // the one formulation of exact global binning that survives 10⁹+
+    // rows. The always-on companion at 100 TB is
+    // rel_approx_percentiles' mergeable sketch; this one is for when
+    // bin edges must be exact.
     Q("rel_price_deciles",
       (s, d) => {
         import s.implicits._
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy($"l_extendedprice", $"l_orderkey", $"l_linenumber")
-        Tables.lineitem(s, d)
-          .select($"l_extendedprice", $"l_orderkey", $"l_linenumber")
-          .withColumn("decile", ntile(10).over(w))
+        Ranking.exactNtile(
+            Tables.lineitem(s, d)
+              .select($"l_extendedprice", $"l_orderkey", $"l_linenumber"),
+            10,
+            Seq($"l_extendedprice", $"l_orderkey", $"l_linenumber"),
+            out = "decile")
           .groupBy($"decile")
           .agg(count(lit(1)).as("n"),
             min($"l_extendedprice").as("lo"),

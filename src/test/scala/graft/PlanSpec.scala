@@ -432,6 +432,14 @@ class PlanSpec extends AnyFunSuite {
       p.take(600))
   }
 
+  test("price deciles plan no window at all — distributed exact ntile") {
+    val p = plan("rel_price_deciles")
+    assert(!p.contains("Window"),
+      "exact global binning must use Ranking.exactNtile (range sort + " +
+        "offset ranks), never a single-partition ntile window\n" +
+        p.take(600))
+  }
+
   test("decode features is a pure narrow map — zero exchanges") {
     val p = plan("mm_decode_features")
     assert(!p.contains("Exchange"),

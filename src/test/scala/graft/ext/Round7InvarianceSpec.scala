@@ -26,7 +26,7 @@ class Round7InvarianceSpec extends AnyFunSuite {
   private val queries = Seq(
     "rel_sequence_gaps", "ev_rfm_segments", "rel_decile_lift",
     "rel_approx_distinct", "rel_approx_percentiles", "rel_hll_rollup",
-    "mm_decode_features")
+    "mm_decode_features", "rel_price_deciles")
 
   test("results are bit-identical under 4 and 7 shuffle partitions") {
     def snapshot(name: String): Seq[String] =
@@ -71,6 +71,27 @@ class Round7InvarianceSpec extends AnyFunSuite {
     assert(got.contains((10L, 14L, 5L)), "boundary-adjacent gap")
     assert(got.contains((18L, 62L, 45L)), "multi-empty-bucket gap")
     assert(got.contains((65L, 199L, 135L)), "long tail gap")
+  }
+
+  test("exactNtile matches the window ntile formula, remainder to the " +
+       "front, at several totals and partition counts") {
+    import spark.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    // totals chosen to exercise r = 0, r > 0, and total < n
+    for (total <- Seq(3, 20, 23, 40); parts <- Seq(1, 3, 7)) {
+      val df = (1 to total).map(i => (i * 37 % 100, i.toLong))
+        .toDF("v", "id").repartition(parts)
+      val viaWindow = df
+        .withColumn("t", ntile(4).over(W.orderBy($"v", $"id")).cast("long"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .sortBy(x => (x._1, x._2)).toSeq
+      val viaRanking = graft.core.Ranking
+        .exactNtile(df, 4, Seq($"v", $"id"), out = "t")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .sortBy(x => (x._1, x._2)).toSeq
+      assert(viaWindow == viaRanking,
+        s"total=$total parts=$parts: distributed ntile diverges")
+    }
   }
 
   test("rfm approx-cutoff path agrees with exact ntile away from " +
