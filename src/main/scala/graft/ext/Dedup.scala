@@ -937,49 +937,51 @@ object Dedup {
           .filter($"cross")
         val nDup = dup.groupBy($"doc_id")
           .agg(count(lit(1)).as("n_dup_windows"))
-        // Merge overlapping/adjacent windows into islands FIRST
-        // (consecutive starts ≤ 8 apart cover one contiguous range),
-        // so the explode emits each masked position exactly once — no
-        // 8×-inflated distinct shuffle. The islands window shares the
-        // dup rows' (doc_id, i) sort.
+        // Merge overlapping/adjacent windows into ISLANDS (consecutive
+        // starts ≤ 8 apart cover one contiguous [lo, hi+7] range;
+        // starts > 8 apart leave at least one unmasked char between,
+        // so islands are disjoint and sorted). The islands window
+        // shares the dup rows' (doc_id, i) sort. The rewrite then
+        // builds each scrubbed string DIRECTLY from its islands array
+        // with one fold — substring segments interleaved with '*'
+        // runs — instead of exploding the whole corpus to (pos, char)
+        // rows, left-joining the mask, and re-sorting every document's
+        // characters (that shape moved corpus-length rows through a
+        // shuffle and measured ~6 s at sf0.1; this one's heavy rows
+        // end at the island rollup, ~spans count, and the fold is
+        // O(chars) concat work with no per-char rows at all).
+        // Positions are code points end to end: rollingHashAll indexes
+        // code points, and Spark's substring/length count code points
+        // exactly like the oracle's substr/length.
         val wDoc = org.apache.spark.sql.expressions.Window
           .partitionBy($"doc_id").orderBy($"i")
-        val maskedPos = dup
+        val islands = dup
           .withColumn("brk",
             when($"i" - lag($"i", 1).over(wDoc) > 8, 1).otherwise(0))
           .withColumn("isl", sum($"brk").over(wDoc.rowsBetween(
             org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
           .groupBy($"doc_id", $"isl")
-          .agg(min($"i").as("lo"), max($"i").as("hi"))
-          .select($"doc_id",
-            explode(expr("sequence(lo, hi + 7)")).as("c"))
-          .withColumn("m", lit(true))
-        // Code-point-safe char rows: (?s). matches one CODE POINT
-        // (Java regex treats a surrogate pair as one match; DOTALL
-        // covers the line separators \s+ normalization leaves alone),
-        // aligning positions with rollingHashAll's code-point indexing
-        // and the oracle's code-point substr/length — split(norm, "")
-        // would split UTF-16 code units and shear non-BMP chars.
-        val chars = normed
-          .select($"doc_id",
-            posexplode(regexp_extract_all($"norm", lit("(?s)."), lit(0))))
-          .toDF("doc_id", "c0", "ch")
-          .select($"doc_id", ($"c0" + 1).as("c"), $"ch")
-        val rebuilt = chars
-          .join(maskedPos, Seq("doc_id", "c"), "left")
+          .agg(min($"i").as("lo"), (max($"i") + 7).as("hi"))
           .groupBy($"doc_id")
-          .agg(count(when($"m", 1)).as("n_masked"),
-            array_join(transform(
-              array_sort(collect_list(struct($"c",
-                when($"m", "*").otherwise($"ch").as("ch2")))),
-              x => x.getField("ch2")), "").as("scrubbed"))
-        normed.select($"doc_id")
+          .agg(sum($"hi" - $"lo" + 1).as("n_masked"),
+            array_sort(collect_list(struct($"lo", $"hi"))).as("spans"))
+        normed
           .join(nDup, Seq("doc_id"), "left")
-          .join(rebuilt, Seq("doc_id"), "left")
+          .join(islands, Seq("doc_id"), "left")
           .select($"doc_id",
             coalesce($"n_dup_windows", lit(0L)).as("n_dup_windows"),
             coalesce($"n_masked", lit(0L)).as("n_masked"),
-            coalesce($"scrubbed", lit("")).as("scrubbed"))
+            when($"spans".isNull, $"norm").otherwise(expr(
+              """aggregate(spans,
+                   named_struct('p', 1, 'acc', CAST('' AS STRING)),
+                   (st, s) -> named_struct(
+                     'p', s.hi + 1,
+                     'acc', concat(st.acc,
+                       substring(norm, st.p, s.lo - st.p),
+                       repeat('*', s.hi - s.lo + 1))),
+                   st -> concat(st.acc,
+                     substring(norm, st.p, length(norm) - st.p + 1)))"""
+            )).as("scrubbed"))
       },
       Some(s"""WITH $corpusSql,
         normed AS (SELECT doc_id, $normSql AS norm FROM corpus),
