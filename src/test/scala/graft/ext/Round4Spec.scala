@@ -124,8 +124,8 @@ class Round4Spec extends AnyFunSuite {
 
   test("rel_price_deciles: balanced counts, non-overlapping ranges") {
     val rows = run("rel_price_deciles").collect()
-      .sortBy(_.getInt(0))
-    assert(rows.map(_.getInt(0)).toSeq == (1 to 10))
+      .sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 10L))
     val counts = rows.map(_.getLong(1))
     assert(counts.max - counts.min <= 1, "ntile balance")
     for (Array(a, b) <- rows.sliding(2))
