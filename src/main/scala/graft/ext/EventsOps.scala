@@ -1720,6 +1720,80 @@ object EventsOps {
             < CAST(SUM(abs(n - f_naive)) AS BIGINT)
             AS seasonal_beats_naive
         FROM scored WHERE f_seasonal IS NOT NULL
-        GROUP BY event_type"""))
+        GROUP BY event_type""")),
+
+    // ------------------------------------------------------------------
+    // Discrete lifetime (survival/hazard) table: per account-age
+    // week, how many users are still at risk, how many churned at
+    // exactly that age, the hazard d·10⁶ div n and the empirical
+    // survival share. "Churned" = last event ≥ 7 days before the
+    // corpus horizon (later users are right-censored — still alive).
+    // This is the actuarial/Kaplan-Meier ingredient table with ZERO
+    // floating arithmetic: no cumulative product of float ratios
+    // (engine-order-dependent) — hazard and survival each divide two
+    // exact integers once. Scale shape: one user shuffle collapses
+    // events to (first, last) per user, the horizon is a one-row
+    // broadcast, and everything after runs on the ≤(weeks)-row
+    // rollup — the descending cumulative sum windows over that tiny
+    // frame, never over users.
+    Q("ev_lifetime_table",
+      (s, d) => {
+        import s.implicits._
+        val W = org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, d)
+          .select($"user_id", datediff(to_date($"ts"),
+            lit("2024-01-01").cast("date")).cast("long").as("day"))
+        val perUser = ev.groupBy($"user_id")
+          .agg(min($"day").as("first_day"), max($"day").as("last_day"))
+        val horizon = ev.agg(max($"day").as("end_day"))
+        val lt = perUser.crossJoin(broadcast(horizon))
+          .select(
+            expr("(last_day - first_day) div 7").as("wk"),
+            ($"last_day" <= $"end_day" - 7).cast("long").as("churned"))
+        val byWk = lt.groupBy($"wk")
+          .agg(count(lit(1)).as("n_ended"), sum($"churned").as("n_churned"))
+        // n_users = Σ n_ended over the whole rollup — same sorted
+        // frame as the at-risk cumulative, so the user-collapse
+        // subtree is NOT duplicated (a second scan+shuffle was the
+        // crossJoin(count) formulation's hidden cost)
+        val wDesc = W.orderBy($"wk".desc)
+          .rowsBetween(W.unboundedPreceding, 0)
+        val wAll = W.orderBy($"wk".desc)
+          .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        byWk
+          .withColumn("n_at_risk", sum($"n_ended").over(wDesc))
+          .withColumn("n_users", sum($"n_ended").over(wAll))
+          .select($"wk", $"n_at_risk", $"n_churned",
+            expr("n_churned * 1000000 div n_at_risk").as("hazard_ppm"),
+            expr("n_at_risk * 1000000 div n_users").as("surv_ppm"))
+      },
+      Some("""WITH ev AS (
+          SELECT user_id,
+            CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day
+          FROM events),
+        pu AS (
+          SELECT user_id, MIN(day) AS first_day, MAX(day) AS last_day
+          FROM ev GROUP BY user_id),
+        hz AS (SELECT MAX(day) AS end_day FROM ev),
+        lt AS (
+          SELECT (last_day - first_day) // 7 AS wk,
+            CASE WHEN last_day <= end_day - 7 THEN 1 ELSE 0 END AS churned
+          FROM pu, hz),
+        bywk AS (
+          SELECT wk, COUNT(*) AS n_ended,
+            CAST(SUM(churned) AS BIGINT) AS n_churned
+          FROM lt GROUP BY wk)
+        SELECT wk, n_at_risk, n_churned,
+          n_churned * 1000000 // n_at_risk AS hazard_ppm,
+          n_at_risk * 1000000 // n_users AS surv_ppm
+        FROM (
+          SELECT wk, n_churned,
+            CAST(SUM(n_ended) OVER (ORDER BY wk DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS n_at_risk,
+            CAST(SUM(n_ended) OVER (ORDER BY wk DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+              AS BIGINT) AS n_users
+          FROM bywk) x"""))
   )
 }

@@ -103,6 +103,50 @@ object GraphOps {
         FROM r3 ORDER BY rank3 DESC, node_id LIMIT 30"""
   }
 
+  private val pprOracle = {
+    // [[prOracle]]'s iteration with restart mass confined to seeds;
+    // the is_seed flag rides each r_i CTE.
+    def iter(i: Int) = s"""
+        c$i AS (
+          SELECT e.dst AS id, SUM(r.r // e.outdeg) AS c
+          FROM em e
+          JOIN r${i - 1} r ON e.src = r.id
+          WHERE r.r > 0
+          GROUP BY e.dst),
+        r$i AS (
+          SELECT p.id, p.is_seed,
+            p.is_seed * ns.base + (85 * COALESCE(c$i.c, 0)) // 100 AS r
+          FROM r${i - 1} p LEFT JOIN c$i ON p.id = c$i.id, ns)"""
+    s"""WITH e0 AS (
+          SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        edges AS (
+          SELECT src, dst FROM e0
+          UNION ALL SELECT dst AS src, src AS dst FROM e0),
+        deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+        em AS (SELECT e.src, e.dst, d.outdeg
+               FROM edges e JOIN deg d ON e.src = d.src),
+        seeds AS (
+          SELECT DISTINCT c_custkey * 2 AS id FROM customer
+          WHERE c_nationkey = 0),
+        nodes AS (
+          SELECT d.src AS id,
+            CASE WHEN s.id IS NULL THEN 0 ELSE 1 END AS is_seed
+          FROM deg d LEFT JOIN seeds s ON d.src = s.id),
+        ns AS (
+          SELECT 1000000000000 // SUM(is_seed) AS unit,
+                 (15 * (1000000000000 // SUM(is_seed))) // 100 AS base
+          FROM nodes),
+        r0 AS (SELECT id, is_seed, is_seed * ns.unit AS r FROM nodes, ns),
+        ${iter(1)},
+        ${iter(2)},
+        ${iter(3)}
+        SELECT id AS node_id,
+          CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+          CAST(r AS BIGINT) AS ppr3
+        FROM r3 WHERE r > 0 ORDER BY ppr3 DESC, node_id LIMIT 30"""
+  }
+
   /** Fixed-round integer PageRank over a symmetric edge list
     * (src, dst). Returns (id, r) with r in micro-rank units
     * (1.0 ≡ 10¹²). See the object scaladoc for the determinism and
@@ -144,6 +188,60 @@ object GraphOps {
         .join(maybeB(contrib), $"id" === $"dst", "left")
         .select($"id",
           (lit(base) + expr("(85 * coalesce(c, 0L)) div 100")).as("r")))
+    }
+    ranks
+  }
+
+  /** Personalized PageRank: same fixed-round integer machinery as
+    * [[pagerank]], but ALL restart mass goes to the seed set — the
+    * "similar to these" recommendation / trust-propagation form.
+    * Seeds split 10¹² micro-rank units evenly; each round a node
+    * receives (seed ? base : 0) + 85% of inbound contributions.
+    * Non-reached nodes stay at exactly 0 (integer arithmetic — no
+    * epsilon tail), so the frontier is genuinely sparse: the contrib
+    * join's rank side is filtered to r > 0, making per-round work
+    * proportional to the REACHED set, not the node count — at 10⁹
+    * nodes with a small seed set the first rounds touch only the
+    * seeds' neighborhoods. Same broadcast/SHUFFLE_HASH regime switch
+    * and per-round lineage pinning as [[pagerank]].
+    *
+    * @param seeds0 one column `id`; ids absent from the graph are
+    *               ignored (mass splits over present seeds only).
+    */
+  def personalizedPagerank(edges0: DataFrame, seeds0: DataFrame,
+                           rounds: Int = 3,
+                           broadcastThreshold: Long = 10000000L): DataFrame = {
+    val s = edges0.sparkSession
+    import s.implicits._
+    val edges = pin(edges0)
+    val deg0 = edges.groupBy($"src").agg(count(lit(1)).as("outdeg"))
+    val n = deg0.count()
+    def maybeB(df: DataFrame): DataFrame =
+      if (n <= broadcastThreshold) broadcast(df) else df.hint("SHUFFLE_HASH")
+    val em = pin(edges
+      .join(maybeB(deg0.withColumnRenamed("src", "dsrc")),
+        col("src") === col("dsrc"))
+      .select($"src", $"dst", $"outdeg"))
+    // node frame with a seed flag; mass splits over PRESENT seeds
+    val nodes = pin(deg0.select($"src".as("id"))
+      .join(maybeB(seeds0.select($"id".as("seed_id")).distinct()),
+        $"id" === $"seed_id", "left")
+      .select($"id", $"seed_id".isNotNull.cast("long").as("is_seed")))
+    val nSeeds = nodes.agg(coalesce(sum($"is_seed"), lit(0L)).as("ns"))
+      .as[Long].head()
+    val unit = 1000000000000L / math.max(nSeeds, 1L)
+    val base = (15L * unit) / 100L
+    var ranks = pin(nodes.select($"id", ($"is_seed" * unit).as("r")))
+    for (_ <- 1 to rounds) {
+      val contrib = em
+        .join(maybeB(ranks.filter($"r" > 0)), $"src" === $"id")
+        .groupBy($"dst")
+        .agg(sum(expr("r div outdeg")).as("c"))
+      ranks = pin(nodes
+        .join(maybeB(contrib), $"id" === $"dst", "left")
+        .select($"id",
+          ($"is_seed" * base + expr("(85 * coalesce(c, 0L)) div 100"))
+            .as("r")))
     }
     ranks
   }
@@ -764,6 +862,30 @@ object GraphOps {
           COALESCE(t.n_tri, 0) AS n_tri,
           COALESCE(t.n_tri, 0) * 2000000 // (d.deg * (d.deg - 1)) AS cc_ppm
         FROM deg d LEFT JOIN tri_node t ON t.v = d.v
-        WHERE d.deg >= 2"""))
+        WHERE d.deg >= 2""")),
+
+    // ------------------------------------------------------------------
+    // Personalized PageRank seeded at nation-0 customers: "which
+    // suppliers (and fellow customers) are closest, by random walk
+    // with restart, to this customer segment" — the
+    // recommendation/trust form of PageRank. Integer micro-rank like
+    // gr_pagerank (bit-identical under any partitioning and in
+    // DuckDB); unreached nodes are EXACTLY 0 and excluded, so the
+    // per-round frontier stays seed-neighborhood-sized at scale.
+    Q("gr_personalized_ppr",
+      (s, d) => {
+        import s.implicits._
+        val seeds = Tables.customer(s, d)
+          .filter($"c_nationkey" === 0)
+          .select(($"c_custkey" * 2).as("id"))
+        personalizedPagerank(interactionEdges(s, d), seeds)
+          .filter($"r" > 0)
+          .select($"id".as("node_id"),
+            when($"id" % 2 === 0, "customer").otherwise("supplier").as("kind"),
+            $"r".as("ppr3"))
+          .orderBy($"ppr3".desc, $"node_id")
+          .limit(30)
+      },
+      Some(pprOracle))
   )
 }

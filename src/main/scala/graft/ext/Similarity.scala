@@ -37,6 +37,12 @@ object Similarity {
     s"""(SELECT SUM(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))
         FROM generate_series(1, 64) t(i))"""
 
+  /** [[dotSql]] over only the first n components — the prefix dot a
+    * Matryoshka-truncated index computes. */
+  private[ext] def dotSqlN(a: String, b: String, n: Int): String =
+    s"""(SELECT SUM(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))
+        FROM generate_series(1, $n) t(i))"""
+
   /** Oracle fragment for [[graft.functions.FloatVecDotQ]]: integer
     * term-sums are associative, so this is parallelism-proof —
     * required whenever the score is OUTPUT, not just ranked on. */
@@ -653,6 +659,111 @@ object Similarity {
           COUNT(i.neighbor_id) * 1000000 // COUNT(*) AS recall_ppm
         FROM exact x LEFT JOIN ivf i
           ON i.qid = x.qid AND i.neighbor_id = x.neighbor_id
+        GROUP BY x.qid""")),
+
+    // ------------------------------------------------------------------
+    // Matryoshka two-stage retrieval evaluation: recall@5 of (a) a
+    // raw 16-dim-prefix cosine search and (b) the same prefix search
+    // widened to a top-20 shortlist then reranked with the full
+    // 64-dim cosine — both against the exact full-dim top-5. This is
+    // the measurement behind prefix-truncated (MRL-style) embedding
+    // indexes: the corpus-wide pass touches only the first 16 floats
+    // of every vector (4× less memory bandwidth — at 10⁹ vectors the
+    // prefix fits where the full matrix doesn't), and the expensive
+    // full-dim scoring runs on 20 candidates per query, not the
+    // corpus. Everything is deterministic under the (cos desc,
+    // vec_id) tiebreak, so both recalls are exact integers and the
+    // whole evaluation is DuckDB-hash-checked.
+    Q("sim_matryoshka_recall",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+          .withColumn("pre", slice($"embedding", 1, 16))
+        val queries = emb.filter($"vec_id" % 97 === 0)
+          .select($"vec_id".as("qid"), $"embedding".as("qemb"),
+            $"pre".as("qpre"))
+        val wFull = Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
+        val wPre = Window.partitionBy($"qid").orderBy($"pcos".desc, $"vec_id")
+        val exact = emb.crossJoin(broadcast(queries))
+          .filter($"vec_id" =!= $"qid")
+          .withColumn("cos", cosine($"qemb", $"embedding"))
+          .withColumn("rank", row_number().over(wFull))
+          .filter($"rank" <= 5)
+          .select($"qid", $"vec_id".as("neighbor_id"))
+        // stage 1: the cheap corpus-wide pass reads only the prefix
+        val shortlist = emb.crossJoin(broadcast(queries))
+          .filter($"vec_id" =!= $"qid")
+          .withColumn("pcos", cosine($"qpre", $"pre"))
+          .withColumn("prank", row_number().over(wPre))
+          .filter($"prank" <= 20)
+        // stage 2: full-dim rerank of the 20-row shortlist only
+        val reranked = shortlist
+          .withColumn("cos", cosine($"qemb", $"embedding"))
+          .withColumn("rank", row_number().over(wFull))
+          .filter($"rank" <= 5)
+          .select($"qid".as("r_qid"), $"vec_id".as("r_neighbor"))
+        val prefixTop5 = shortlist.filter($"prank" <= 5)
+          .select($"qid".as("p_qid"), $"vec_id".as("p_neighbor"))
+        exact
+          .join(reranked,
+            $"qid" === $"r_qid" && $"neighbor_id" === $"r_neighbor", "left")
+          .join(prefixTop5,
+            $"qid" === $"p_qid" && $"neighbor_id" === $"p_neighbor", "left")
+          .groupBy($"qid")
+          .agg(count(lit(1)).as("n_exact"),
+            count($"r_neighbor").as("hit_rerank"),
+            count($"p_neighbor").as("hit_prefix"))
+          .withColumn("recall_rerank_ppm",
+            expr("hit_rerank * 1000000 div n_exact"))
+          .withColumn("recall_prefix_ppm",
+            expr("hit_prefix * 1000000 div n_exact"))
+      },
+      Some(s"""WITH q AS (
+          SELECT vec_id AS qid, embedding AS qemb FROM embeddings
+          WHERE vec_id % 97 = 0),
+        exact AS (
+          SELECT qid, vec_id AS neighbor_id FROM (
+            SELECT q.qid, e.vec_id,
+              ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                ${dotSql("q.qemb", "e.embedding")} /
+                (sqrt(${dotSql("q.qemb", "q.qemb")}) *
+                 sqrt(${dotSql("e.embedding", "e.embedding")})) DESC,
+                e.vec_id) AS rank
+            FROM embeddings e, q WHERE e.vec_id <> q.qid) t
+          WHERE rank <= 5),
+        short AS (
+          SELECT qid, vec_id, prank FROM (
+            SELECT q.qid, e.vec_id,
+              ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                ${dotSqlN("q.qemb", "e.embedding", 16)} /
+                (sqrt(${dotSqlN("q.qemb", "q.qemb", 16)}) *
+                 sqrt(${dotSqlN("e.embedding", "e.embedding", 16)})) DESC,
+                e.vec_id) AS prank
+            FROM embeddings e, q WHERE e.vec_id <> q.qid) t
+          WHERE prank <= 20),
+        rerank AS (
+          SELECT qid, vec_id FROM (
+            SELECT s.qid, s.vec_id,
+              ROW_NUMBER() OVER (PARTITION BY s.qid ORDER BY
+                ${dotSql("q.qemb", "e.embedding")} /
+                (sqrt(${dotSql("q.qemb", "q.qemb")}) *
+                 sqrt(${dotSql("e.embedding", "e.embedding")})) DESC,
+                s.vec_id) AS rank
+            FROM short s
+            JOIN embeddings e ON e.vec_id = s.vec_id
+            JOIN q ON q.qid = s.qid) t
+          WHERE rank <= 5),
+        pre5 AS (SELECT qid, vec_id FROM short WHERE prank <= 5)
+        SELECT x.qid, COUNT(*) AS n_exact,
+          COUNT(r.vec_id) AS hit_rerank,
+          COUNT(p.vec_id) AS hit_prefix,
+          COUNT(r.vec_id) * 1000000 // COUNT(*) AS recall_rerank_ppm,
+          COUNT(p.vec_id) * 1000000 // COUNT(*) AS recall_prefix_ppm
+        FROM exact x
+        LEFT JOIN rerank r
+          ON r.qid = x.qid AND r.vec_id = x.neighbor_id
+        LEFT JOIN pre5 p
+          ON p.qid = x.qid AND p.vec_id = x.neighbor_id
         GROUP BY x.qid"""))
   )
 

@@ -1571,7 +1571,79 @@ object TextAnalysis {
           SELECT DISTINCT doc_id, lang,
             unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
           FROM documents) t
-        GROUP BY lang, term"""))
+        GROUP BY lang, term""")),
+
+    // ------------------------------------------------------------------
+    // Pairwise source drift: total-variation distance between every
+    // two sources' hashed-term distributions (the 32 md5 buckets of
+    // txt_hashed_features), in ppm. TVD = ½·Σ|p_i − q_i| is the
+    // distribution-shift diagnostic that needs no logarithm — a KL
+    // divergence would hang the oracle compare on log() ulps, while
+    // TVD over ppm-quantized shares is exact integers end-to-end:
+    // each share is floored ONCE (n_i·10⁶ div N, engine-identical),
+    // so every later step is integer arithmetic. Scale shape: the
+    // corpus collapses to a |sources|×32 rollup before anything
+    // pairwise happens; the pair join runs on that rollup (never the
+    // corpus), and quantizing per-source first keeps every number
+    // ≤ 10⁶ — no N·M product that could overflow at 100 TB.
+    Q("txt_source_tvd",
+      (s, d) => {
+        import s.implicits._
+        val bucket = conv(substring(md5($"tok"), 1, 4), 16, 10)
+          .cast("int") % 32
+        val counts = Tables.documents(s, d)
+          .select($"source", explode(tokens($"text")).as("tok"))
+          .select($"source", bucket.cast("long").as("bucket"))
+          .groupBy($"source", $"bucket")
+          .agg(count(lit(1)).as("n"))
+        val totals = counts.groupBy($"source").agg(sum($"n").as("total"))
+        // zero-fill: every source × all 32 buckets (absent = share 0)
+        val grid = totals.select($"source", $"total",
+          explode(sequence(lit(0L), lit(31L))).as("bucket"))
+        val shares = grid.join(counts, Seq("source", "bucket"), "left")
+          .select($"source", $"bucket",
+            expr("coalesce(n, 0L) * 1000000 div total").as("p"))
+        val a = shares.select($"source".as("source_a"), $"bucket",
+          $"p".as("pa"))
+        val b = shares.select($"source".as("source_b"), $"bucket",
+          $"p".as("pb"))
+        a.join(b, Seq("bucket"))
+          .filter($"source_a" < $"source_b")
+          .groupBy($"source_a", $"source_b")
+          .agg(expr("sum(abs(pa - pb)) div 2").as("tvd_ppm"))
+      },
+      Some("""WITH tok AS (
+          SELECT source, substr(md5(tok), 1, 4) AS h FROM (
+            SELECT source,
+              unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+            FROM documents) y),
+        counts AS (
+          SELECT source,
+            CAST(((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+              + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+              + (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+              + (instr('0123456789abcdef', substr(h, 4, 1)) - 1)) % 32
+              AS BIGINT) AS bucket,
+            COUNT(*) AS n
+          FROM tok GROUP BY source, bucket),
+        totals AS (
+          SELECT source, CAST(SUM(n) AS BIGINT) AS total
+          FROM counts GROUP BY source),
+        grid AS (
+          SELECT t.source, t.total, g.bucket
+          FROM totals t CROSS JOIN (
+            SELECT CAST(unnest(generate_series(0, 31)) AS BIGINT)
+              AS bucket) g),
+        shares AS (
+          SELECT g.source, g.bucket,
+            COALESCE(c.n, 0) * 1000000 // g.total AS p
+          FROM grid g LEFT JOIN counts c
+            ON c.source = g.source AND c.bucket = g.bucket)
+        SELECT a.source AS source_a, b.source AS source_b,
+          CAST(SUM(abs(a.p - b.p)) // 2 AS BIGINT) AS tvd_ppm
+        FROM shares a JOIN shares b
+          ON a.bucket = b.bucket AND a.source < b.source
+        GROUP BY source_a, source_b"""))
   )
 
   /** DuckDB-side 12-bit int from 3 hex chars of a hash (same digit

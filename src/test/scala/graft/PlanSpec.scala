@@ -446,4 +446,41 @@ class PlanSpec extends AnyFunSuite {
       "stub decode must keep payloads in their input partitions\n" +
         p.take(600))
   }
+
+  test("matryoshka recall broadcasts the query set, no bare cartesian") {
+    val p = plan("sim_matryoshka_recall")
+    assert(!p.contains("CartesianProduct"),
+      "corpus×queries must be the broadcast scan shape\n" + p.take(600))
+  }
+
+  test("source TVD pairs the rollup, not the corpus: the token explode " +
+       "feeds one aggregation and the pair join is never a cartesian") {
+    val p = plan("txt_source_tvd")
+    assert(p.contains("Generate"), "token explode should be a Generate")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+  }
+
+  test("lifetime table collapses events on ONE user exchange; weeks " +
+       "window only over the rollup") {
+    val p = plan("ev_lifetime_table")
+    val userExchanges = "hashpartitioning\\(user_id".r
+      .findAllIn(p).size
+    assert(userExchanges == 1,
+      s"expected exactly one user_id shuffle, got $userExchanges\n" +
+        p.take(600))
+  }
+
+  test("personalized pagerank output is a heap top-k over the " +
+       "lineage-pinned rank frame") {
+    val p = plan("gr_personalized_ppr")
+    // the rounds themselves ran eagerly behind pin() (same contract
+    // as gr_pagerank); what the final plan must show is the cut
+    // lineage (no 2^rounds plan growth) and a TakeOrderedAndProject
+    // instead of a global sort
+    assert(p.contains("TakeOrderedAndProject"), p.take(400))
+    assert(p.contains("ExistingRDD"),
+      "per-round lineage must be pinned\n" + p.take(400))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(400))
+  }
 }
