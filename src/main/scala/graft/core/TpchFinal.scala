@@ -7,9 +7,9 @@ import org.apache.spark.sql.types.DecimalType
 import graft.{Q, Tables}
 
 /** The remaining TPC-H-shaped queries expressible over the driver
-  * testdata (no partsupp table exists, so Q2/Q11/Q16/Q20 are out of
-  * reach; Q12 needs l_shipmode/commitdate and literal Q22 needs
-  * c_phone — both absent).
+  * testdata (no partsupp table exists, so literal Q2/Q11/Q16/Q20 are
+  * out of reach; Q12 needs l_shipmode/commitdate and literal Q22
+  * needs c_phone — both absent).
   *
   *  - rel_volume_shipping  (Q7)  — bidirectional nation-pair revenue
   *  - rel_market_share     (Q8)  — one nation's share of a region's market
@@ -17,6 +17,8 @@ import graft.{Q, Tables}
   *  - rel_top_supplier     (Q15) — supplier(s) with max quarterly revenue
   *  - rel_lapsed_customers (Q22 adapted) — high-balance customers with no
   *    recent orders, grouped by nation instead of phone prefix
+  *  - rel_min_cost_supplier (Q2 adapted) — per-part minimum-cost supplier
+  *    with lineitem as the price list instead of partsupp
   *
   * Scale notes: every dimension (nation/region/supplier/customer/part
   * projections) is explicitly broadcast so the lineitem/orders fact
@@ -260,6 +262,65 @@ object TpchFinal {
           AND NOT EXISTS (SELECT 1 FROM orders
                           WHERE o_custkey = c_custkey
                             AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
-        GROUP BY n_name"""))
+        GROUP BY n_name""")),
+
+    // ------------------------------------------------------------------
+    // Q2 shape adapted: for each small part (p_size < 10), the
+    // region-0 supplier(s) offering the minimum unit price, with
+    // lineitem standing in for the absent partsupp price list. The
+    // correlated `price = (SELECT MIN ...)` subquery is decorrelated
+    // the way Catalyst would: a per-part pre-aggregation and an
+    // equi-join back on (partkey, price == min) — both sides share
+    // the partkey partitioning, and every dimension (supplier⋈nation
+    // pre-filtered to the region BEFORE the join, part pre-filtered
+    // on size) broadcasts, so the fact table never shuffles for a
+    // lookup and rows outside the region/size never leave the scan.
+    // unit_price is a single per-row IEEE division of two stored
+    // doubles — deterministic in both engines, no sums — and MIN
+    // then SELECTS one of those values, so the join-back equality
+    // and the exported double are exact. Ties (two suppliers at the
+    // same minimum) surface as multiple rows, as in Q2; DISTINCT
+    // collapses a supplier quoting the same minimum twice.
+    Q("rel_min_cost_supplier",
+      (s, d) => {
+        val regionNations = Tables.nation(s, d)
+          .filter(col("n_regionkey") === 0)
+          .select(col("n_nationkey"), col("n_name"))
+        val suppliers = Tables.supplier(s, d)
+          .join(broadcast(regionNations),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_name"), col("n_name"))
+        val smallParts = Tables.part(s, d)
+          .filter(col("p_size") < 10)
+          .select(col("p_partkey"), col("p_name"))
+        val supply = Tables.lineitem(s, d)
+          .join(broadcast(suppliers), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
+          .select(col("p_partkey"), col("p_name"), col("s_name"),
+            col("n_name"),
+            (col("l_extendedprice") / col("l_quantity")).as("unit_price"))
+        val minp = supply.groupBy(col("p_partkey").as("m_partkey"))
+          .agg(min(col("unit_price")).as("min_price"))
+        supply.join(minp,
+            col("p_partkey") === col("m_partkey") &&
+            col("unit_price") === col("min_price"))
+          .select(col("p_partkey"), col("p_name"), col("s_name"),
+            col("n_name"), col("min_price"))
+          .distinct()
+      },
+      Some("""WITH supply AS (
+          SELECT p.p_partkey, p.p_name, s.s_name, n.n_name,
+            l_extendedprice / l_quantity AS unit_price
+          FROM lineitem l
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          JOIN nation n ON s.s_nationkey = n.n_nationkey
+          JOIN part p ON l.l_partkey = p.p_partkey
+          WHERE n.n_regionkey = 0 AND p.p_size < 10),
+        minp AS (
+          SELECT p_partkey AS m_partkey, MIN(unit_price) AS min_price
+          FROM supply GROUP BY p_partkey)
+        SELECT DISTINCT p_partkey, p_name, s_name, n_name, min_price
+        FROM supply JOIN minp
+          ON p_partkey = m_partkey AND unit_price = min_price"""))
   )
 }

@@ -344,6 +344,53 @@ object Multimodal {
         FROM flagged GROUP BY doc_id"""))
   )
 
+  /** Banded 16-bit stub-pHash candidate pairs shared by
+    * `mm_phash_hamming` and `mm_dedup_verdict`: the hash splits into
+    * 4 nibble bands, candidates come from per-(kind, band, value)
+    * self-joins — the pigeonhole guarantee that hamming ≤ 3 over 16
+    * bits leaves at least one band identical, so banding loses no
+    * true pair while the join stays bucket-local at any corpus size.
+    * Band values are md5 nibbles and thus never NULL — the all-NULL
+    * bucket weld the lexical LSH path filters against cannot arise. */
+  private def phashPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val alphabet = "0123456789abcdef"
+    val hashed = Tables.documents(s, d).select(
+      $"doc_id",
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        ($"doc_id" % 3 + 1).cast("int")).as("kind"),
+      md5(encode($"text", "UTF-8")).as("h"))
+    val withPh = hashed.selectExpr("doc_id", "kind",
+      s"""CAST((instr('$alphabet', substr(h, 1, 1)) - 1) * 4096 +
+               (instr('$alphabet', substr(h, 2, 1)) - 1) * 256 +
+               (instr('$alphabet', substr(h, 3, 1)) - 1) * 16 +
+               (instr('$alphabet', substr(h, 4, 1)) - 1) AS BIGINT) AS ph""",
+      "substr(h, 1, 4) AS nibs")
+    val bands = withPh.select($"doc_id", $"kind", $"ph",
+      posexplode(split($"nibs", "(?!^)"))) // one row per nibble char
+      .toDF("doc_id", "kind", "ph", "band_idx", "band_val")
+    bands.as("a")
+      .join(bands.as("b"),
+        $"a.kind" === $"b.kind" && $"a.band_idx" === $"b.band_idx" &&
+        $"a.band_val" === $"b.band_val" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        $"a.ph".as("ph_a"), $"b.ph".as("ph_b"))
+      .distinct()
+  }
+
+  /** Oracle CTE mirroring the stub pHash (quadratic pair form — the
+    * banded plan is pigeonhole-equal). */
+  private val phSql: String =
+    """ph AS (
+        SELECT doc_id,
+          ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+          CAST((strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 4096 +
+               (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) * 256 +
+               (strpos('0123456789abcdef', substr(md5(text), 3, 1)) - 1) * 16 +
+               (strpos('0123456789abcdef', substr(md5(text), 4, 1)) - 1)
+            AS BIGINT) AS ph
+        FROM documents)"""
+
   val all2: Seq[Q] = Seq(
     // ------------------------------------------------------------------
     // Perceptual-hash near-duplicate pairs: a 16-bit stub pHash per
@@ -361,43 +408,13 @@ object Multimodal {
     Q("mm_phash_hamming",
       (s, d) => {
         import s.implicits._
-        val alphabet = "0123456789abcdef"
-        val hashed = Tables.documents(s, d).select(
-          $"doc_id",
-          element_at(array(lit("image"), lit("audio"), lit("video")),
-            ($"doc_id" % 3 + 1).cast("int")).as("kind"),
-          md5(encode($"text", "UTF-8")).as("h"))
-        val withPh = hashed.selectExpr("doc_id", "kind",
-          s"""CAST((instr('$alphabet', substr(h, 1, 1)) - 1) * 4096 +
-                   (instr('$alphabet', substr(h, 2, 1)) - 1) * 256 +
-                   (instr('$alphabet', substr(h, 3, 1)) - 1) * 16 +
-                   (instr('$alphabet', substr(h, 4, 1)) - 1) AS BIGINT) AS ph""",
-          "substr(h, 1, 4) AS nibs")
-        val bands = withPh.select($"doc_id", $"kind", $"ph",
-          posexplode(split($"nibs", "(?!^)"))) // one row per nibble char
-          .toDF("doc_id", "kind", "ph", "band_idx", "band_val")
-        val pairs = bands.as("a")
-          .join(bands.as("b"),
-            $"a.kind" === $"b.kind" && $"a.band_idx" === $"b.band_idx" &&
-            $"a.band_val" === $"b.band_val" && $"a.doc_id" < $"b.doc_id")
-          .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
-            $"a.ph".as("ph_a"), $"b.ph".as("ph_b"))
-          .distinct()
-        pairs
+        phashPairs(s, d)
           .withColumn("hamming",
             expr("CAST(bit_count(ph_a ^ ph_b) AS BIGINT)"))
           .filter($"hamming" <= 3)
           .select($"doc_a", $"doc_b", $"hamming")
       },
-      Some("""WITH ph AS (
-          SELECT doc_id,
-            ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
-            CAST((strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 4096 +
-                 (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) * 256 +
-                 (strpos('0123456789abcdef', substr(md5(text), 3, 1)) - 1) * 16 +
-                 (strpos('0123456789abcdef', substr(md5(text), 4, 1)) - 1)
-              AS BIGINT) AS ph
-          FROM documents)
+      Some(s"""WITH $phSql
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
           CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
         FROM ph a JOIN ph b ON a.kind = b.kind AND a.doc_id < b.doc_id
@@ -434,6 +451,62 @@ object Multimodal {
           CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes,
           percentile_disc(0.5) WITHIN GROUP (
             ORDER BY CAST(octet_length(encode(text)) AS BIGINT)) AS p50_bytes
-        FROM documents GROUP BY 1, 2"""))
+        FROM documents GROUP BY 1, 2""")),
+
+    // ------------------------------------------------------------------
+    // Multimodal dedup verdict — the pHash counterpart of
+    // dedup_verdict / sim_semantic_verdict, completing the dedup
+    // stack's third signal: perceptual near-duplicate edges (banded
+    // stub-pHash pairs at hamming ≤ 3, within modality) run through
+    // the SAME Dedup.connectedComponents operator, and every payload
+    // gets a transitive cluster id, cluster size, and keep/drop
+    // (survivor = min doc_id = the cluster id, by the CC min-label
+    // construction). Edge sets stay candidate-sized (banding, never
+    // all-pairs); the verdict join's corpus side scans once and the
+    // collapsed cluster table broadcasts. The oracle walks the
+    // quadratic pair graph with a recursive CTE — pigeonhole-equal
+    // to the banded plan.
+    Q("mm_dedup_verdict",
+      (s, d) => {
+        import s.implicits._
+        val pairs = phashPairs(s, d)
+          .withColumn("hamming", expr("CAST(bit_count(ph_a ^ ph_b) AS BIGINT)"))
+          .filter($"hamming" <= 3)
+          .select($"doc_a", $"doc_b")
+        val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+          .unionByName(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+        val wCluster = org.apache.spark.sql.expressions.Window
+          .partitionBy($"cluster_id")
+        Tables.documents(s, d)
+          .select($"doc_id",
+            element_at(array(lit("image"), lit("audio"), lit("video")),
+              ($"doc_id" % 3 + 1).cast("int")).as("kind"))
+          .join(Dedup.connectedComponents(edges), Seq("doc_id"), "left")
+          .withColumn("cluster_id", coalesce($"cluster_id", $"doc_id"))
+          .withColumn("cluster_size", count(lit(1)).over(wCluster))
+          .withColumn("is_kept", $"doc_id" === $"cluster_id")
+      },
+      Some(s"""WITH RECURSIVE $phSql,
+        cand AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM ph a JOIN ph b ON a.kind = b.kind AND a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.ph, b.ph)) <= 3),
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM cand
+                  UNION ALL SELECT doc_b AS a, doc_a AS b FROM cand),
+        reach(v, r) AS (
+          SELECT DISTINCT a AS v, a AS r FROM edges
+          UNION
+          SELECT e.b AS v, reach.r FROM reach JOIN edges e ON e.a = reach.v),
+        clusters AS (
+          SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v),
+        verdict AS (
+          SELECT d.doc_id,
+            ['image','audio','video'][CAST(d.doc_id % 3 AS INT) + 1] AS kind,
+            COALESCE(cl.cluster_id, d.doc_id) AS cluster_id
+          FROM documents d LEFT JOIN clusters cl ON cl.doc_id = d.doc_id)
+        SELECT doc_id, kind, cluster_id,
+          COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+          doc_id = cluster_id AS is_kept
+        FROM verdict"""))
   )
 }

@@ -764,6 +764,119 @@ object Similarity {
           ON r.qid = x.qid AND r.vec_id = x.neighbor_id
         LEFT JOIN pre5 p
           ON p.qid = x.qid AND p.vec_id = x.neighbor_id
+        GROUP BY x.qid""")),
+
+    // ------------------------------------------------------------------
+    // Scalar-quantization (int8) retrieval evaluation — the third
+    // compression-accuracy measurement beside PQ (sim_pq_adc_topk)
+    // and Matryoshka prefixes: each dimension is affinely quantized
+    // to an 8-bit code against the corpus' own per-dimension
+    // [min, max] range (the faiss SQ8 layout — 64 bytes/vector, 4×
+    // less memory bandwidth than f32), search scores by the INTEGER
+    // code dot product, and recall@5 is measured against the exact
+    // full-precision top-5 by inner product. Everything after the
+    // quantization is exact integer arithmetic (code products sum
+    // associatively — parallelism-proof), the quantization itself is
+    // a per-element IEEE formula over order-free min/max stats (no
+    // sum enters it), and both rankings carry the vec_id tiebreak —
+    // so the whole evaluation is DuckDB-hash-checked. Plan: one
+    // corpus pass for the 64-row stats (explode + partial-agg'd
+    // min/max), stats and queries broadcast; the corpus never
+    // shuffles.
+    Q("sim_sq_recall",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+        val stats = emb
+          .select(posexplode($"embedding").as(Seq("dim", "x")))
+          .groupBy($"dim")
+          .agg(min($"x".cast("double")).as("mn"),
+            max($"x".cast("double")).as("mx"))
+          .groupBy()
+          .agg(array_sort(collect_list(struct($"dim", $"mn"))).as("mns"),
+            array_sort(collect_list(struct($"dim", $"mx"))).as("mxs"))
+          .select(transform($"mns", e => e("mn")).as("mn"),
+            transform($"mxs", e => e("mx")).as("mx"))
+        val coded = emb.crossJoin(broadcast(stats))
+          .withColumn("codes", expr(
+            """transform(sequence(1, 64), i ->
+                 CASE WHEN element_at(mx, i) = element_at(mn, i)
+                      THEN CAST(0 AS BIGINT)
+                      ELSE CAST(floor(
+                        (CAST(element_at(embedding, i) AS DOUBLE)
+                          - element_at(mn, i)) * CAST(255 AS DOUBLE)
+                        / (element_at(mx, i) - element_at(mn, i)))
+                        AS BIGINT) END)"""))
+          .select($"vec_id", $"embedding", $"codes")
+        val queries = coded.filter($"vec_id" % 97 === 0)
+          .select($"vec_id".as("qid"), $"embedding".as("qemb"),
+            $"codes".as("qcodes"))
+        val exact = emb.crossJoin(broadcast(
+            queries.select($"qid", $"qemb")))
+          .filter($"vec_id" =!= $"qid")
+          .withColumn("dp", dot($"qemb", $"embedding"))
+          .withColumn("rank", row_number().over(Window.partitionBy($"qid")
+            .orderBy($"dp".desc, $"vec_id")))
+          .filter($"rank" <= 5)
+          .select($"qid", $"vec_id".as("neighbor_id"))
+        val sq5 = coded.crossJoin(broadcast(
+            queries.select($"qid", $"qcodes")))
+          .filter($"vec_id" =!= $"qid")
+          .withColumn("sqdot", expr(
+            """aggregate(zip_with(codes, qcodes, (a, b) -> a * b),
+                 CAST(0 AS BIGINT), (acc, x) -> acc + x)"""))
+          .withColumn("rank", row_number().over(Window.partitionBy($"qid")
+            .orderBy($"sqdot".desc, $"vec_id")))
+          .filter($"rank" <= 5)
+          .select($"qid".as("s_qid"), $"vec_id".as("s_neighbor"))
+        exact.join(sq5,
+            $"qid" === $"s_qid" && $"neighbor_id" === $"s_neighbor", "left")
+          .groupBy($"qid")
+          .agg(count(lit(1)).as("n_exact"),
+            count($"s_neighbor").as("n_hit"))
+          .withColumn("recall_ppm", expr("n_hit * 1000000 div n_exact"))
+      },
+      Some(s"""WITH q AS (
+          SELECT vec_id AS qid, embedding AS qemb FROM embeddings
+          WHERE vec_id % 97 = 0),
+        stats AS (
+          SELECT i AS dim,
+            MIN(CAST(embedding[i] AS DOUBLE)) AS mn,
+            MAX(CAST(embedding[i] AS DOUBLE)) AS mx
+          FROM embeddings, generate_series(1, 64) t(i)
+          GROUP BY i),
+        codes AS (
+          SELECT e.vec_id, s.dim,
+            CASE WHEN s.mx = s.mn THEN 0
+                 ELSE CAST(floor(
+                   (CAST(e.embedding[s.dim] AS DOUBLE) - s.mn) * 255.0
+                   / (s.mx - s.mn)) AS BIGINT) END AS code
+          FROM embeddings e, stats s),
+        sqdots AS (
+          SELECT qc.qid, vc.vec_id,
+            CAST(SUM(qc.code * vc.code) AS BIGINT) AS sqdot
+          FROM (SELECT c.vec_id AS qid, c.dim, c.code
+                FROM codes c JOIN q ON q.qid = c.vec_id) qc
+          JOIN codes vc ON vc.dim = qc.dim
+          WHERE vc.vec_id <> qc.qid
+          GROUP BY qc.qid, vc.vec_id),
+        sq5 AS (
+          SELECT qid, vec_id FROM (
+            SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY sqdot DESC, vec_id) AS rk
+            FROM sqdots) t
+          WHERE rk <= 5),
+        exact AS (
+          SELECT qid, vec_id AS neighbor_id FROM (
+            SELECT q.qid, e.vec_id,
+              ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                ${dotSql("q.qemb", "e.embedding")} DESC, e.vec_id) AS rank
+            FROM embeddings e, q WHERE e.vec_id <> q.qid) t
+          WHERE rank <= 5)
+        SELECT x.qid, COUNT(*) AS n_exact, COUNT(s.vec_id) AS n_hit,
+          COUNT(s.vec_id) * 1000000 // COUNT(*) AS recall_ppm
+        FROM exact x LEFT JOIN sq5 s
+          ON s.qid = x.qid AND s.vec_id = x.neighbor_id
         GROUP BY x.qid"""))
   )
 

@@ -1643,7 +1643,93 @@ object TextAnalysis {
           CAST(SUM(abs(a.p - b.p)) // 2 AS BIGINT) AS tvd_ppm
         FROM shares a JOIN shares b
           ON a.bucket = b.bucket AND a.source < b.source
-        GROUP BY source_a, source_b"""))
+        GROUP BY source_a, source_b""")),
+
+    // ------------------------------------------------------------------
+    // Cleaning-funnel attrition report — the C4/Gopher-style rule
+    // chain as ONE query: per-doc flags for every rule in the fixed
+    // pipeline order (min words → mean word length → symbol ratio →
+    // stopword evidence → exact-dup survivor), then per-stage
+    // docs_in/docs_out/dropped from the running conjunction. This is
+    // the report every corpus-cleaning run publishes — which rule
+    // costs how much — and the shape matters: ONE corpus scan
+    // computes all flags (the naive form re-filters the corpus once
+    // per rule = 5 scans), the only exchange is the content-hash
+    // shuffle the dedup flag needs, and the funnel itself aggregates
+    // to |rules| rows. Rule predicates compare single IEEE divisions
+    // of exact integers (deterministic cross-engine — no sums enter
+    // them); the funnel counts are exact integers.
+    Q("txt_filter_funnel",
+      (s, d) => {
+        import s.implicits._
+        val wHash = Window.partitionBy($"content_hash")
+        val flagged = Tables.documents(s, d)
+          .select($"doc_id", $"text", tokens($"text").as("toks"),
+            md5($"text").as("content_hash"))
+          .withColumn("n_words", size($"toks"))
+          .withColumn("mean_wl",
+            length(regexp_replace($"text", "\\s", "")).cast("double")
+              / $"n_words".cast("double"))
+          .withColumn("sym_ratio",
+            length(regexp_replace($"text", "[a-zA-Z0-9\\s]", ""))
+              .cast("double") / length($"text").cast("double"))
+          .withColumn("stop_hits",
+            stopCount($"toks", stopwords("en")) +
+            stopCount($"toks", stopwords("es")) +
+            stopCount($"toks", stopwords("de")) +
+            stopCount($"toks", stopwords("fr")))
+          .withColumn("f1", $"n_words" >= 30)
+          .withColumn("f2", $"mean_wl" >= 3.0 && $"mean_wl" <= 10.0)
+          .withColumn("f3", $"sym_ratio" < 0.1)
+          .withColumn("f4", $"stop_hits" >= 2)
+          .withColumn("f5", $"doc_id" === min($"doc_id").over(wHash))
+        val agg = flagged.agg(
+          count(lit(1)).as("c0"),
+          count(when($"f1", 1)).as("c1"),
+          count(when($"f1" && $"f2", 1)).as("c2"),
+          count(when($"f1" && $"f2" && $"f3", 1)).as("c3"),
+          count(when($"f1" && $"f2" && $"f3" && $"f4", 1)).as("c4"),
+          count(when($"f1" && $"f2" && $"f3" && $"f4" && $"f5", 1)).as("c5"))
+        agg.selectExpr(
+          """stack(5,
+               CAST(1 AS BIGINT), 'min_words',     c0, c1,
+               CAST(2 AS BIGINT), 'mean_word_len', c1, c2,
+               CAST(3 AS BIGINT), 'symbol_ratio',  c2, c3,
+               CAST(4 AS BIGINT), 'stopword_hits', c3, c4,
+               CAST(5 AS BIGINT), 'exact_dedup',   c4, c5)
+             AS (stage, rule, docs_in, docs_out)""")
+          .withColumn("dropped", $"docs_in" - $"docs_out")
+      },
+      Some(s"""WITH flagged AS (
+          SELECT doc_id,
+            len(string_split_regex(trim(lower(text)), '\\s+')) >= 30 AS f1,
+            CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+              / CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
+                     AS DOUBLE) BETWEEN 3.0 AND 10.0 AS f2,
+            CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+                 AS DOUBLE) / CAST(length(text) AS DOUBLE) < 0.1 AS f3,
+            ${stopCountSql(stopwords("en"))} +
+            ${stopCountSql(stopwords("es"))} +
+            ${stopCountSql(stopwords("de"))} +
+            ${stopCountSql(stopwords("fr"))} >= 2 AS f4,
+            doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS f5
+          FROM documents),
+        agg AS (
+          SELECT COUNT(*) AS c0,
+            COUNT(CASE WHEN f1 THEN 1 END) AS c1,
+            COUNT(CASE WHEN f1 AND f2 THEN 1 END) AS c2,
+            COUNT(CASE WHEN f1 AND f2 AND f3 THEN 1 END) AS c3,
+            COUNT(CASE WHEN f1 AND f2 AND f3 AND f4 THEN 1 END) AS c4,
+            COUNT(CASE WHEN f1 AND f2 AND f3 AND f4 AND f5 THEN 1 END) AS c5
+          FROM flagged)
+        SELECT stage, rule, docs_in, docs_out, docs_in - docs_out AS dropped
+        FROM (
+          SELECT CAST(1 AS BIGINT) AS stage, 'min_words' AS rule,
+            c0 AS docs_in, c1 AS docs_out FROM agg
+          UNION ALL SELECT 2, 'mean_word_len', c1, c2 FROM agg
+          UNION ALL SELECT 3, 'symbol_ratio', c2, c3 FROM agg
+          UNION ALL SELECT 4, 'stopword_hits', c3, c4 FROM agg
+          UNION ALL SELECT 5, 'exact_dedup', c4, c5 FROM agg) f"""))
   )
 
   /** DuckDB-side 12-bit int from 3 hex chars of a hash (same digit

@@ -483,4 +483,37 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       p.take(400))
   }
+
+  test("multimodal dedup verdict joins banded pHash buckets, never " +
+       "an all-pairs cartesian") {
+    val p = plan("mm_dedup_verdict")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoop"), p.take(600))
+    assert(p.contains("Window"), "cluster size must ride one window")
+  }
+
+  test("SQ recall broadcasts stats and query set; corpus side never " +
+       "plans a bare cartesian") {
+    val p = plan("sim_sq_recall")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+  }
+
+  test("filter funnel: one corpus scan, one content-hash exchange, " +
+       "no join") {
+    val p = plan("txt_filter_funnel")
+    val hashExchanges = "hashpartitioning\\(content_hash".r.findAllIn(p).size
+    assert(hashExchanges == 1,
+      s"expected exactly one content_hash shuffle, got $hashExchanges\n" +
+        p.take(600))
+    assert(!p.contains("Join"), "funnel flags must come from one scan\n" +
+      p.take(600))
+  }
+
+  test("min-cost supplier broadcasts every dimension and keeps the " +
+       "join-back an equi join") {
+    val p = plan("rel_min_cost_supplier")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoop"), p.take(600))
+  }
 }

@@ -1,0 +1,115 @@
+package graft.ext
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkEntry
+
+/** Partition-count invariance + semantic pins for the round-4 second
+  * wave (multimodal dedup verdict, SQ8 recall, cleaning funnel, Q2
+  * min-cost supplier) — same contract as the earlier invariance
+  * specs: bit-identical output under different shuffle-partition
+  * counts, plus the hand-checkable properties the sf-dir oracles
+  * cannot pin on their own.
+  */
+class Round9Spec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private val queries = Seq(
+    "mm_dedup_verdict", "sim_sq_recall", "txt_filter_funnel",
+    "rel_min_cost_supplier")
+
+  test("results are bit-identical under 4 and 7 shuffle partitions") {
+    def snapshot(name: String): Seq[String] =
+      SparkEntry.queries(name)(spark, sf).collect()
+        .map(_.toString).sorted.toSeq
+    for (name <- queries) {
+      spark.conf.set("spark.sql.shuffle.partitions", 4)
+      val a = snapshot(name)
+      spark.conf.set("spark.sql.shuffle.partitions", 7)
+      val b = snapshot(name)
+      spark.conf.set("spark.sql.shuffle.partitions", 4)
+      assert(a == b, s"$name varies with partition count")
+      assert(a.nonEmpty, s"$name returned no rows at sf0.001")
+    }
+  }
+
+  test("multimodal verdict keeps exactly one doc per cluster and " +
+       "clusters never cross modality") {
+    val rows = SparkEntry.queries("mm_dedup_verdict")(spark, sf).collect()
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster_id"))
+    for ((cid, members) <- byCluster) {
+      val kept = members.count(_.getAs[Boolean]("is_kept"))
+      assert(kept == 1, s"cluster $cid keeps $kept docs, want exactly 1")
+      assert(members.map(_.getAs[String]("kind")).distinct.length == 1,
+        s"cluster $cid mixes modalities — pHash edges are within-kind")
+      assert(members.forall(_.getAs[Long]("cluster_size") ==
+        members.length.toLong), s"cluster $cid size column wrong")
+      // min-label construction: the survivor IS the cluster id
+      assert(members.filter(_.getAs[Boolean]("is_kept"))
+        .head.getAs[Long]("doc_id") == cid)
+    }
+    // every corpus doc is present exactly once
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == rows.length)
+  }
+
+  test("SQ recall is bounded by 10⁶ ppm and measures against a full " +
+       "exact top-5") {
+    val rows = SparkEntry.queries("sim_sq_recall")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_exact") == 5L)
+      assert(r.getAs[Long]("n_hit") <= 5L)
+      assert(r.getAs[Long]("recall_ppm") <= 1000000L)
+      assert(r.getAs[Long]("recall_ppm") ==
+        r.getAs[Long]("n_hit") * 1000000L / 5L)
+    }
+  }
+
+  test("filter funnel chains: stage k+1 reads exactly what stage k " +
+       "passed, counts never increase, stage 1 sees the whole corpus") {
+    val rows = SparkEntry.queries("txt_filter_funnel")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("stage"))
+    assert(rows.length == 5)
+    val corpus = Tables.corpusCount(spark, sf)
+    assert(rows.head.getAs[Long]("docs_in") == corpus)
+    for (Array(a, b) <- rows.sliding(2)) {
+      assert(a.getAs[Long]("docs_out") == b.getAs[Long]("docs_in"),
+        s"funnel break between stage ${a.getAs[Long]("stage")} and " +
+          s"${b.getAs[Long]("stage")}")
+    }
+    for (r <- rows) {
+      assert(r.getAs[Long]("docs_out") <= r.getAs[Long]("docs_in"))
+      assert(r.getAs[Long]("dropped") ==
+        r.getAs[Long]("docs_in") - r.getAs[Long]("docs_out"))
+    }
+  }
+
+  test("min-cost supplier rows all quote their part's true minimum " +
+       "and ties surface as multiple rows") {
+    val rows = SparkEntry.queries("rel_min_cost_supplier")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val byPart = rows.groupBy(_.getAs[Long]("p_partkey"))
+    for ((pk, quotes) <- byPart) {
+      assert(quotes.map(_.getAs[Double]("min_price")).distinct.length == 1,
+        s"part $pk exports more than one 'minimum' price")
+      // a (supplier, part) pair appears at most once after DISTINCT
+      assert(quotes.map(_.getAs[String]("s_name")).distinct.length ==
+        quotes.length, s"part $pk duplicates a supplier quote")
+    }
+  }
+
+  private object Tables {
+    def corpusCount(s: SparkSession, d: String): Long =
+      graft.Tables.documents(s, d).count()
+  }
+}
