@@ -1794,6 +1794,56 @@ object EventsOps {
             CAST(SUM(n_ended) OVER (ORDER BY wk DESC
               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
               AS BIGINT) AS n_users
-          FROM bywk) x"""))
+          FROM bywk) x""")),
+
+    // ------------------------------------------------------------------
+    // Traffic-concentration report: what share of all events comes
+    // from the top 1% / top 10% of users — the whale/bot diagnosis
+    // that decides whether per-user state needs a skew strategy
+    // (salting, AQE skew join) before any per-user pipeline ships.
+    // The corpus collapses to one row per user on ONE shuffle; the
+    // global percentile bucket comes from Ranking.exactNtile (range-
+    // partitioned sort + offset ranks — NEVER the single-partition
+    // ntile window, which at 10⁹ users single-threads the rollup);
+    // tiers then aggregate to 3 rows and the share divides two exact
+    // integers once. NTILE semantics (remainder buckets to the
+    // front) are engine-identical, and the (count desc, user_id)
+    // sort is a total order, so bucket membership cannot flutter.
+    Q("ev_user_concentration",
+      (s, d) => {
+        import s.implicits._
+        val perUser = Tables.events(s, d)
+          .groupBy($"user_id").agg(count(lit(1)).as("n_ev"))
+        val tiled = graft.core.Ranking.exactNtile(
+          perUser, 100, Seq($"n_ev".desc, $"user_id"), "pctile")
+        val total = perUser.agg(sum($"n_ev").as("total_events"))
+        tiled
+          .withColumn("tier",
+            when($"pctile" === 1, "top1pct")
+              .when($"pctile" <= 10, "top10pct")
+              .otherwise("rest"))
+          .groupBy($"tier")
+          .agg(count(lit(1)).as("n_users"), sum($"n_ev").as("n_events"))
+          .crossJoin(broadcast(total))
+          .select($"tier", $"n_users", $"n_events",
+            expr("n_events * 1000000 div total_events").as("share_ppm"))
+      },
+      Some("""WITH pu AS (
+          SELECT user_id, COUNT(*) AS n_ev FROM events GROUP BY user_id),
+        t AS (
+          SELECT user_id, n_ev,
+            NTILE(100) OVER (ORDER BY n_ev DESC, user_id) AS pctile
+          FROM pu),
+        tiers AS (
+          SELECT CASE WHEN pctile = 1 THEN 'top1pct'
+                      WHEN pctile <= 10 THEN 'top10pct'
+                      ELSE 'rest' END AS tier, n_ev
+          FROM t),
+        tot AS (SELECT CAST(SUM(n_ev) AS BIGINT) AS total_events FROM pu)
+        SELECT tier, COUNT(*) AS n_users,
+          CAST(SUM(n_ev) AS BIGINT) AS n_events,
+          CAST(SUM(n_ev) * 1000000 // (SELECT total_events FROM tot)
+            AS BIGINT) AS share_ppm
+        FROM tiers GROUP BY tier"""))
   )
 }

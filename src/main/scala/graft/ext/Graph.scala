@@ -886,6 +886,86 @@ object GraphOps {
           .orderBy($"ppr3".desc, $"node_id")
           .limit(30)
       },
-      Some(pprOracle))
+      Some(pprOracle)),
+
+    // ------------------------------------------------------------------
+    // HITS hubs & authorities over the DIRECTED bipartite purchase
+    // graph (customer → supplier): the one centrality where the two
+    // node roles get different scores — customers score as hubs
+    // (they buy from good suppliers), suppliers as authorities (they
+    // are bought from by good hubs). Two full mutual-reinforcement
+    // rounds, computed entirely in integer units: the l∞
+    // normalization after every half-step (score · 10⁶ div max) is
+    // integer division over an order-free MAX, and each half-step is
+    // a SUM of bounded integers — associative, so bit-identical
+    // under any partial-agg order, partition count, and in DuckDB.
+    // (The textbook l₂ normalization needs a float sqrt whose sums
+    // would flutter cross-engine.) Each half-step is one broadcast
+    // join of the node-sized score frame against the pinned edge
+    // frame + one map-side-combined aggregation — the same Pregel
+    // round shape as pagerank, with every intermediate frame
+    // lineage-pinned because the normalize step references its input
+    // twice (score and max) — an uncut chain re-derives the edge
+    // build 2^halfsteps times. Output: top-15 authorities and
+    // top-15 hubs via two heap top-k passes, never a global sort.
+    Q("gr_hits",
+      (s, d) => {
+        import s.implicits._
+        val e = pin(Tables.lineitem(s, d)
+          .select($"l_orderkey", $"l_suppkey")
+          .join(Tables.orders(s, d).select($"o_orderkey", $"o_custkey"),
+            $"l_orderkey" === $"o_orderkey")
+          .select($"o_custkey".as("c"), $"l_suppkey".as("s"))
+          .distinct())
+        def lInfNorm(df: DataFrame, col0: String): DataFrame = pin(
+          df.crossJoin(broadcast(df.agg(max(col(col0)).as("mx"))))
+            .select(df.columns.filter(_ != col0).map(col) :+
+              expr(s"$col0 * 1000000 div mx").as(col0): _*))
+        // hub⁰ ≡ 10⁶ ⇒ the first authority half-step is 10⁶·indeg
+        val a1 = lInfNorm(e.groupBy($"s")
+          .agg((count(lit(1)) * 1000000L).as("a")), "a")
+        val h1 = lInfNorm(e.join(broadcast(a1), "s")
+          .groupBy($"c").agg(sum($"a").as("h")), "h")
+        val a2 = lInfNorm(e.join(broadcast(h1), "c")
+          .groupBy($"s").agg(sum($"h").as("a")), "a")
+        val h2 = lInfNorm(e.join(broadcast(a2), "s")
+          .groupBy($"c").agg(sum($"a").as("h")), "h")
+        val topA = a2
+          .select(lit("authority").as("role"), $"s".as("node_id"),
+            $"a".as("score"))
+          .orderBy($"score".desc, $"node_id").limit(15)
+        val topH = h2
+          .select(lit("hub").as("role"), $"c".as("node_id"),
+            $"h".as("score"))
+          .orderBy($"score".desc, $"node_id").limit(15)
+        topA.unionByName(topH)
+      },
+      Some("""WITH e AS (
+          SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        a1 AS (SELECT s, COUNT(*) * 1000000 AS a FROM e GROUP BY s),
+        a1n AS (SELECT s, a * 1000000 // (SELECT MAX(a) FROM a1) AS a
+                FROM a1),
+        h1 AS (SELECT c, CAST(SUM(a1n.a) AS BIGINT) AS h
+               FROM e JOIN a1n ON e.s = a1n.s GROUP BY c),
+        h1n AS (SELECT c, h * 1000000 // (SELECT MAX(h) FROM h1) AS h
+                FROM h1),
+        a2 AS (SELECT s, CAST(SUM(h1n.h) AS BIGINT) AS a
+               FROM e JOIN h1n ON e.c = h1n.c GROUP BY s),
+        a2n AS (SELECT s, a * 1000000 // (SELECT MAX(a) FROM a2) AS a
+                FROM a2),
+        h2 AS (SELECT c, CAST(SUM(a2n.a) AS BIGINT) AS h
+               FROM e JOIN a2n ON e.s = a2n.s GROUP BY c),
+        h2n AS (SELECT c, h * 1000000 // (SELECT MAX(h) FROM h2) AS h
+                FROM h2),
+        ta AS (SELECT 'authority' AS role, s AS node_id,
+                 CAST(a AS BIGINT) AS score
+               FROM a2n ORDER BY score DESC, node_id LIMIT 15),
+        th AS (SELECT 'hub' AS role, c AS node_id,
+                 CAST(h AS BIGINT) AS score
+               FROM h2n ORDER BY score DESC, node_id LIMIT 15)
+        SELECT role, node_id, score FROM ta
+        UNION ALL
+        SELECT role, node_id, score FROM th"""))
   )
 }

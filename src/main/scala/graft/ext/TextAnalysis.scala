@@ -1729,7 +1729,53 @@ object TextAnalysis {
           UNION ALL SELECT 2, 'mean_word_len', c1, c2 FROM agg
           UNION ALL SELECT 3, 'symbol_ratio', c2, c3 FROM agg
           UNION ALL SELECT 4, 'stopword_hits', c3, c4 FROM agg
-          UNION ALL SELECT 5, 'exact_dedup', c4, c5 FROM agg) f"""))
+          UNION ALL SELECT 5, 'exact_dedup', c4, c5 FROM agg) f""")),
+
+    // ------------------------------------------------------------------
+    // Zipf-law audit over the corpus term distribution: for the
+    // top-20 terms, rank × frequency normalized by total tokens
+    // (ppm) — under Zipf the product is roughly constant, and a
+    // corpus whose curve is far off (product exploding or
+    // collapsing) signals boilerplate/templating or synthetic text
+    // before any model sees it. One token explode + one term
+    // shuffle; the top-20 is a heap TakeOrderedAndProject (never a
+    // global sort), the rank window runs on the collapsed 20-row
+    // frame, and every output is an exact integer (rank·freq·10⁶
+    // div total — single trailing division, no float log-log fit
+    // whose ulps would flutter cross-engine).
+    Q("txt_zipf_check",
+      (s, d) => {
+        import s.implicits._
+        val cnt = Tables.documents(s, d)
+          .select(explode(tokens($"text")).as("term"))
+          .filter(length($"term") > 0)
+          .groupBy($"term").agg(count(lit(1)).as("freq"))
+        val total = cnt.agg(sum($"freq").as("total_tokens"))
+        val top = cnt.orderBy($"freq".desc, $"term").limit(20)
+        top
+          .withColumn("rank", row_number().over(
+            Window.orderBy($"freq".desc, $"term")).cast("long"))
+          .crossJoin(broadcast(total))
+          .select($"rank", $"term", $"freq",
+            expr("rank * freq * 1000000 div total_tokens")
+              .as("zipf_c_ppm"))
+      },
+      Some("""WITH toks AS (
+          SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+            AS term
+          FROM documents),
+        cnt AS (
+          SELECT term, COUNT(*) AS freq FROM toks
+          WHERE length(term) > 0 GROUP BY term),
+        tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS total_tokens FROM cnt),
+        top AS (
+          SELECT term, freq,
+            ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS rank
+          FROM cnt ORDER BY freq DESC, term LIMIT 20)
+        SELECT rank, term, freq,
+          rank * freq * 1000000 // (SELECT total_tokens FROM tot)
+            AS zipf_c_ppm
+        FROM top"""))
   )
 
   /** DuckDB-side 12-bit int from 3 hex chars of a hash (same digit

@@ -516,4 +516,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") &&
            !p.contains("BroadcastNestedLoop"), p.take(600))
   }
+
+  test("HITS output is two heap top-k passes over lineage-pinned " +
+       "score frames — no global sort, no sort-merge join") {
+    val p = plan("gr_hits")
+    assert(p.contains("TakeOrderedAndProject"), p.take(400))
+    assert(p.contains("ExistingRDD"),
+      "half-step frames must be lineage-pinned\n" + p.take(400))
+    assert(!p.contains("SortMergeJoin"), p.take(400))
+  }
+
+  test("user concentration never plans a window — the global " +
+       "percentile comes from the distributed exact ntile") {
+    val p = plan("ev_user_concentration")
+    assert(!p.contains("Window"),
+      "global binning must use Ranking.exactNtile, not a " +
+        "single-partition ntile window\n" + p.take(600))
+  }
+
+  test("zipf audit takes its top-20 with a heap, window only on the " +
+       "collapsed frame") {
+    val p = plan("txt_zipf_check")
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+    assert(p.contains("Generate"), "token explode should be a Generate")
+  }
 }

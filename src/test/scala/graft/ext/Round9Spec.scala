@@ -25,7 +25,8 @@ class Round9Spec extends AnyFunSuite {
 
   private val queries = Seq(
     "mm_dedup_verdict", "sim_sq_recall", "txt_filter_funnel",
-    "rel_min_cost_supplier")
+    "rel_min_cost_supplier",
+    "gr_hits", "ev_user_concentration", "txt_zipf_check")
 
   test("results are bit-identical under 4 and 7 shuffle partitions") {
     def snapshot(name: String): Seq[String] =
@@ -106,6 +107,44 @@ class Round9Spec extends AnyFunSuite {
       assert(quotes.map(_.getAs[String]("s_name")).distinct.length ==
         quotes.length, s"part $pk duplicates a supplier quote")
     }
+  }
+
+  test("HITS scores are l∞-normalized: every score in [0, 10⁶], the " +
+       "max of each role exactly 10⁶, and roles never mix node sets") {
+    val rows = SparkEntry.queries("gr_hits")(spark, sf).collect()
+    val (auths, hubs) = rows.partition(_.getAs[String]("role") == "authority")
+    assert(auths.nonEmpty && hubs.nonEmpty)
+    for (r <- rows) {
+      val sc = r.getAs[Long]("score")
+      assert(sc >= 0L && sc <= 1000000L, s"score $sc outside [0, 1e6]")
+    }
+    // the top row of each role IS the normalization anchor
+    assert(auths.map(_.getAs[Long]("score")).max == 1000000L)
+    assert(hubs.map(_.getAs[Long]("score")).max == 1000000L)
+  }
+
+  test("user concentration tiers partition all users, shares sum to " +
+       "~10⁶ ppm, and the top-1% share dominates its user share") {
+    val rows = SparkEntry.queries("ev_user_concentration")(spark, sf)
+      .collect()
+    assert(rows.map(_.getAs[String]("tier")).sorted.toSeq ==
+      Seq("rest", "top10pct", "top1pct"))
+    val totalUsers = rows.map(_.getAs[Long]("n_users")).sum
+    val shareSum = rows.map(_.getAs[Long]("share_ppm")).sum
+    assert(shareSum >= 999997L && shareSum <= 1000000L,
+      s"shares sum to $shareSum ppm (floor-division slack only)")
+    val top1 = rows.find(_.getAs[String]("tier") == "top1pct").get
+    // concentration: the top 1% of users carries MORE than 1% of events
+    assert(top1.getAs[Long]("share_ppm") * totalUsers >=
+      top1.getAs[Long]("n_users") * 1000000L)
+  }
+
+  test("zipf audit ranks are 1..20 with non-increasing frequencies") {
+    val rows = SparkEntry.queries("txt_zipf_check")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("rank"))
+    assert(rows.map(_.getAs[Long]("rank")).toSeq == (1L to 20L))
+    val freqs = rows.map(_.getAs[Long]("freq"))
+    assert(freqs.zip(freqs.tail).forall { case (a, b) => a >= b })
   }
 
   private object Tables {
