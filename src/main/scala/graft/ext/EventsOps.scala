@@ -1844,6 +1844,51 @@ object EventsOps {
           CAST(SUM(n_ev) AS BIGINT) AS n_events,
           CAST(SUM(n_ev) * 1000000 // (SELECT total_events FROM tot)
             AS BIGINT) AS share_ppm
-        FROM tiers GROUP BY tier"""))
+        FROM tiers GROUP BY tier""")),
+
+    // ------------------------------------------------------------------
+    // Sequential-pattern mining (order-3): the most common
+    // consecutive event-type trigrams across user timelines, with
+    // occurrence and distinct-user support — the path-mining step
+    // between ev_markov_transitions (order-2, full matrix) and full
+    // sequence mining, and the input a UX/funnel designer reads to
+    // find the paths users actually take. Two stacked leads ride ONE
+    // user_id window sort; the trigram table collapses via map-side
+    // partials before the heap top-15 (total-order tiebreak on the
+    // path string). The (ts, event_id) sort is a total order per
+    // user, so every trigram — and the whole output — is
+    // deterministic cross-engine.
+    Q("ev_trigram_paths",
+      (s, d) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id").orderBy($"ts", $"event_id")
+        Tables.events(s, d)
+          .select($"user_id", $"ts", $"event_id", $"event_type")
+          .withColumn("e2", lead($"event_type", 1).over(w))
+          .withColumn("e3", lead($"event_type", 2).over(w))
+          .filter($"e2".isNotNull && $"e3".isNotNull)
+          .select(concat_ws(">", $"event_type", $"e2", $"e3").as("path"),
+            $"user_id")
+          .groupBy($"path")
+          .agg(count(lit(1)).as("n_occ"),
+            countDistinct($"user_id").as("n_users"))
+          .orderBy($"n_occ".desc, $"path")
+          .limit(15)
+      },
+      Some("""WITH seq AS (
+          SELECT user_id, event_type,
+            LEAD(event_type, 1) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS e2,
+            LEAD(event_type, 2) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS e3
+          FROM events),
+        tri AS (
+          SELECT event_type || '>' || e2 || '>' || e3 AS path, user_id
+          FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL)
+        SELECT path, COUNT(*) AS n_occ,
+          COUNT(DISTINCT user_id) AS n_users
+        FROM tri GROUP BY path
+        ORDER BY n_occ DESC, path LIMIT 15"""))
   )
 }

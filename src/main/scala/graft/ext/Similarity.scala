@@ -75,6 +75,19 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** Oracle fragment replaying [[lshSignature]]: the ±1 hyperplanes
+    * are driver-side literals, so the SQL just embeds them as list
+    * literals and sums the same ordered projections. */
+  private def bucketSql(e: String, nPlanes: Int = 4): String =
+    (0 until nPlanes).map { j =>
+      val planeList = plane(j)
+        .map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+      s"""(CASE WHEN (SELECT SUM(CAST($e[i] AS DOUBLE) *
+             list_extract($planeList, i))
+           FROM generate_series(1, 64) t(i)) >= 0
+           THEN ${1 << j} ELSE 0 END)"""
+    }.mkString(" + ")
+
   val all: Seq[Q] = Seq(
     // ------------------------------------------------------------------
     // Exact brute-force cosine top-k: broadcast query set × corpus
@@ -877,7 +890,136 @@ object Similarity {
           COUNT(s.vec_id) * 1000000 // COUNT(*) AS recall_ppm
         FROM exact x LEFT JOIN sq5 s
           ON s.qid = x.qid AND s.vec_id = x.neighbor_id
-        GROUP BY x.qid"""))
+        GROUP BY x.qid""")),
+
+    // ------------------------------------------------------------------
+    // SRP-LSH retrieval evaluation — the accuracy measurement for the
+    // sign-random-projection ANN path (sim_ann_lsh), closing the loop
+    // sim_ivf_recall closed for IVF: with both, EVERY approximate
+    // search path in the engine carries an oracle-checked recall
+    // number. recall@5 of the same-bucket candidate search against
+    // the exact cosine top-5; the ±1 hyperplanes are driver-side
+    // literals, so the oracle replays the identical ordered
+    // projections as embedded list literals — bucket assignment,
+    // candidate set, and both rankings are all deterministic under
+    // the (cos desc, vec_id) tiebreak. A query whose bucket holds
+    // fewer than 5 neighbors scores over what it found (n_hit counts
+    // matches; n_exact stays 5) — exactly the degradation a
+    // single-table SRP index exhibits, which is the number this
+    // query exists to surface (multi-probe or multi-table raises it;
+    // the banded MinHash path in dedup shows the same trade).
+    Q("sim_lsh_recall",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+          .withColumn("bucket", lshSignature($"embedding"))
+        val queries = emb.filter($"vec_id" % 97 === 0)
+          .select($"vec_id".as("qid"), $"embedding".as("qemb"), $"bucket")
+        val wTop = Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
+        val exact = emb.crossJoin(broadcast(
+            queries.select($"qid", $"qemb")))
+          .filter($"vec_id" =!= $"qid")
+          .withColumn("cos", cosine($"qemb", $"embedding"))
+          .withColumn("rank", row_number().over(wTop))
+          .filter($"rank" <= 5)
+          .select($"qid", $"vec_id".as("neighbor_id"))
+        val lsh5 = emb.join(broadcast(queries), "bucket")
+          .filter($"vec_id" =!= $"qid")
+          .withColumn("cos", cosine($"qemb", $"embedding"))
+          .withColumn("rank", row_number().over(wTop))
+          .filter($"rank" <= 5)
+          .select($"qid".as("l_qid"), $"vec_id".as("l_neighbor"))
+        exact.join(lsh5,
+            $"qid" === $"l_qid" && $"neighbor_id" === $"l_neighbor", "left")
+          .groupBy($"qid")
+          .agg(count(lit(1)).as("n_exact"),
+            count($"l_neighbor").as("n_hit"))
+          .withColumn("recall_ppm", expr("n_hit * 1000000 div n_exact"))
+      },
+      Some(s"""WITH b AS (
+          SELECT vec_id, embedding,
+            ${bucketSql("embedding")} AS bucket
+          FROM embeddings),
+        q AS (
+          SELECT vec_id AS qid, embedding AS qemb, bucket FROM b
+          WHERE vec_id % 97 = 0),
+        exact AS (
+          SELECT qid, vec_id AS neighbor_id FROM (
+            SELECT q.qid, e.vec_id,
+              ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                ${dotSql("q.qemb", "e.embedding")} /
+                (sqrt(${dotSql("q.qemb", "q.qemb")}) *
+                 sqrt(${dotSql("e.embedding", "e.embedding")})) DESC,
+                e.vec_id) AS rank
+            FROM embeddings e, q WHERE e.vec_id <> q.qid) t
+          WHERE rank <= 5),
+        lsh5 AS (
+          SELECT qid, vec_id FROM (
+            SELECT q.qid, e.vec_id,
+              ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                ${dotSql("q.qemb", "e.embedding")} /
+                (sqrt(${dotSql("q.qemb", "q.qemb")}) *
+                 sqrt(${dotSql("e.embedding", "e.embedding")})) DESC,
+                e.vec_id) AS rank
+            FROM b e JOIN q ON e.bucket = q.bucket
+            WHERE e.vec_id <> q.qid) t
+          WHERE rank <= 5)
+        SELECT x.qid, COUNT(*) AS n_exact, COUNT(l.vec_id) AS n_hit,
+          COUNT(l.vec_id) * 1000000 // COUNT(*) AS recall_ppm
+        FROM exact x LEFT JOIN lsh5 l
+          ON l.qid = x.qid AND l.vec_id = x.neighbor_id
+        GROUP BY x.qid""")),
+
+    // ------------------------------------------------------------------
+    // Clustering-quality report for the IVF/k-means coarse quantizer:
+    // per coarse cell, member count and total/mean quantized-L2
+    // inertia — the elbow-curve ingredient that decides K before an
+    // IVF index ships, and the balance check that catches dead or
+    // overloaded cells (an unbalanced quantizer wrecks probe-cost
+    // uniformity at 10⁹ vectors). Assignment is the shared
+    // broadcast-codebook argmin on FloatVecL2Q's integer distance
+    // (bit-reproducible in any engine); inertia is a SUM of those
+    // integers — associative, parallelism-proof — and mean divides
+    // two exact integers once.
+    Q("sim_kmeans_quality",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+        val cents = emb.filter($"vec_id" < 16)
+          .select($"vec_id".as("cid"), $"embedding".as("cemb"))
+        emb.crossJoin(broadcast(cents))
+          .withColumn("qdist", graft.functions.NativeFunctions.floatVecL2Q(
+            $"embedding", $"cemb"))
+          .groupBy($"vec_id")
+          .agg(min(struct($"qdist", $"cid")).as("best"))
+          .select($"vec_id", $"best.cid".as("cid"), $"best.qdist".as("qdist"))
+          .groupBy($"cid")
+          .agg(count(lit(1)).as("n_members"), sum($"qdist").as("inertia_q"))
+          .withColumn("mean_inertia_q", expr("inertia_q div n_members"))
+      },
+      Some("""WITH c AS (
+          SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+          WHERE vec_id < 16),
+        scored AS (
+          SELECT e.vec_id, c.cid,
+            CAST((SELECT SUM(CAST(floor(
+                (CAST(e.embedding[j] AS DOUBLE) -
+                 CAST(c.cemb[j] AS DOUBLE)) *
+                (CAST(e.embedding[j] AS DOUBLE) -
+                 CAST(c.cemb[j] AS DOUBLE)) * 1000000.0)
+              AS BIGINT)) FROM generate_series(1, 64) t(j)) AS BIGINT)
+              AS qdist
+          FROM embeddings e, c),
+        assign AS (
+          SELECT vec_id, cid, qdist FROM (
+            SELECT vec_id, cid, qdist,
+              ROW_NUMBER() OVER (PARTITION BY vec_id
+                ORDER BY qdist, cid) AS rk
+            FROM scored) t WHERE rk = 1)
+        SELECT cid, COUNT(*) AS n_members,
+          CAST(SUM(qdist) AS BIGINT) AS inertia_q,
+          CAST(SUM(qdist) // COUNT(*) AS BIGINT) AS mean_inertia_q
+        FROM assign GROUP BY cid"""))
   )
 
   /** PQ codebook assignment shared by `sim_pq_encode` and

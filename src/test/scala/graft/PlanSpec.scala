@@ -540,4 +540,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(600))
     assert(p.contains("Generate"), "token explode should be a Generate")
   }
+
+  test("LSH recall joins buckets and broadcast query sets — no bare " +
+       "cartesian anywhere") {
+    val p = plan("sim_lsh_recall")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+  }
+
+  test("kmeans quality assigns via broadcast codebook and two " +
+       "aggregations — no sort-merge join") {
+    val p = plan("sim_kmeans_quality")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(600))
+  }
+
+  test("trigram paths ride one user window sort and a heap top-15") {
+    val p = plan("ev_trigram_paths")
+    val userExchanges = "hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(userExchanges == 1,
+      s"expected exactly one user_id shuffle, got $userExchanges\n" +
+        p.take(600))
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+  }
 }

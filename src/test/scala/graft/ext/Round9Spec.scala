@@ -26,7 +26,8 @@ class Round9Spec extends AnyFunSuite {
   private val queries = Seq(
     "mm_dedup_verdict", "sim_sq_recall", "txt_filter_funnel",
     "rel_min_cost_supplier",
-    "gr_hits", "ev_user_concentration", "txt_zipf_check")
+    "gr_hits", "ev_user_concentration", "txt_zipf_check",
+    "sim_lsh_recall", "sim_kmeans_quality", "ev_trigram_paths")
 
   test("results are bit-identical under 4 and 7 shuffle partitions") {
     def snapshot(name: String): Seq[String] =
@@ -137,6 +138,46 @@ class Round9Spec extends AnyFunSuite {
     // concentration: the top 1% of users carries MORE than 1% of events
     assert(top1.getAs[Long]("share_ppm") * totalUsers >=
       top1.getAs[Long]("n_users") * 1000000L)
+  }
+
+  test("LSH recall measures every query against a full exact top-5 " +
+       "and stays within [0, 10⁶] ppm") {
+    val rows = SparkEntry.queries("sim_lsh_recall")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_exact") == 5L)
+      assert(r.getAs[Long]("n_hit") <= 5L)
+      assert(r.getAs[Long]("recall_ppm") ==
+        r.getAs[Long]("n_hit") * 1000000L / 5L)
+    }
+  }
+
+  test("kmeans quality accounts for every vector exactly once and " +
+       "means bound their cells' inertia") {
+    val rows = SparkEntry.queries("sim_kmeans_quality")(spark, sf)
+      .collect()
+    val corpus = graft.Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_members")).sum == corpus)
+    for (r <- rows) {
+      val n = r.getAs[Long]("n_members")
+      val tot = r.getAs[Long]("inertia_q")
+      val mean = r.getAs[Long]("mean_inertia_q")
+      assert(mean * n <= tot && tot < (mean + 1) * n,
+        s"cell ${r.getAs[Long]("cid")}: mean $mean inconsistent with " +
+          s"total $tot over $n members")
+    }
+  }
+
+  test("trigram paths: support never exceeds occurrences and the " +
+       "top-15 ordering is the declared total order") {
+    val rows = SparkEntry.queries("ev_trigram_paths")(spark, sf).collect()
+    assert(rows.length == 15)
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_users") <= r.getAs[Long]("n_occ"))
+      assert(r.getAs[String]("path").split(">").length == 3)
+    }
+    val occs = rows.map(_.getAs[Long]("n_occ"))
+    assert(occs.zip(occs.tail).forall { case (a, b) => a >= b })
   }
 
   test("zipf audit ranks are 1..20 with non-increasing frequencies") {
