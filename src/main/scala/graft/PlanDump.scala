@@ -83,7 +83,8 @@ object PlanDump {
       "mm_dedup_verdict", "sim_sq_recall", "txt_filter_funnel",
       "rel_min_cost_supplier",
       "gr_hits", "ev_user_concentration", "txt_zipf_check",
-      "sim_lsh_recall", "sim_kmeans_quality", "ev_trigram_paths")
+      "sim_lsh_recall", "sim_kmeans_quality", "ev_trigram_paths",
+      "dedup_source_impact", "txt_fertility_by_lang")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (")
       .append(sfDir).append(")\n\n")

@@ -1088,6 +1088,72 @@ object Dedup {
         SELECT doc_id, cluster_id,
           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
           doc_id = cluster_id AS is_kept
-        FROM verdict"""))
+        FROM verdict""")),
+
+    // ------------------------------------------------------------------
+    // Per-source dedup cost — the report a corpus owner reads after
+    // a dedup run: for each ingestion source, how many documents and
+    // tokens the lexical MinHash-LSH verdict would drop, in exact
+    // permille. Sources with high drop rates are over-crawled or
+    // templated (the signal that re-weights the next crawl); token
+    // drop diverging from doc drop says the duplicates skew long or
+    // short. Composes the natural-corpus band edges +
+    // connectedComponents with ONE corpus-side left join; the
+    // per-source rollup collapses before any ratio divides two exact
+    // integers once. Same recursive-CTE oracle as the verdict
+    // queries, aggregated by the joined source column.
+    Q("dedup_source_impact",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+          .select($"doc_id", $"source", $"text")
+        val star = bucketStarEdges(bandedKeys(minhashSignatures(
+          docs.select($"doc_id", $"text"))))
+        val edges = star
+          .unionByName(star.select($"dst".as("src"), $"src".as("dst")))
+        docs
+          .withColumn("n_toks",
+            size(split(trim(lower($"text")), "\\s+")).cast("long"))
+          .join(connectedComponents(edges), Seq("doc_id"), "left")
+          .withColumn("kept",
+            $"cluster_id".isNull || $"doc_id" === $"cluster_id")
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            count(when(!$"kept", 1)).as("n_dropped"),
+            sum($"n_toks").as("tok_total"),
+            coalesce(sum(when(!$"kept", $"n_toks")), lit(0L))
+              .as("tok_dropped"))
+          .withColumn("drop_permille",
+            expr("1000 * n_dropped div n_docs"))
+          .withColumn("tok_drop_permille",
+            expr("1000 * tok_dropped div tok_total"))
+      },
+      Some(s"""WITH RECURSIVE corpus AS (
+          SELECT doc_id, text FROM documents),
+        $signaturesSql, $bandsSql,
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM candidates
+          UNION ALL SELECT doc_b AS a, doc_a AS b FROM candidates),
+        reach(v, r) AS (
+          SELECT DISTINCT a AS v, a AS r FROM edges
+          UNION
+          SELECT e.b AS v, reach.r FROM reach JOIN edges e ON e.a = reach.v),
+        clusters AS (
+          SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v),
+        verdict AS (
+          SELECT d.doc_id, d.source,
+            len(string_split_regex(trim(lower(d.text)), '\\s+')) AS n_toks,
+            cl.cluster_id IS NULL OR d.doc_id = cl.cluster_id AS kept
+          FROM documents d LEFT JOIN clusters cl ON cl.doc_id = d.doc_id)
+        SELECT source, COUNT(*) AS n_docs,
+          COUNT(CASE WHEN NOT kept THEN 1 END) AS n_dropped,
+          CAST(SUM(n_toks) AS BIGINT) AS tok_total,
+          CAST(COALESCE(SUM(CASE WHEN NOT kept THEN n_toks END), 0)
+            AS BIGINT) AS tok_dropped,
+          1000 * COUNT(CASE WHEN NOT kept THEN 1 END) // COUNT(*)
+            AS drop_permille,
+          CAST(1000 * COALESCE(SUM(CASE WHEN NOT kept THEN n_toks END), 0)
+            // SUM(n_toks) AS BIGINT) AS tok_drop_permille
+        FROM verdict GROUP BY source"""))
   )
 }

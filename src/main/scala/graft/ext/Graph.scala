@@ -917,10 +917,15 @@ object GraphOps {
             $"l_orderkey" === $"o_orderkey")
           .select($"o_custkey".as("c"), $"l_suppkey".as("s"))
           .distinct())
-        def lInfNorm(df: DataFrame, col0: String): DataFrame = pin(
-          df.crossJoin(broadcast(df.agg(max(col(col0)).as("mx"))))
-            .select(df.columns.filter(_ != col0).map(col) :+
+        // Pin the RAW aggregation (it is referenced twice: by its own
+        // max and by the normalized projection) — an unpinned frame
+        // would run the half-step's join+agg once per reference.
+        def lInfNorm(df: DataFrame, col0: String): DataFrame = {
+          val r = pin(df)
+          pin(r.crossJoin(broadcast(r.agg(max(col(col0)).as("mx"))))
+            .select(r.columns.filter(_ != col0).map(col) :+
               expr(s"$col0 * 1000000 div mx").as(col0): _*))
+        }
         // hub⁰ ≡ 10⁶ ⇒ the first authority half-step is 10⁶·indeg
         val a1 = lInfNorm(e.groupBy($"s")
           .agg((count(lit(1)) * 1000000L).as("a")), "a")

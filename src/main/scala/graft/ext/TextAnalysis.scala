@@ -1775,7 +1775,50 @@ object TextAnalysis {
         SELECT rank, term, freq,
           rank * freq * 1000000 // (SELECT total_tokens FROM tot)
             AS zipf_c_ppm
-        FROM top"""))
+        FROM top""")),
+
+    // ------------------------------------------------------------------
+    // Tokenizer fertility by language: subword pieces per whitespace
+    // word (ppm) — the tokenizer-equity metric a multilingual
+    // pretraining run reports (a language with 2× fertility pays 2×
+    // the sequence length for the same content, skewing both cost
+    // and batch packing). Uses the engine's BPE-ish regex
+    // segmentation against whitespace words; one narrow map + one
+    // |langs|-row rollup, the ratio divides two exact integer sums
+    // once. Per-doc extremes ride the same rollup as exact MIN/MAX.
+    Q("txt_fertility_by_lang",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"lang",
+            size(tokens($"text")).cast("long").as("n_words"),
+            subwordCount($"text").cast("long").as("n_subwords"))
+          .withColumn("doc_fert_ppm",
+            expr("n_subwords * 1000000 div n_words"))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_words").as("n_words"),
+            sum($"n_subwords").as("n_subwords"),
+            min($"doc_fert_ppm").as("min_doc_fert_ppm"),
+            max($"doc_fert_ppm").as("max_doc_fert_ppm"))
+          .withColumn("fertility_ppm",
+            expr("n_subwords * 1000000 div n_words"))
+      },
+      Some("""WITH per_doc AS (
+          SELECT lang,
+            CAST(len(string_split_regex(trim(lower(text)), '\s+'))
+              AS BIGINT) AS n_words,
+            CAST(len(list_filter(string_split_regex(lower(text),
+              '[^a-z0-9]+'), x -> length(x) > 0)) AS BIGINT) AS n_subwords
+          FROM documents)
+        SELECT lang, COUNT(*) AS n_docs,
+          CAST(SUM(n_words) AS BIGINT) AS n_words,
+          CAST(SUM(n_subwords) AS BIGINT) AS n_subwords,
+          MIN(n_subwords * 1000000 // n_words) AS min_doc_fert_ppm,
+          MAX(n_subwords * 1000000 // n_words) AS max_doc_fert_ppm,
+          CAST(SUM(n_subwords) * 1000000 // SUM(n_words) AS BIGINT)
+            AS fertility_ppm
+        FROM per_doc GROUP BY lang"""))
   )
 
   /** DuckDB-side 12-bit int from 3 hex chars of a hash (same digit

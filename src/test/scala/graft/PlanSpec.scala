@@ -554,6 +554,19 @@ class PlanSpec extends AnyFunSuite {
       p.take(600))
   }
 
+  test("fertility by language is one narrow map + one rollup — no " +
+       "join, no window, no explode") {
+    val p = plan("txt_fertility_by_lang")
+    assert(!p.contains("Join") && !p.contains("Window") &&
+           !p.contains("Generate"), p.take(600))
+  }
+
+  test("source impact joins the collapsed cluster table back to one " +
+       "corpus scan — never a cartesian") {
+    val p = plan("dedup_source_impact")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+  }
+
   test("trigram paths ride one user window sort and a heap top-15") {
     val p = plan("ev_trigram_paths")
     val userExchanges = "hashpartitioning\\(user_id".r.findAllIn(p).size

@@ -27,7 +27,8 @@ class Round9Spec extends AnyFunSuite {
     "mm_dedup_verdict", "sim_sq_recall", "txt_filter_funnel",
     "rel_min_cost_supplier",
     "gr_hits", "ev_user_concentration", "txt_zipf_check",
-    "sim_lsh_recall", "sim_kmeans_quality", "ev_trigram_paths")
+    "sim_lsh_recall", "sim_kmeans_quality", "ev_trigram_paths",
+    "dedup_source_impact", "txt_fertility_by_lang")
 
   test("results are bit-identical under 4 and 7 shuffle partitions") {
     def snapshot(name: String): Seq[String] =
@@ -186,6 +187,35 @@ class Round9Spec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("rank")).toSeq == (1L to 20L))
     val freqs = rows.map(_.getAs[Long]("freq"))
     assert(freqs.zip(freqs.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("source impact: drops never exceed docs, token ratios are " +
+       "consistent, and sources partition the corpus") {
+    val rows = SparkEntry.queries("dedup_source_impact")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      graft.Tables.documents(spark, sf).count())
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_dropped") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("tok_dropped") <= r.getAs[Long]("tok_total"))
+      assert(r.getAs[Long]("drop_permille") <= 1000L)
+      assert(r.getAs[Long]("drop_permille") ==
+        1000L * r.getAs[Long]("n_dropped") / r.getAs[Long]("n_docs"))
+    }
+  }
+
+  test("fertility: subword segmentation is at least as fine as " +
+       "whitespace words, so fertility ≥ min-doc and ≤ max-doc bounds") {
+    val rows = SparkEntry.queries("txt_fertility_by_lang")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val f = r.getAs[Long]("fertility_ppm")
+      assert(f >= r.getAs[Long]("min_doc_fert_ppm"),
+        s"${r.getAs[String]("lang")}: corpus fertility below per-doc min")
+      assert(f <= r.getAs[Long]("max_doc_fert_ppm"))
+    }
   }
 
   private object Tables {
