@@ -987,6 +987,38 @@ object Advanced {
           CAST(rev AS DOUBLE) AS decile_rev,
           CAST(rev AS DOUBLE) / CAST(tot_rev AS DOUBLE) AS rev_share,
           CAST(cum_rev AS DOUBLE) / CAST(tot_rev AS DOUBLE) AS cum_share
-        FROM framed"""))
+        FROM framed""")),
+
+    // ------------------------------------------------------------------
+    // k-anonymity / l-diversity audit — the privacy gate a dataset
+    // passes before external release: every quasi-identifier
+    // equivalence class (nation × market segment) with its class
+    // size (k), the number of distinct sensitive-value buckets it
+    // contains (l — balances bucketed to hundreds), and the k≥5
+    // verdict. A failing class re-identifies its members by the
+    // public attributes alone; low l leaks the sensitive value even
+    // at good k. ONE aggregation over one scan — the same rollup
+    // shape at any table size — with the two-phase countDistinct
+    // keeping the exchange deduplicated. Bucketing is floor() over a
+    // stored double: identical IEEE in both engines.
+    Q("rel_k_anonymity",
+      (s, d) => {
+        import s.implicits._
+        Tables.customer(s, d)
+          .groupBy($"c_nationkey".cast("long").as("nationkey"),
+            $"c_mktsegment".as("mktsegment"))
+          .agg(count(lit(1)).as("class_size"),
+            countDistinct(floor($"c_acctbal" / 100.0).cast("long"))
+              .as("l_diversity"))
+          .withColumn("k_anonymous", $"class_size" >= 5)
+      },
+      Some("""SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+          c_mktsegment AS mktsegment,
+          COUNT(*) AS class_size,
+          COUNT(DISTINCT CAST(floor(c_acctbal / 100.0) AS BIGINT))
+            AS l_diversity,
+          COUNT(*) >= 5 AS k_anonymous
+        FROM customer
+        GROUP BY c_nationkey, c_mktsegment"""))
   )
 }

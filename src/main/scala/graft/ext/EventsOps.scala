@@ -1889,6 +1889,52 @@ object EventsOps {
         SELECT path, COUNT(*) AS n_occ,
           COUNT(DISTINCT user_id) AS n_users
         FROM tri GROUP BY path
-        ORDER BY n_occ DESC, path LIMIT 15"""))
+        ORDER BY n_occ DESC, path LIMIT 15""")),
+
+    // ------------------------------------------------------------------
+    // M4 time-series downsampling: per (event_type, 6-hour bucket),
+    // the first/last/min/max of the value series — the
+    // error-free-at-pixel-resolution reduction (Jugel et al.'s M4)
+    // every telemetry dashboard runs before plotting, and the shape
+    // that turns a 100 TB metric history into a bounded |series| ×
+    // |buckets| frame in ONE aggregation. first/last are selected by
+    // min/max over (ts, event_id, value) structs — (ts, event_id) is
+    // a total order, so the selection is partial-agg-order-proof and
+    // engine-identical; min/max/first/last all SELECT stored doubles
+    // (no float arithmetic exists to diverge). Bucket ids are exact
+    // integer epoch-microsecond divisions.
+    Q("ev_m4_downsample",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .select($"event_type", unix_micros($"ts").as("us"),
+            $"event_id", $"value")
+          .withColumn("bucket", expr("us div 21600000000"))
+          .groupBy($"event_type", $"bucket")
+          .agg(count(lit(1)).as("n_points"),
+            min(struct($"us", $"event_id", $"value")).as("f"),
+            max(struct($"us", $"event_id", $"value")).as("l"),
+            min($"value").as("min_val"),
+            max($"value").as("max_val"))
+          .select($"event_type", $"bucket", $"n_points",
+            $"f.value".as("first_val"), $"l.value".as("last_val"),
+            $"min_val", $"max_val")
+      },
+      Some("""WITH b AS (
+          SELECT event_type, epoch_us(ts) // 21600000000 AS bucket,
+            epoch_us(ts) AS us, event_id, value
+          FROM events),
+        r AS (
+          SELECT *,
+            ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+              ORDER BY us, event_id) AS rf,
+            ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+              ORDER BY us DESC, event_id DESC) AS rl
+          FROM b)
+        SELECT event_type, bucket, COUNT(*) AS n_points,
+          MIN(CASE WHEN rf = 1 THEN value END) AS first_val,
+          MIN(CASE WHEN rl = 1 THEN value END) AS last_val,
+          MIN(value) AS min_val, MAX(value) AS max_val
+        FROM r GROUP BY event_type, bucket"""))
   )
 }

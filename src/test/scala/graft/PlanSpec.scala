@@ -567,6 +567,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(600))
   }
 
+  test("M4 downsample is one aggregation on one scan — no window, " +
+       "no join") {
+    val p = plan("ev_m4_downsample")
+    assert(!p.contains("Window") && !p.contains("Join"), p.take(600))
+  }
+
+  test("k-anonymity audit is one deduplicating aggregation — no " +
+       "join, no window") {
+    val p = plan("rel_k_anonymity")
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(600))
+  }
+
   test("trigram paths ride one user window sort and a heap top-15") {
     val p = plan("ev_trigram_paths")
     val userExchanges = "hashpartitioning\\(user_id".r.findAllIn(p).size

@@ -28,7 +28,8 @@ class Round9Spec extends AnyFunSuite {
     "rel_min_cost_supplier",
     "gr_hits", "ev_user_concentration", "txt_zipf_check",
     "sim_lsh_recall", "sim_kmeans_quality", "ev_trigram_paths",
-    "dedup_source_impact", "txt_fertility_by_lang")
+    "dedup_source_impact", "txt_fertility_by_lang",
+    "rel_k_anonymity", "ev_m4_downsample")
 
   test("results are bit-identical under 4 and 7 shuffle partitions") {
     def snapshot(name: String): Seq[String] =
@@ -215,6 +216,33 @@ class Round9Spec extends AnyFunSuite {
       assert(f >= r.getAs[Long]("min_doc_fert_ppm"),
         s"${r.getAs[String]("lang")}: corpus fertility below per-doc min")
       assert(f <= r.getAs[Long]("max_doc_fert_ppm"))
+    }
+  }
+
+  test("M4 buckets: first/last respect the time order and min/max " +
+       "bound both endpoints") {
+    val rows = SparkEntry.queries("ev_m4_downsample")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val mn = r.getAs[Double]("min_val"); val mx = r.getAs[Double]("max_val")
+      assert(mn <= mx)
+      assert(r.getAs[Double]("first_val") >= mn &&
+             r.getAs[Double]("first_val") <= mx)
+      assert(r.getAs[Double]("last_val") >= mn &&
+             r.getAs[Double]("last_val") <= mx)
+      assert(r.getAs[Long]("n_points") >= 1L)
+    }
+  }
+
+  test("k-anonymity classes partition the customer table and " +
+       "l-diversity never exceeds class size") {
+    val rows = SparkEntry.queries("rel_k_anonymity")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("class_size")).sum ==
+      graft.Tables.customer(spark, sf).count())
+    for (r <- rows) {
+      assert(r.getAs[Long]("l_diversity") <= r.getAs[Long]("class_size"))
+      assert(r.getAs[Boolean]("k_anonymous") ==
+        (r.getAs[Long]("class_size") >= 5L))
     }
   }
 
