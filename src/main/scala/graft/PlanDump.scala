@@ -85,7 +85,8 @@ object PlanDump {
       "gr_hits", "ev_user_concentration", "txt_zipf_check",
       "sim_lsh_recall", "sim_kmeans_quality", "ev_trigram_paths",
       "dedup_source_impact", "txt_fertility_by_lang",
-      "rel_k_anonymity", "ev_m4_downsample")
+      "rel_k_anonymity", "ev_m4_downsample",
+      "ev_cms_accuracy", "mm_tile_plan")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (")
       .append(sfDir).append(")\n\n")

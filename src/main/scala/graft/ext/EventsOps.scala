@@ -1935,6 +1935,67 @@ object EventsOps {
           MIN(CASE WHEN rf = 1 THEN value END) AS first_val,
           MIN(CASE WHEN rl = 1 THEN value END) AS last_val,
           MIN(value) AS min_val, MAX(value) AS max_val
-        FROM r GROUP BY event_type, bucket"""))
+        FROM r GROUP BY event_type, bucket""")),
+
+    // ------------------------------------------------------------------
+    // Count-Min sketch accuracy evaluation — the point-query sketch
+    // beside the engine's HLL (distinct), SpaceSaving (top-k) and
+    // KLL-style percentile evals: a 4×64 CMS of event-type counts
+    // (rows are independent salted-md5 hashes), each type's estimate
+    // = MIN over its 4 cells, compared against the exact count. CMS
+    // can only OVERcount (collisions add), so estimate − truth ≥ 0
+    // is a theorem the spec pins and the oracle hash-checks the
+    // exact overestimate of. Shape: the stream collapses to
+    // per-type counts FIRST (map-side), the sketch build explodes
+    // the |types|-row rollup — never the event stream — and the
+    // whole evaluation is |types|-sized after one shuffle. Buckets
+    // are md5-digit arithmetic: exact integers in both engines.
+    Q("ev_cms_accuracy",
+      (s, d) => {
+        import s.implicits._
+        val tc = Tables.events(s, d)
+          .groupBy($"event_type").agg(count(lit(1)).as("cnt"))
+        val g = tc
+          .select($"event_type", $"cnt",
+            explode(sequence(lit(0), lit(3))).as("j"))
+          .withColumn("bucket",
+            conv(substring(md5(concat($"j".cast("string"), lit("_"),
+              $"event_type")), 1, 4), 16, 10).cast("long") % 64)
+        val cms = g.groupBy($"j", $"bucket")
+          .agg(sum($"cnt").as("cell"))
+        val est = g.join(cms, Seq("j", "bucket"))
+          .groupBy($"event_type").agg(min($"cell").as("cms_est"))
+        tc.join(est, "event_type")
+          .select($"event_type", $"cnt".as("true_cnt"), $"cms_est",
+            ($"cms_est" - $"cnt").as("overestimate"))
+      },
+      Some(s"""WITH tc AS (
+          SELECT event_type, COUNT(*) AS cnt FROM events
+          GROUP BY event_type),
+        g AS (
+          SELECT event_type, cnt, j,
+            ((instr('0123456789abcdef',
+                substr(md5(CAST(j AS VARCHAR) || '_' || event_type), 1, 1))
+                - 1) * 4096 +
+             (instr('0123456789abcdef',
+                substr(md5(CAST(j AS VARCHAR) || '_' || event_type), 2, 1))
+                - 1) * 256 +
+             (instr('0123456789abcdef',
+                substr(md5(CAST(j AS VARCHAR) || '_' || event_type), 3, 1))
+                - 1) * 16 +
+             (instr('0123456789abcdef',
+                substr(md5(CAST(j AS VARCHAR) || '_' || event_type), 4, 1))
+                - 1)) % 64 AS bucket
+          FROM tc, (SELECT unnest(generate_series(0, 3)) AS j) jj),
+        cms AS (
+          SELECT j, bucket, CAST(SUM(cnt) AS BIGINT) AS cell
+          FROM g GROUP BY j, bucket),
+        est AS (
+          SELECT g.event_type, MIN(cms.cell) AS cms_est
+          FROM g JOIN cms ON g.j = cms.j AND g.bucket = cms.bucket
+          GROUP BY g.event_type)
+        SELECT t.event_type, t.cnt AS true_cnt, e.cms_est,
+          e.cms_est - t.cnt AS overestimate
+        FROM tc t JOIN est e ON t.event_type = e.event_type"""))
   )
 }

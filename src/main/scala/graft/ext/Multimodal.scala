@@ -507,6 +507,65 @@ object Multimodal {
         SELECT doc_id, kind, cluster_id,
           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
           doc_id = cluster_id AS is_kept
-        FROM verdict"""))
+        FROM verdict""")),
+
+    // ------------------------------------------------------------------
+    // Tile (patchification) planning through the batched decode path:
+    // each image's stub-decoded canvas is covered by a 128×128 tile
+    // grid — the ViT-style patch layout a vision pretraining job
+    // materializes, with edge tiles clamped to the canvas. Dims come
+    // from the REAL decodeFeatures stub; the oracle replays its
+    // wrapping-Long checksum (HUGEINT mod-2⁶⁴ + re-sign, the
+    // mm_decode_features machinery) to reconstruct identical
+    // width/height. Tile math is pure integer ceil-division and
+    // clamping; the explode is a narrow generator bounded by
+    // ⌈w/128⌉·⌈h/128⌉ per image — no shuffle, payloads never move.
+    Q("mm_tile_plan",
+      (s, d) => {
+        import s.implicits._
+        decodeFeatures(mediaFromDocuments(s, d)).toDF()
+          .filter($"kind" === "image")
+          .select($"doc_id", $"width".cast("long").as("width"),
+            $"height".cast("long").as("height"))
+          .withColumn("nx", expr("(width + 127) div 128"))
+          .withColumn("ny", expr("(height + 127) div 128"))
+          .withColumn("tx", explode(sequence(lit(0L), $"nx" - 1)))
+          .withColumn("ty", explode(sequence(lit(0L), $"ny" - 1)))
+          .select($"doc_id", $"width", $"height", $"tx", $"ty",
+            ($"tx" * 128).as("x0"), ($"ty" * 128).as("y0"),
+            least($"tx" * 128 + 128, $"width").as("x1"),
+            least($"ty" * 128 + 128, $"height").as("y1"))
+      },
+      Some("""WITH decoded AS (
+          SELECT doc_id,
+            list_reduce(
+              list_prepend(CAST(0 AS HUGEINT),
+                list_transform(generate_series(1, length(text)),
+                  i -> CAST(ord(substr(text, i, 1)) AS HUGEINT))),
+              (h, b) -> (h * 31 + b) % 18446744073709551616) AS hu
+          FROM documents WHERE doc_id % 3 = 0),
+        signed AS (
+          SELECT doc_id, CASE WHEN hu >= 9223372036854775808
+                         THEN hu - 18446744073709551616 ELSE hu END AS s
+          FROM decoded),
+        dims AS (
+          SELECT doc_id,
+            CAST(16 + abs(s % 1024) AS BIGINT) AS width,
+            CAST(16 + abs((CASE WHEN s >= 0 THEN s // 1024
+                  ELSE -((-s + 1023) // 1024) END) % 1024) AS BIGINT)
+              AS height
+          FROM signed),
+        grid AS (
+          SELECT doc_id, width, height,
+            unnest(generate_series(0, (width + 127) // 128 - 1)) AS tx
+          FROM dims)
+        SELECT doc_id, width, height, tx,
+          unnest(generate_series(0, (height + 127) // 128 - 1)) AS ty,
+          tx * 128 AS x0,
+          unnest(generate_series(0, (height + 127) // 128 - 1)) * 128 AS y0,
+          least(tx * 128 + 128, width) AS x1,
+          least(unnest(generate_series(0, (height + 127) // 128 - 1)) * 128
+            + 128, height) AS y1
+        FROM grid"""))
   )
 }

@@ -579,6 +579,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join") && !p.contains("Window"), p.take(600))
   }
 
+  test("CMS eval builds the sketch from the collapsed type rollup — " +
+       "the Generate runs above an Aggregate, never on the raw stream") {
+    val p = plan("ev_cms_accuracy")
+    assert(p.contains("Generate"), p.take(400))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+  }
+
+  test("tile plan is narrow generators end-to-end — no shuffle") {
+    val p = plan("mm_tile_plan")
+    assert(!p.contains("Exchange"),
+      "tiling must keep payloads in their input partitions\n" + p.take(600))
+  }
+
   test("trigram paths ride one user window sort and a heap top-15") {
     val p = plan("ev_trigram_paths")
     val userExchanges = "hashpartitioning\\(user_id".r.findAllIn(p).size

@@ -29,7 +29,8 @@ class Round9Spec extends AnyFunSuite {
     "gr_hits", "ev_user_concentration", "txt_zipf_check",
     "sim_lsh_recall", "sim_kmeans_quality", "ev_trigram_paths",
     "dedup_source_impact", "txt_fertility_by_lang",
-    "rel_k_anonymity", "ev_m4_downsample")
+    "rel_k_anonymity", "ev_m4_downsample",
+    "ev_cms_accuracy", "mm_tile_plan")
 
   test("results are bit-identical under 4 and 7 shuffle partitions") {
     def snapshot(name: String): Seq[String] =
@@ -243,6 +244,38 @@ class Round9Spec extends AnyFunSuite {
       assert(r.getAs[Long]("l_diversity") <= r.getAs[Long]("class_size"))
       assert(r.getAs[Boolean]("k_anonymous") ==
         (r.getAs[Long]("class_size") >= 5L))
+    }
+  }
+
+  test("CMS never undercounts: estimate ≥ truth for every type, and " +
+       "with 4 independent rows the min tightens the bound") {
+    val rows = SparkEntry.queries("ev_cms_accuracy")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getAs[Long]("overestimate") >= 0L,
+        s"${r.getAs[String]("event_type")}: CMS undercounted")
+      assert(r.getAs[Long]("cms_est") ==
+        r.getAs[Long]("true_cnt") + r.getAs[Long]("overestimate"))
+    }
+  }
+
+  test("tile plans cover each canvas exactly: tiles partition " +
+       "[0,w)×[0,h) with clamped edges") {
+    val rows = SparkEntry.queries("mm_tile_plan")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    for ((_, tiles) <- byDoc) {
+      val w = tiles.head.getAs[Long]("width")
+      val h = tiles.head.getAs[Long]("height")
+      val area = tiles.map(t =>
+        (t.getAs[Long]("x1") - t.getAs[Long]("x0")) *
+        (t.getAs[Long]("y1") - t.getAs[Long]("y0"))).sum
+      assert(area == w * h, s"tiles cover $area of ${w * h}")
+      assert(tiles.forall(t => t.getAs[Long]("x1") <= w &&
+        t.getAs[Long]("y1") <= h))
+      assert(tiles.forall(t => t.getAs[Long]("x1") > t.getAs[Long]("x0") &&
+        t.getAs[Long]("y1") > t.getAs[Long]("y0")),
+        "degenerate zero-area tile")
     }
   }
 
