@@ -86,7 +86,8 @@ object PlanDump {
       "sim_lsh_recall", "sim_kmeans_quality", "ev_trigram_paths",
       "dedup_source_impact", "txt_fertility_by_lang",
       "rel_k_anonymity", "ev_m4_downsample",
-      "ev_cms_accuracy", "mm_tile_plan")
+      "ev_cms_accuracy", "mm_tile_plan",
+      "dedup_onion", "ev_user_overlap")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (")
       .append(sfDir).append(")\n\n")

@@ -1154,6 +1154,125 @@ object Dedup {
             AS drop_permille,
           CAST(1000 * COALESCE(SUM(CASE WHEN NOT kept THEN n_toks END), 0)
             // SUM(n_toks) AS BIGINT) AS tok_drop_permille
-        FROM verdict GROUP BY source"""))
+        FROM verdict GROUP BY source""")),
+
+    // ------------------------------------------------------------------
+    // Onion dedup — the STAGED pipeline production corpora actually
+    // run, cheapest signal first, each stage seeing only the
+    // previous stage's survivors: (1) exact content-hash dedup, (2)
+    // lexical MinHash-LSH connected components over the exact
+    // survivors, (3) semantic embedding near-dup components over
+    // what remains. Staging is not just cost order — it changes the
+    // answer (a doc dropped as an exact copy never welds a lexical
+    // cluster; a lexical drop never bridges a semantic one), which
+    // is why the per-doc verdict records WHICH stage dropped each
+    // document — the attribution that tells a corpus owner whether
+    // copies, templates, or paraphrase dominate their duplication.
+    // Each stage shrinks the frame before the next (the onion's
+    // whole point at 100 TB); stage edges stay candidate-sized;
+    // semantic pairs semi-join both endpoints against the remaining
+    // set before any scoring. Oracle: two recursive CTEs walking the
+    // same staged graphs.
+    Q("dedup_onion",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d).select($"doc_id", $"text")
+        // stage 1: exact
+        val wHash = org.apache.spark.sql.expressions.Window
+          .partitionBy($"content_hash")
+        val f1 = docs.withColumn("content_hash", md5($"text"))
+          .withColumn("canon", min($"doc_id").over(wHash))
+          .select($"doc_id", $"text", ($"doc_id" =!= $"canon").as("drop_exact"))
+        val s1 = f1.filter(!$"drop_exact").select($"doc_id", $"text")
+        // stage 2: lexical CC over exact survivors
+        val star = bucketStarEdges(bandedKeys(minhashSignatures(s1)))
+        val cc2 = connectedComponents(star
+          .unionByName(star.select($"dst".as("src"), $"src".as("dst"))))
+        val f2 = s1.select($"doc_id")
+          .join(cc2.withColumnRenamed("cluster_id", "lex_cluster"),
+            Seq("doc_id"), "left")
+          .withColumn("drop_lex",
+            $"lex_cluster".isNotNull && $"doc_id" =!= $"lex_cluster")
+        val s2 = f2.filter(!$"drop_lex").select($"doc_id")
+        // stage 3: semantic CC over what remains (vec_id ≡ doc_id)
+        val emb = Tables.embeddings(s, d)
+          .select($"vec_id", $"label", $"embedding")
+          .join(s2.select($"doc_id".as("vec_id")), Seq("vec_id"), "semi")
+          .withColumn("nrm", sqrt(Similarity.dot($"embedding", $"embedding")))
+        val sem = emb.as("a").join(emb.as("b"),
+            col("a.label") === col("b.label") &&
+            col("a.vec_id") < col("b.vec_id"))
+          .withColumn("cos",
+            Similarity.dot(col("a.embedding"), col("b.embedding")) /
+              (col("a.nrm") * col("b.nrm")))
+          .filter($"cos" > 0.95)
+          .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+        val cc3 = connectedComponents(sem
+          .unionByName(sem.select($"dst".as("src"), $"src".as("dst"))))
+        docs.select($"doc_id")
+          .join(f1.select($"doc_id", $"drop_exact"), "doc_id")
+          .join(f2.select($"doc_id", $"drop_lex"), Seq("doc_id"), "left")
+          .join(cc3.withColumnRenamed("cluster_id", "sem_cluster")
+            .withColumnRenamed("doc_id", "doc_id"), Seq("doc_id"), "left")
+          .select($"doc_id",
+            when($"drop_exact", "exact")
+              .when(coalesce($"drop_lex", lit(false)), "lexical")
+              .when($"sem_cluster".isNotNull && $"doc_id" =!= $"sem_cluster",
+                "semantic")
+              .otherwise("kept").as("drop_stage"))
+      },
+      Some(s"""WITH RECURSIVE e1 AS (
+          SELECT doc_id, text,
+            MIN(doc_id) OVER (PARTITION BY md5(text)) AS canon
+          FROM documents),
+        corpus AS (SELECT doc_id, text FROM e1 WHERE doc_id = canon),
+        $signaturesSql, $bandsSql,
+        edges2 AS (
+          SELECT doc_a AS a, doc_b AS b FROM candidates
+          UNION ALL SELECT doc_b AS a, doc_a AS b FROM candidates),
+        reach2(v, r) AS (
+          SELECT DISTINCT a AS v, a AS r FROM edges2
+          UNION
+          SELECT e.b AS v, reach2.r FROM reach2
+          JOIN edges2 e ON e.a = reach2.v),
+        clusters2 AS (
+          SELECT v AS doc_id, MIN(r) AS lex_cluster FROM reach2 GROUP BY v),
+        f2 AS (
+          SELECT c.doc_id, cl.lex_cluster
+          FROM corpus c LEFT JOIN clusters2 cl ON cl.doc_id = c.doc_id),
+        s2 AS (
+          SELECT doc_id FROM f2
+          WHERE lex_cluster IS NULL OR doc_id = lex_cluster),
+        sem_pairs AS (
+          SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+          FROM embeddings a
+          JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+          JOIN s2 sa ON sa.doc_id = a.vec_id
+          JOIN s2 sb ON sb.doc_id = b.vec_id
+          WHERE ${Similarity.dotSql("a.embedding", "b.embedding")} /
+                (sqrt(${Similarity.dotSql("a.embedding", "a.embedding")}) *
+                 sqrt(${Similarity.dotSql("b.embedding", "b.embedding")}))
+                > 0.95),
+        edges3 AS (
+          SELECT doc_a AS a, doc_b AS b FROM sem_pairs
+          UNION ALL SELECT doc_b AS a, doc_a AS b FROM sem_pairs),
+        reach3(v, r) AS (
+          SELECT DISTINCT a AS v, a AS r FROM edges3
+          UNION
+          SELECT e.b AS v, reach3.r FROM reach3
+          JOIN edges3 e ON e.a = reach3.v),
+        clusters3 AS (
+          SELECT v AS doc_id, MIN(r) AS sem_cluster FROM reach3 GROUP BY v)
+        SELECT d.doc_id,
+          CASE WHEN d.doc_id <> e1.canon THEN 'exact'
+               WHEN f2.lex_cluster IS NOT NULL
+                    AND d.doc_id <> f2.lex_cluster THEN 'lexical'
+               WHEN c3.sem_cluster IS NOT NULL
+                    AND d.doc_id <> c3.sem_cluster THEN 'semantic'
+               ELSE 'kept' END AS drop_stage
+        FROM documents d
+        JOIN e1 ON e1.doc_id = d.doc_id
+        LEFT JOIN f2 ON f2.doc_id = d.doc_id
+        LEFT JOIN clusters3 c3 ON c3.doc_id = d.doc_id"""))
   )
 }

@@ -1996,6 +1996,57 @@ object EventsOps {
           GROUP BY g.event_type)
         SELECT t.event_type, t.cnt AS true_cnt, e.cms_est,
           e.cms_est - t.cnt AS overestimate
-        FROM tc t JOIN est e ON t.event_type = e.event_type"""))
+        FROM tc t JOIN est e ON t.event_type = e.event_type""")),
+
+    // ------------------------------------------------------------------
+    // Audience-overlap matrix: exact Jaccard of the distinct user
+    // bases of every event-type pair — the cross-feature adoption
+    // report (which behaviors share an audience) and the input to
+    // any segment-targeting decision. The scalable shape: distinct
+    // (type, user) collapses on one shuffle, each USER then emits
+    // its own type-pair combinations from a sorted bounded set
+    // (≤ |types|² per user, |types| is small by definition) — the
+    // self-join-on-user_id formulation the oracle runs would shuffle
+    // the distinct table twice and explode on power users; here the
+    // pair table aggregates map-side. Sizes broadcast back; Jaccard
+    // divides exact integers once.
+    Q("ev_user_overlap",
+      (s, d) => {
+        import s.implicits._
+        val ua = Tables.events(s, d)
+          .select($"event_type", $"user_id").distinct()
+        val sizes = ua.groupBy($"event_type").agg(count(lit(1)).as("n"))
+        val pairs = ua.groupBy($"user_id")
+          .agg(array_sort(collect_set($"event_type")).as("ts"))
+          .select(explode(expr(
+            """flatten(transform(ts, (x, i) ->
+                 transform(slice(ts, i + 2, size(ts)),
+                   y -> struct(x AS a, y AS b))))""")).as("p"))
+          .groupBy($"p.a".as("type_a"), $"p.b".as("type_b"))
+          .agg(count(lit(1)).as("n_common"))
+        pairs
+          .join(broadcast(sizes.select($"event_type".as("type_a"),
+            $"n".as("n_a"))), "type_a")
+          .join(broadcast(sizes.select($"event_type".as("type_b"),
+            $"n".as("n_b"))), "type_b")
+          .select($"type_a", $"type_b", $"n_a", $"n_b", $"n_common",
+            expr("n_common * 1000000 div (n_a + n_b - n_common)")
+              .as("jaccard_ppm"))
+      },
+      Some("""WITH ua AS (
+          SELECT DISTINCT event_type, user_id FROM events),
+        sizes AS (
+          SELECT event_type, COUNT(*) AS n FROM ua GROUP BY event_type),
+        inter AS (
+          SELECT a.event_type AS type_a, b.event_type AS type_b,
+            COUNT(*) AS n_common
+          FROM ua a JOIN ua b
+            ON a.user_id = b.user_id AND a.event_type < b.event_type
+          GROUP BY 1, 2)
+        SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_common,
+          n_common * 1000000 // (sa.n + sb.n - n_common) AS jaccard_ppm
+        FROM inter
+        JOIN sizes sa ON sa.event_type = type_a
+        JOIN sizes sb ON sb.event_type = type_b"""))
   )
 }

@@ -592,6 +592,15 @@ class PlanSpec extends AnyFunSuite {
       "tiling must keep payloads in their input partitions\n" + p.take(600))
   }
 
+  test("user overlap emits pairs per user from a bounded sorted set — " +
+       "never a self-join of the distinct table") {
+    val p = plan("ev_user_overlap")
+    assert(p.contains("Generate"), "pair emission should be an explode")
+    assert(!p.contains("SortMergeJoin"),
+      "sizes must broadcast; the distinct table joins nothing\n" +
+        p.take(600))
+  }
+
   test("trigram paths ride one user window sort and a heap top-15") {
     val p = plan("ev_trigram_paths")
     val userExchanges = "hashpartitioning\\(user_id".r.findAllIn(p).size

@@ -30,7 +30,8 @@ class Round9Spec extends AnyFunSuite {
     "sim_lsh_recall", "sim_kmeans_quality", "ev_trigram_paths",
     "dedup_source_impact", "txt_fertility_by_lang",
     "rel_k_anonymity", "ev_m4_downsample",
-    "ev_cms_accuracy", "mm_tile_plan")
+    "ev_cms_accuracy", "mm_tile_plan",
+    "dedup_onion", "ev_user_overlap")
 
   test("results are bit-identical under 4 and 7 shuffle partitions") {
     def snapshot(name: String): Seq[String] =
@@ -276,6 +277,39 @@ class Round9Spec extends AnyFunSuite {
       assert(tiles.forall(t => t.getAs[Long]("x1") > t.getAs[Long]("x0") &&
         t.getAs[Long]("y1") > t.getAs[Long]("y0")),
         "degenerate zero-area tile")
+    }
+  }
+
+  test("onion staging: every doc gets exactly one verdict, stages " +
+       "only shrink, and staged attribution is consistent with the " +
+       "single-signal verdicts") {
+    val rows = SparkEntry.queries("dedup_onion")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == rows.length)
+    assert(rows.length == Tables.corpusCount(spark, sf))
+    val stages = rows.groupBy(_.getAs[String]("drop_stage"))
+      .view.mapValues(_.length).toMap
+    assert(stages.keySet.subsetOf(
+      Set("exact", "lexical", "semantic", "kept")))
+    assert(stages.getOrElse("kept", 0) > 0)
+    // exact drops == docs whose content hash has a smaller doc_id
+    // (recomputed straight off the natural corpus)
+    import org.apache.spark.sql.functions.{count => cnt, lit, md5}
+    val exactDups = graft.Tables.documents(spark, sf)
+      .groupBy(md5(org.apache.spark.sql.functions.col("text")))
+      .agg(cnt(lit(1)).as("n"))
+      .collect().map(_.getAs[Long]("n") - 1).sum
+    assert(stages.getOrElse("exact", 0).toLong == exactDups)
+  }
+
+  test("user overlap: jaccard bounded by 10⁶, intersection bounded " +
+       "by both sizes, pairs canonically ordered") {
+    val rows = SparkEntry.queries("ev_user_overlap")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getAs[String]("type_a") < r.getAs[String]("type_b"))
+      val common = r.getAs[Long]("n_common")
+      assert(common <= math.min(r.getAs[Long]("n_a"), r.getAs[Long]("n_b")))
+      assert(r.getAs[Long]("jaccard_ppm") <= 1000000L)
     }
   }
 
