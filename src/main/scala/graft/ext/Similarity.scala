@@ -1019,7 +1019,79 @@ object Similarity {
         SELECT cid, COUNT(*) AS n_members,
           CAST(SUM(qdist) AS BIGINT) AS inertia_q,
           CAST(SUM(qdist) // COUNT(*) AS BIGINT) AS mean_inertia_q
-        FROM assign GROUP BY cid"""))
+        FROM assign GROUP BY cid""")),
+
+    // ------------------------------------------------------------------
+    // Deterministic k-means++-style seeding (farthest-first
+    // traversal): center 0 is the minimum vec_id; each round adds
+    // the vector maximizing its minimum quantized-L2 distance to the
+    // chosen set, tie-broken by vec_id. The classic D² sampling is
+    // randomized — this is its deterministic farthest-point variant
+    // (same 2-approximation family for k-center), reproducible
+    // across runs, engines and partitionings because FloatVecL2Q
+    // distances are exact integers and argmax-with-tiebreak is an
+    // order-free aggregate. Each round is ONE broadcast pass over
+    // the corpus (centers are k rows) + a 1-row argmax — k·scan
+    // total work, the index-build bootstrap that needs no iteration
+    // to converge. Rounds are lineage-pinned (the next round's
+    // broadcast references the union of all previous).
+    Q("sim_kpp_init",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+        def pinned(df: DataFrame): DataFrame = {
+          val c = s.createDataFrame(df.rdd, df.schema); c.persist(); c
+        }
+        var centers = pinned(emb.orderBy($"vec_id").limit(1)
+          .select($"vec_id".as("cid"), $"embedding".as("cemb"),
+            lit(0L).as("round"), lit(0L).as("sel_dist_q")))
+        for (r <- 1 to 3) {
+          val mind = emb
+            .crossJoin(broadcast(centers.select($"cid", $"cemb")))
+            .withColumn("qdist", graft.functions.NativeFunctions
+              .floatVecL2Q($"embedding", $"cemb"))
+            .groupBy($"vec_id").agg(min($"qdist").as("mind"))
+          val sel = mind
+            .agg(max(struct($"mind", (-$"vec_id").as("nid"))).as("m"))
+            .select($"m.mind".as("sel_dist_q"), (-$"m.nid").as("vec_id"))
+          val next = sel.join(emb, "vec_id")
+            .select($"vec_id".as("cid"), $"embedding".as("cemb"),
+              lit(r.toLong).as("round"), $"sel_dist_q")
+          centers = pinned(centers.unionByName(next))
+        }
+        centers.select($"round", $"cid".as("center_id"), $"sel_dist_q")
+      },
+      Some {
+        def l2q(a: String, b: String) =
+          s"""CAST((SELECT SUM(CAST(floor(
+                (CAST($a[j] AS DOUBLE) - CAST($b[j] AS DOUBLE)) *
+                (CAST($a[j] AS DOUBLE) - CAST($b[j] AS DOUBLE)) *
+                1000000.0) AS BIGINT))
+              FROM generate_series(1, 64) t(j)) AS BIGINT)"""
+        def round(i: Int) = s"""
+          d$i AS (
+            SELECT e.vec_id, MIN(${l2q("e.embedding", "c.cemb")}) AS mind
+            FROM embeddings e, cs${i - 1} c GROUP BY e.vec_id),
+          s$i AS (
+            SELECT vec_id, CAST(mind AS BIGINT) AS mind FROM d$i
+            ORDER BY mind DESC, vec_id LIMIT 1),
+          c$i AS (
+            SELECT s$i.vec_id AS cid, e.embedding AS cemb
+            FROM s$i JOIN embeddings e ON e.vec_id = s$i.vec_id),
+          cs$i AS (SELECT * FROM cs${i - 1} UNION ALL SELECT * FROM c$i)"""
+        s"""WITH cs0 AS (
+            SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+            ORDER BY vec_id LIMIT 1),
+          ${round(1)},
+          ${round(2)},
+          ${round(3)}
+          SELECT CAST(0 AS BIGINT) AS round, cid AS center_id,
+            CAST(0 AS BIGINT) AS sel_dist_q
+          FROM cs0
+          UNION ALL SELECT 1, vec_id, mind FROM s1
+          UNION ALL SELECT 2, vec_id, mind FROM s2
+          UNION ALL SELECT 3, vec_id, mind FROM s3"""
+      })
   )
 
   /** PQ codebook assignment shared by `sim_pq_encode` and

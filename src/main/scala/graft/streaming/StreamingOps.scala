@@ -57,6 +57,30 @@ object StreamingOps {
       .select(col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Streaming M4 downsample — the live twin of `ev_m4_downsample`:
+    * per (series, tumbling window), first/last/min/max of the value
+    * stream, emitted on window close. first/last selected by min/max
+    * over (us, event_id, value) structs — a total order, so the
+    * result is micro-batch-arrival-order-proof and equals the batch
+    * M4 over the union of all batches (spec-pinned). State per open
+    * window is four scalars + two structs, never the row set — the
+    * dashboard-feed reduction that holds at any ingest rate.
+    */
+  def m4Stream(events: DataFrame, window_ : String = "1 hour",
+               watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .withColumn("us", unix_micros(col("ts")))
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n_points"),
+        min(struct(col("us"), col("event_id"), col("value"))).as("f"),
+        max(struct(col("us"), col("event_id"), col("value"))).as("l"),
+        min(col("value")).as("min_val"),
+        max(col("value")).as("max_val"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_points"), col("f.value").as("first_val"),
+        col("l.value").as("last_val"), col("min_val"), col("max_val"))
+
   /** Streaming heavy hitters: the custom SpaceSaving aggregate
     * ([[graft.functions.ApproxTopK]]) inside a watermarked tumbling
     * window — per-window top-k values in bounded state. The state

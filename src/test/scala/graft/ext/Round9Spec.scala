@@ -31,7 +31,7 @@ class Round9Spec extends AnyFunSuite {
     "dedup_source_impact", "txt_fertility_by_lang",
     "rel_k_anonymity", "ev_m4_downsample",
     "ev_cms_accuracy", "mm_tile_plan",
-    "dedup_onion", "ev_user_overlap")
+    "dedup_onion", "ev_user_overlap", "sim_kpp_init")
 
   test("results are bit-identical under 4 and 7 shuffle partitions") {
     def snapshot(name: String): Seq[String] =
@@ -311,6 +311,19 @@ class Round9Spec extends AnyFunSuite {
       assert(common <= math.min(r.getAs[Long]("n_a"), r.getAs[Long]("n_b")))
       assert(r.getAs[Long]("jaccard_ppm") <= 1000000L)
     }
+  }
+
+  test("farthest-first seeding: 4 distinct centers, selection " +
+       "distances non-increasing (each round's argmax can only " +
+       "shrink as the chosen set grows)") {
+    val rows = SparkEntry.queries("sim_kpp_init")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("round"))
+    assert(rows.map(_.getAs[Long]("round")).toSeq == (0L to 3L))
+    assert(rows.map(_.getAs[Long]("center_id")).distinct.length == 4)
+    val dists = rows.drop(1).map(_.getAs[Long]("sel_dist_q"))
+    assert(dists.forall(_ > 0L))
+    assert(dists.zip(dists.tail).forall { case (a, b) => a >= b },
+      s"selection distances must not increase: ${dists.mkString(",")}")
   }
 
   private object Tables {

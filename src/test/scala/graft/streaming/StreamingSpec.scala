@@ -79,6 +79,54 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming M4 equals the batch M4 on window close, whatever " +
+       "the micro-batch arrival order") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_id", "event_type", "value")
+    val out = StreamingOps.m4Stream(events)
+    val q = out.writeStream.format("memory").queryName("m4")
+      .outputMode("append").start()
+    // batch 1 delivers the MIDDLE of the window first; batch 2 adds
+    // the true first/last out of order, then advances the watermark
+    mem.addData((ts("2024-01-01 10:30:00"), 2L, "cpu", 50.0))
+    q.processAllAvailable()
+    mem.addData(
+      (ts("2024-01-01 10:05:00"), 1L, "cpu", 10.0),
+      (ts("2024-01-01 10:55:00"), 3L, "cpu", 99.0),
+      (ts("2024-01-01 14:00:00"), 9L, "advancer", 0.0))
+    q.processAllAvailable()
+    val got = spark.table("m4").collect()
+      .find(_.getAs[String]("event_type") == "cpu").get
+    assert(got.getAs[Long]("n_points") == 3L)
+    assert(got.getAs[Double]("first_val") == 10.0,
+      "first must follow event time, not arrival order")
+    assert(got.getAs[Double]("last_val") == 99.0)
+    assert(got.getAs[Double]("min_val") == 10.0)
+    assert(got.getAs[Double]("max_val") == 99.0)
+    q.stop()
+    // batch equivalence: the same aggregation over the union of all
+    // batches (ev_m4_downsample's shape) yields the identical row
+    val batch = Seq(
+      (ts("2024-01-01 10:30:00"), 2L, "cpu", 50.0),
+      (ts("2024-01-01 10:05:00"), 1L, "cpu", 10.0),
+      (ts("2024-01-01 10:55:00"), 3L, "cpu", 99.0))
+      .toDF("ts", "event_id", "event_type", "value")
+      .withColumn("us", unix_micros($"ts"))
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n_points"),
+        min(struct($"us", $"event_id", $"value")).as("f"),
+        max(struct($"us", $"event_id", $"value")).as("l"))
+      .select($"event_type", $"n_points",
+        $"f.value".as("first_val"), $"l.value".as("last_val"))
+      .collect().head
+    assert(batch.getAs[Long]("n_points") == got.getAs[Long]("n_points"))
+    assert(batch.getAs[Double]("first_val") ==
+      got.getAs[Double]("first_val"))
+    assert(batch.getAs[Double]("last_val") == got.getAs[Double]("last_val"))
+  }
+
   test("stream-static enrichment joins the dimension without state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
