@@ -1019,6 +1019,118 @@ object Advanced {
             AS l_diversity,
           COUNT(*) >= 5 AS k_anonymous
         FROM customer
-        GROUP BY c_nationkey, c_mktsegment"""))
+        GROUP BY c_nationkey, c_mktsegment""")),
+
+    // ------------------------------------------------------------------
+    // Chi-square independence test between two categoricals (nation
+    // × market segment) — the association screen beside the Welch
+    // t-test (ev_ab_ttest) and Pearson correlation (rel_corr_manual):
+    // "is segment mix independent of nation". The textbook
+    // Σ(o−e)²/e sums IEEE terms in engine-dependent order; here each
+    // cell contributes the exact integer (o·n − r·c)²·1000 div
+    // (r·c·n) — milli-units with one floor per cell — and the sum is
+    // integer-associative, so the statistic is bit-identical under
+    // any partial-agg order and in DuckDB. Magnitude: |o·n − r·c| ≤
+    // max(r,c)·n, and with balanced margins (r≈n/25, c≈n/5) the
+    // squared term stays ≲10¹⁴·n² — inside int64 through sf0.1's
+    // n=15k with the ×1000 scale. One scan → cell counts; margins
+    // from two rollups of the cell table (never a rescan), joined
+    // back broadcast.
+    Q("rel_chi2_independence",
+      (s, d) => {
+        import s.implicits._
+        val cells = Tables.customer(s, d)
+          .groupBy($"c_nationkey".cast("long").as("nk"), $"c_mktsegment")
+          .agg(count(lit(1)).as("o"))
+        val rowM = cells.groupBy($"nk").agg(sum($"o").as("r"))
+        val colM = cells.groupBy($"c_mktsegment").agg(sum($"o").as("c"))
+        val tot = cells.agg(sum($"o").as("n"),
+          countDistinct($"nk").as("nr"),
+          countDistinct($"c_mktsegment").as("nc"))
+        cells
+          .join(broadcast(rowM), "nk")
+          .join(broadcast(colM), "c_mktsegment")
+          .crossJoin(broadcast(tot))
+          .withColumn("term_milli",
+            expr("((o * n - r * c) * (o * n - r * c) * 1000)" +
+              " div (r * c * n)"))
+          .agg(min($"n").as("n"),
+            min(expr("(nr - 1) * (nc - 1)")).as("dof"),
+            sum($"term_milli").as("chi2_milli"))
+      },
+      Some("""WITH cells AS (
+          SELECT CAST(c_nationkey AS BIGINT) AS nk, c_mktsegment,
+            COUNT(*) AS o
+          FROM customer GROUP BY 1, 2),
+        rm AS (SELECT nk, CAST(SUM(o) AS BIGINT) AS r FROM cells
+               GROUP BY nk),
+        cm AS (SELECT c_mktsegment, CAST(SUM(o) AS BIGINT) AS c
+               FROM cells GROUP BY c_mktsegment),
+        tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+                  COUNT(DISTINCT nk) AS nr,
+                  COUNT(DISTINCT c_mktsegment) AS nc
+                FROM cells)
+        SELECT MIN(n) AS n,
+          MIN((nr - 1) * (nc - 1)) AS dof,
+          CAST(SUM(((o * n - r * c) * (o * n - r * c) * 1000)
+            // (r * c * n)) AS BIGINT) AS chi2_milli
+        FROM cells
+        JOIN rm USING (nk)
+        JOIN cm USING (c_mktsegment)
+        CROSS JOIN tot""")),
+
+    // ------------------------------------------------------------------
+    // IQR-fence outlier screen — completing the robust-outlier trio
+    // beside rel_median_abs_deviation and rel_winsorized_stats: per
+    // return flag, Tukey fences at Q1/Q3 ± 1.5·IQR over order
+    // quantities, with the quartiles taken by percentile_disc
+    // (STORED values — the zero-IEEE-caveat percentile) and the
+    // fence comparison done in integer-exact arithmetic
+    // (4·x ⋛ 4·q ± 6·iqr avoids the 1.5 multiplier's float). Two
+    // passes sharing the flag partitioning: quartiles from one
+    // aggregation, outlier counts from a broadcast join back.
+    Q("rel_outlier_iqr",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .select($"l_returnflag",
+            floor($"l_quantity" * 4).cast("long").as("q4"))
+          .createOrReplaceTempView("li_q4")
+        s.sql("""
+          WITH quartiles AS (
+            SELECT l_returnflag,
+              percentile_disc(0.25) WITHIN GROUP (ORDER BY q4) AS q1_4,
+              percentile_disc(0.75) WITHIN GROUP (ORDER BY q4) AS q3_4
+            FROM li_q4 GROUP BY l_returnflag)
+          SELECT t.l_returnflag,
+            CAST(q.q1_4 / 4.0 AS DOUBLE) AS q1,
+            CAST(q.q3_4 / 4.0 AS DOUBLE) AS q3,
+            COUNT(*) AS n_rows,
+            COUNT(CASE WHEN 4 * t.q4 < 4 * q.q1_4 - 6 * (q.q3_4 - q.q1_4)
+                       THEN 1 END) AS n_low,
+            COUNT(CASE WHEN 4 * t.q4 > 4 * q.q3_4 + 6 * (q.q3_4 - q.q1_4)
+                       THEN 1 END) AS n_high
+          FROM li_q4 t JOIN quartiles q ON t.l_returnflag = q.l_returnflag
+          GROUP BY t.l_returnflag, q.q1_4, q.q3_4""")
+      },
+      Some("""WITH li AS (
+          SELECT l_returnflag,
+            CAST(l_quantity * 4 AS BIGINT) AS q4
+          FROM lineitem),
+        quartiles AS (
+          SELECT l_returnflag,
+            percentile_disc(0.25) WITHIN GROUP (ORDER BY q4) AS q1_4,
+            percentile_disc(0.75) WITHIN GROUP (ORDER BY q4) AS q3_4
+          FROM li GROUP BY l_returnflag)
+        SELECT t.l_returnflag,
+          CAST(q.q1_4 / 4.0 AS DOUBLE) AS q1,
+          CAST(q.q3_4 / 4.0 AS DOUBLE) AS q3,
+          COUNT(*) AS n_rows,
+          COUNT(CASE WHEN 4 * t.q4 < 4 * q.q1_4 - 6 * (q.q3_4 - q.q1_4)
+                     THEN 1 END) AS n_low,
+          COUNT(CASE WHEN 4 * t.q4 > 4 * q.q3_4 + 6 * (q.q3_4 - q.q1_4)
+                     THEN 1 END) AS n_high
+        FROM li t JOIN quartiles q ON t.l_returnflag = q.l_returnflag
+        GROUP BY t.l_returnflag, q.q1_4, q.q3_4"""))
   )
 }

@@ -1818,7 +1818,76 @@ object TextAnalysis {
           MAX(n_subwords * 1000000 // n_words) AS max_doc_fert_ppm,
           CAST(SUM(n_subwords) * 1000000 // SUM(n_words) AS BIGINT)
             AS fertility_ppm
-        FROM per_doc GROUP BY lang"""))
+        FROM per_doc GROUP BY lang""")),
+
+    // ------------------------------------------------------------------
+    // Code-vs-prose detection — the router an LLM data pipeline runs
+    // before language-specific processing (code goes to a code
+    // tokenizer/dedup config, prose to the text path): per-doc ppm
+    // densities of code-indicative characters (braces/brackets,
+    // statement punctuation `;=`, operators) plus camelCase and
+    // snake_case identifier counts, folded into an integer score and
+    // a verdict. All counts are regexp_replace length differences —
+    // exact integers, one narrow no-exchange map (plan-pinned); the
+    // weights are the pipeline parameter, the ingredients are the
+    // artifact.
+    Q("txt_code_detect",
+      (s, d) => {
+        import s.implicits._
+        def diff(re: String) =
+          (length($"text") - length(regexp_replace($"text", re, "")))
+            .cast("long")
+        Tables.documents(s, d)
+          .select($"doc_id", length($"text").cast("long").as("len"),
+            diff("[{}\\[\\]()]").as("d_brace"),
+            diff("[;=]").as("d_stmt"),
+            diff("[+\\-*/<>|&]").as("d_op"),
+            size(expr(
+              "regexp_extract_all(text, '\\\\b[a-z]+[A-Z][a-zA-Z]*\\\\b', 0)"))
+              .cast("long").as("n_camel"),
+            size(expr(
+              "regexp_extract_all(text, '\\\\b[a-z]+_[a-z_]+\\\\b', 0)"))
+              .cast("long").as("n_snake"))
+          .select($"doc_id",
+            expr("d_brace * 1000000 div len").as("brace_ppm"),
+            expr("d_stmt * 1000000 div len").as("stmt_ppm"),
+            expr("d_op * 1000000 div len").as("op_ppm"),
+            $"n_camel", $"n_snake",
+            expr("(d_brace * 1000000 div len * 3 +" +
+              " d_stmt * 1000000 div len * 2 +" +
+              " d_op * 1000000 div len +" +
+              " (n_camel + n_snake) * 1000) div 6").as("code_score_ppm"))
+          .withColumn("is_code", $"code_score_ppm" > 20000)
+      },
+      Some("""SELECT doc_id,
+          (length(text) - length(regexp_replace(text, '[{}\[\]()]', '', 'g')))
+            * 1000000 // length(text) AS brace_ppm,
+          (length(text) - length(regexp_replace(text, '[;=]', '', 'g')))
+            * 1000000 // length(text) AS stmt_ppm,
+          (length(text) - length(regexp_replace(text, '[+\-*/<>|&]', '', 'g')))
+            * 1000000 // length(text) AS op_ppm,
+          len(regexp_extract_all(text, '\b[a-z]+[A-Z][a-zA-Z]*\b', 0))
+            AS n_camel,
+          len(regexp_extract_all(text, '\b[a-z]+_[a-z_]+\b', 0)) AS n_snake,
+          ((length(text) - length(regexp_replace(text, '[{}\[\]()]', '', 'g')))
+             * 1000000 // length(text) * 3 +
+           (length(text) - length(regexp_replace(text, '[;=]', '', 'g')))
+             * 1000000 // length(text) * 2 +
+           (length(text) - length(regexp_replace(text, '[+\-*/<>|&]', '', 'g')))
+             * 1000000 // length(text) +
+           (len(regexp_extract_all(text, '\b[a-z]+[A-Z][a-zA-Z]*\b', 0)) +
+            len(regexp_extract_all(text, '\b[a-z]+_[a-z_]+\b', 0))) * 1000)
+            // 6 AS code_score_ppm,
+          ((length(text) - length(regexp_replace(text, '[{}\[\]()]', '', 'g')))
+             * 1000000 // length(text) * 3 +
+           (length(text) - length(regexp_replace(text, '[;=]', '', 'g')))
+             * 1000000 // length(text) * 2 +
+           (length(text) - length(regexp_replace(text, '[+\-*/<>|&]', '', 'g')))
+             * 1000000 // length(text) +
+           (len(regexp_extract_all(text, '\b[a-z]+[A-Z][a-zA-Z]*\b', 0)) +
+            len(regexp_extract_all(text, '\b[a-z]+_[a-z_]+\b', 0))) * 1000)
+            // 6 > 20000 AS is_code
+        FROM documents"""))
   )
 
   /** DuckDB-side 12-bit int from 3 hex chars of a hash (same digit

@@ -592,6 +592,19 @@ class PlanSpec extends AnyFunSuite {
       "tiling must keep payloads in their input partitions\n" + p.take(600))
   }
 
+  test("code detection is one narrow no-exchange map") {
+    val p = plan("txt_code_detect")
+    assert(!p.contains("Exchange"), p.take(600))
+  }
+
+  test("chi-square margins come from rollups of the cell table, " +
+       "broadcast back — the base table is scanned once per arm, " +
+       "never sort-merge joined") {
+    val p = plan("rel_chi2_independence")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(600))
+  }
+
   test("user overlap emits pairs per user from a bounded sorted set — " +
        "never a self-join of the distinct table") {
     val p = plan("ev_user_overlap")

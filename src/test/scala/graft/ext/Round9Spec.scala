@@ -31,7 +31,8 @@ class Round9Spec extends AnyFunSuite {
     "dedup_source_impact", "txt_fertility_by_lang",
     "rel_k_anonymity", "ev_m4_downsample",
     "ev_cms_accuracy", "mm_tile_plan",
-    "dedup_onion", "ev_user_overlap", "sim_kpp_init")
+    "dedup_onion", "ev_user_overlap", "sim_kpp_init",
+    "rel_chi2_independence", "rel_outlier_iqr", "txt_code_detect")
 
   test("results are bit-identical under 4 and 7 shuffle partitions") {
     def snapshot(name: String): Seq[String] =
@@ -324,6 +325,38 @@ class Round9Spec extends AnyFunSuite {
     assert(dists.forall(_ > 0L))
     assert(dists.zip(dists.tail).forall { case (a, b) => a >= b },
       s"selection distances must not increase: ${dists.mkString(",")}")
+  }
+
+  test("chi-square: dof matches the margin cardinalities and the " +
+       "statistic is non-negative") {
+    val r = SparkEntry.queries("rel_chi2_independence")(spark, sf)
+      .collect().head
+    assert(r.getAs[Long]("chi2_milli") >= 0L)
+    assert(r.getAs[Long]("dof") > 0L)
+    assert(r.getAs[Long]("n") ==
+      graft.Tables.customer(spark, sf).count())
+  }
+
+  test("IQR fences: outliers are a minority and quartiles are " +
+       "ordered") {
+    val rows = SparkEntry.queries("rel_outlier_iqr")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getAs[Double]("q1") <= r.getAs[Double]("q3"))
+      assert(r.getAs[Long]("n_low") + r.getAs[Long]("n_high") <=
+        r.getAs[Long]("n_rows") / 2,
+        "Tukey fences cannot flag a majority")
+    }
+  }
+
+  test("code detection: scores are bounded and the verdict matches " +
+       "the threshold") {
+    val rows = SparkEntry.queries("txt_code_detect")(spark, sf).collect()
+    for (r <- rows) {
+      assert(r.getAs[Long]("brace_ppm") <= 1000000L)
+      assert(r.getAs[Boolean]("is_code") ==
+        (r.getAs[Long]("code_score_ppm") > 20000L))
+    }
   }
 
   private object Tables {
