@@ -88,7 +88,8 @@ object PlanDump {
       "rel_k_anonymity", "ev_m4_downsample",
       "ev_cms_accuracy", "mm_tile_plan",
       "dedup_onion", "ev_user_overlap", "sim_kpp_init",
-      "rel_chi2_independence", "rel_outlier_iqr", "txt_code_detect")
+      "rel_chi2_independence", "rel_outlier_iqr", "txt_code_detect",
+      "rel_scd2_lookup", "gr_random_walk")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (")
       .append(sfDir).append(")\n\n")

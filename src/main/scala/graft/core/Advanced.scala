@@ -18,6 +18,69 @@ object Advanced {
   private def dsum(c: Column, scale: Int = 6): Column =
     sum(c.cast(DecimalType(27, scale))).cast("double")
 
+  /** SCD type-2 dimension over order status (the rel_scd2_dimension
+    * body, reusable): gaps-and-islands runs with [valid_from,
+    * valid_to) epoch-day ranges, one custkey shuffle shared by the
+    * change flag, run rollup and valid_to lead. */
+  def scd2Dim(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wOrd = Window.partitionBy($"o_custkey")
+      .orderBy($"day_num", $"o_orderkey")
+    val runs = Tables.orders(s, d)
+      .select($"o_custkey", $"o_orderkey", $"o_orderstatus",
+        datediff($"o_orderdate", lit("1970-01-01")).cast("long")
+          .as("day_num"))
+      .withColumn("chg",
+        when(lag($"o_orderstatus", 1).over(wOrd).isNull ||
+          lag($"o_orderstatus", 1).over(wOrd) =!= $"o_orderstatus", 1)
+          .otherwise(0))
+      .withColumn("run_id", sum($"chg").over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"o_custkey", $"run_id")
+      .agg(min($"o_orderstatus").as("status"),
+        min($"day_num").as("valid_from_day"),
+        max($"day_num").as("last_seen_day"),
+        count(lit(1)).as("n_orders"))
+    val wRun = Window.partitionBy($"o_custkey").orderBy($"run_id")
+    runs
+      .withColumn("valid_to_day", lead($"valid_from_day", 1).over(wRun))
+      .withColumn("is_current", $"valid_to_day".isNull)
+      .select($"o_custkey", $"run_id", $"status", $"valid_from_day",
+        $"valid_to_day", $"last_seen_day", $"n_orders", $"is_current")
+  }
+
+  /** Oracle CTEs mirroring [[scd2Dim]], ending in a `dim` CTE. */
+  private def scd2Sql: String =
+    """ord AS (
+        SELECT o_custkey, o_orderkey, o_orderstatus,
+          datediff('day', DATE '1970-01-01', o_orderdate) AS day_num
+        FROM orders),
+      flagged AS (
+        SELECT *, CASE WHEN LAG(o_orderstatus) OVER w IS NULL
+                    OR LAG(o_orderstatus) OVER w <> o_orderstatus
+                   THEN 1 ELSE 0 END AS chg
+        FROM ord
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY day_num, o_orderkey)),
+      runs0 AS (
+        SELECT *, CAST(SUM(chg) OVER (PARTITION BY o_custkey
+            ORDER BY day_num, o_orderkey
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+        FROM flagged),
+      runs AS (
+        SELECT o_custkey, run_id, MIN(o_orderstatus) AS status,
+          MIN(day_num) AS valid_from_day,
+          MAX(day_num) AS last_seen_day,
+          COUNT(*) AS n_orders
+        FROM runs0 GROUP BY o_custkey, run_id),
+      dim AS (
+        SELECT o_custkey, run_id, status, valid_from_day,
+          LEAD(valid_from_day) OVER w2 AS valid_to_day,
+          last_seen_day, n_orders,
+          LEAD(valid_from_day) OVER w2 IS NULL AS is_current
+        FROM runs
+        WINDOW w2 AS (PARTITION BY o_custkey ORDER BY run_id))"""
+
   val all: Seq[Q] = Seq(
     // ------------------------------------------------------------------
     // CUBE: all 4 grouping-set combinations.
@@ -387,32 +450,7 @@ object Advanced {
     // tiebroken by orderkey so runs are deterministic under same-day
     // orders.
     Q("rel_scd2_dimension",
-      (s, d) => {
-        import s.implicits._
-        val wOrd = Window.partitionBy($"o_custkey")
-          .orderBy($"day_num", $"o_orderkey")
-        val runs = Tables.orders(s, d)
-          .select($"o_custkey", $"o_orderkey", $"o_orderstatus",
-            datediff($"o_orderdate", lit("1970-01-01")).cast("long")
-              .as("day_num"))
-          .withColumn("chg",
-            when(lag($"o_orderstatus", 1).over(wOrd).isNull ||
-              lag($"o_orderstatus", 1).over(wOrd) =!= $"o_orderstatus", 1)
-              .otherwise(0))
-          .withColumn("run_id", sum($"chg").over(
-            wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .groupBy($"o_custkey", $"run_id")
-          .agg(min($"o_orderstatus").as("status"),
-            min($"day_num").as("valid_from_day"),
-            max($"day_num").as("last_seen_day"),
-            count(lit(1)).as("n_orders"))
-        val wRun = Window.partitionBy($"o_custkey").orderBy($"run_id")
-        runs
-          .withColumn("valid_to_day", lead($"valid_from_day", 1).over(wRun))
-          .withColumn("is_current", $"valid_to_day".isNull)
-          .select($"o_custkey", $"run_id", $"status", $"valid_from_day",
-            $"valid_to_day", $"last_seen_day", $"n_orders", $"is_current")
-      },
+      (s, d) => scd2Dim(s, d),
       Some("""WITH ord AS (
           SELECT o_custkey, o_orderkey, o_orderstatus,
             datediff('day', DATE '1970-01-01', o_orderdate) AS day_num
@@ -1131,6 +1169,42 @@ object Advanced {
           COUNT(CASE WHEN 4 * t.q4 > 4 * q.q3_4 + 6 * (q.q3_4 - q.q1_4)
                      THEN 1 END) AS n_high
         FROM li t JOIN quartiles q ON t.l_returnflag = q.l_returnflag
-        GROUP BY t.l_returnflag, q.q1_4, q.q3_4"""))
+        GROUP BY t.l_returnflag, q.q1_4, q.q3_4""")),
+
+    // ------------------------------------------------------------------
+    // Point-in-time (as-of) dimension lookup — the query side of the
+    // SCD2 build: for a set of probe days, the status mix of the
+    // customer base AS OF each day, read from the versioned
+    // dimension's [valid_from, valid_to) intervals. This is the
+    // time-travel read every SCD2 consumer runs (what did the world
+    // look like on day D), and the plan shape matters: the probe set
+    // is tiny and broadcasts against the dimension's interval table
+    // (a nested-loop by necessity — no equi key — but the broadcast
+    // side is |probes| rows, so the scan cost is |dim|·|probes|,
+    // never a shuffle); rows active at a probe collapse to a
+    // |probes|×|statuses| rollup. Reuses the scd2Dim operator
+    // verbatim — build and lookup pinned to the same run table.
+    Q("rel_scd2_lookup",
+      (s, d) => {
+        import s.implicits._
+        val probes = s.range(9200, 10900, 200)
+          .select($"id".as("probe_day"))
+        scd2Dim(s, d)
+          .join(broadcast(probes),
+            $"valid_from_day" <= $"probe_day" &&
+            ($"valid_to_day".isNull || $"probe_day" < $"valid_to_day"))
+          .groupBy($"probe_day", $"status")
+          .agg(count(lit(1)).as("n_customers"),
+            sum($"n_orders").as("n_orders_in_run"))
+      },
+      Some(s"""WITH $scd2Sql,
+        probes AS (
+          SELECT unnest(generate_series(9200, 10899, 200)) AS probe_day)
+        SELECT p.probe_day, dim.status, COUNT(*) AS n_customers,
+          CAST(SUM(dim.n_orders) AS BIGINT) AS n_orders_in_run
+        FROM dim JOIN probes p
+          ON dim.valid_from_day <= p.probe_day
+         AND (dim.valid_to_day IS NULL OR p.probe_day < dim.valid_to_day)
+        GROUP BY p.probe_day, dim.status"""))
   )
 }

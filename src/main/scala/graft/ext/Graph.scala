@@ -971,6 +971,82 @@ object GraphOps {
                FROM h2n ORDER BY score DESC, node_id LIMIT 15)
         SELECT role, node_id, score FROM ta
         UNION ALL
-        SELECT role, node_id, score FROM th"""))
+        SELECT role, node_id, score FROM th""")),
+
+    // ------------------------------------------------------------------
+    // Deterministic random walks — the corpus-generation step of
+    // DeepWalk/node2vec-style graph embeddings: one 3-step walk per
+    // seed (nation-0 customers), where the "random" next hop is the
+    // neighbor minimizing md5(cur ∥ step ∥ neighbor). Salted-hash
+    // selection is this engine's standing substitute for rand()
+    // (txt_weighted_sample's discipline): uniform-ish over
+    // neighbors, yet bit-reproducible across runs, engines and
+    // partitionings, so walk corpora regenerate identically — the
+    // property that makes embedding training runs comparable. Each
+    // step is ONE frontier⋈edges join (frontier is walker-sized,
+    // broadcast; the pinned edge frame never reshuffles) + a
+    // min-struct argmin per walker — the Pregel step shape again.
+    // Oracle: three unrolled CTE rounds with the same md5 argmin.
+    Q("gr_random_walk",
+      (s, d) => {
+        import s.implicits._
+        val edges = pin(interactionEdges(s, d))
+        val seeds = Tables.customer(s, d)
+          .filter($"c_nationkey" === 0)
+          .select(($"c_custkey" * 2).as("walker_id"))
+          .join(edges.select($"src").distinct(),
+            $"walker_id" === $"src", "semi")
+        var frontier = pinned(seeds.select($"walker_id",
+          $"walker_id".as("node"), lit(0L).as("step")))
+        var walks = frontier
+        for (i <- 1 to 3) {
+          val next = frontier
+            .join(edges.hint("SHUFFLE_HASH"), $"node" === $"src")
+            .withColumn("h", md5(concat_ws("_",
+              $"node".cast("string"), lit(i), $"dst".cast("string"))))
+            .groupBy($"walker_id")
+            .agg(min(struct($"h", $"dst")).as("best"))
+            .select($"walker_id", $"best.dst".as("node"),
+              lit(i.toLong).as("step"))
+          frontier = pinned(next)
+          walks = walks.unionByName(frontier)
+        }
+        walks.select($"walker_id", $"step", $"node")
+      },
+      Some {
+        def hop(i: Int) = s"""
+          f$i AS (
+            SELECT walker_id, node FROM (
+              SELECT f.walker_id, e.dst AS node,
+                ROW_NUMBER() OVER (PARTITION BY f.walker_id ORDER BY
+                  md5(CAST(f.node AS VARCHAR) || '_' || $i || '_' ||
+                      CAST(e.dst AS VARCHAR)), e.dst) AS rk
+              FROM f${i - 1} f JOIN edges e ON e.src = f.node) t
+            WHERE rk = 1)"""
+        s"""WITH e0 AS (
+            SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          edges AS (
+            SELECT src, dst FROM e0
+            UNION ALL SELECT dst AS src, src AS dst FROM e0),
+          f0 AS (
+            SELECT DISTINCT c_custkey * 2 AS walker_id,
+              c_custkey * 2 AS node
+            FROM customer
+            WHERE c_nationkey = 0
+              AND EXISTS (SELECT 1 FROM edges e
+                          WHERE e.src = c_custkey * 2)),
+          ${hop(1)},
+          ${hop(2)},
+          ${hop(3)}
+          SELECT walker_id, CAST(0 AS BIGINT) AS step, node FROM f0
+          UNION ALL SELECT walker_id, 1, node FROM f1
+          UNION ALL SELECT walker_id, 2, node FROM f2
+          UNION ALL SELECT walker_id, 3, node FROM f3"""
+      })
   )
+
+  /** persist + lineage cut for loop frames (public-ish alias of
+    * [[pin]] for the walk loop — same contract). */
+  private def pinned(df: DataFrame): DataFrame = pin(df)
 }

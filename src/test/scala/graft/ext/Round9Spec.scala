@@ -32,7 +32,8 @@ class Round9Spec extends AnyFunSuite {
     "rel_k_anonymity", "ev_m4_downsample",
     "ev_cms_accuracy", "mm_tile_plan",
     "dedup_onion", "ev_user_overlap", "sim_kpp_init",
-    "rel_chi2_independence", "rel_outlier_iqr", "txt_code_detect")
+    "rel_chi2_independence", "rel_outlier_iqr", "txt_code_detect",
+    "rel_scd2_lookup", "gr_random_walk")
 
   test("results are bit-identical under 4 and 7 shuffle partitions") {
     def snapshot(name: String): Seq[String] =
@@ -356,6 +357,46 @@ class Round9Spec extends AnyFunSuite {
       assert(r.getAs[Long]("brace_ppm") <= 1000000L)
       assert(r.getAs[Boolean]("is_code") ==
         (r.getAs[Long]("code_score_ppm") > 20000L))
+    }
+  }
+
+  test("as-of lookup: every probe's class counts sum to the " +
+       "customers whose history has started by that probe") {
+    val rows = SparkEntry.queries("rel_scd2_lookup")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byProbe = rows.groupBy(_.getAs[Long]("probe_day"))
+    // as-of totals can only grow as the probe day advances
+    val totals = byProbe.toSeq.sortBy(_._1)
+      .map(_._2.map(_.getAs[Long]("n_customers")).sum)
+    assert(totals.zip(totals.tail).forall { case (a, b) => a <= b },
+      s"as-of customer counts must be monotone: ${totals.mkString(",")}")
+  }
+
+  test("random walks: every step lands on a graph neighbor of the " +
+       "previous node, and walks are exactly 4 nodes") {
+    val rows = SparkEntry.queries("gr_random_walk")(spark, sf).collect()
+    val byWalker = rows.groupBy(_.getAs[Long]("walker_id"))
+    assert(byWalker.nonEmpty)
+    // rebuild the adjacency to validate hops
+    import org.apache.spark.sql.functions.{col => c}
+    val li = graft.Tables.lineitem(spark, sf)
+      .select(c("l_orderkey"), c("l_suppkey"))
+    val ords = graft.Tables.orders(spark, sf)
+      .select(c("o_orderkey"), c("o_custkey"))
+    val adj = li.join(ords, c("l_orderkey") === c("o_orderkey"))
+      .select((c("o_custkey") * 2).as("a"), (c("l_suppkey") * 2 + 1).as("b"))
+      .distinct().collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)),
+        (r.getLong(1), r.getLong(0))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    for ((w, steps0) <- byWalker) {
+      val steps = steps0.sortBy(_.getAs[Long]("step"))
+      assert(steps.length == 4, s"walker $w has ${steps.length} nodes")
+      assert(steps.head.getAs[Long]("node") == w, "walks start at the seed")
+      for (Array(x, y) <- steps.sliding(2)) {
+        assert(adj(x.getAs[Long]("node"))(y.getAs[Long]("node")),
+          s"walker $w hopped to a non-neighbor")
+      }
     }
   }
 
