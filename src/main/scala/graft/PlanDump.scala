@@ -89,7 +89,8 @@ object PlanDump {
       "ev_cms_accuracy", "mm_tile_plan",
       "dedup_onion", "ev_user_overlap", "sim_kpp_init",
       "rel_chi2_independence", "rel_outlier_iqr", "txt_code_detect",
-      "rel_scd2_lookup", "gr_random_walk")
+      "rel_scd2_lookup", "gr_random_walk",
+      "dedup_lsh_recall_curve", "ev_kpi_deltas")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (")
       .append(sfDir).append(")\n\n")

@@ -1273,6 +1273,116 @@ object Dedup {
         FROM documents d
         JOIN e1 ON e1.doc_id = d.doc_id
         LEFT JOIN f2 ON f2.doc_id = d.doc_id
-        LEFT JOIN clusters3 c3 ON c3.doc_id = d.doc_id"""))
+        LEFT JOIN clusters3 c3 ON c3.doc_id = d.doc_id""")),
+
+    // ------------------------------------------------------------------
+    // LSH recall curve (the banding S-curve, measured): on a salted
+    // 1/32 sample of CONTENT GROUPS (a planted twin samples with its
+    // original — sampling ids independently would lose exactly the
+    // high-similarity pairs the curve exists to measure), every
+    // sampled pair's TRUE 5-gram Jaccard is computed exhaustively,
+    // bucketed into deciles, and scored against whether the 2-band
+    // MinHash banding would have caught it (a band matches ⇔ the
+    // pair is an LSH candidate, by construction — no candidate join
+    // needed). The output is the measured probability-of-detection
+    // curve that picks bands×rows before a dedup config ships:
+    // recall ≈ 1 above the design threshold, the miss rate below it
+    // quantified per bucket. Ground truth is quadratic BY DESIGN,
+    // which is why it runs on the salted sample — the same
+    // eval-on-a-sample shape as dedup_minhash_accuracy, but with
+    // TRUE pair enumeration (catching LSH's false negatives, which
+    // a candidates-only eval cannot see).
+    Q("dedup_lsh_recall_curve",
+      (s, d) => {
+        import s.implicits._
+        val grpHash = md5(($"doc_id" % 100000).cast("string"))
+        val base = corpus(s, d)
+          .filter(substring(grpHash, 1, 1) === "0" &&
+            substring(grpHash, 2, 1) < "8")
+        val sigs = minhashSignatures(base)
+        val hg = base.select($"doc_id",
+          explode(array_distinct(graft.functions.NativeFunctions
+            .rollingHashAll(norm($"text"), 5))).as("h"))
+        val sizes = hg.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+        val ids = sizes.select($"doc_id")
+        val pairs = ids.select($"doc_id".as("doc_a"))
+          .join(broadcast(ids.select($"doc_id".as("doc_b"))),
+            $"doc_a" < $"doc_b")
+        val co = hg.select($"doc_id".as("doc_a"), $"h")
+          .join(hg.select($"doc_id".as("doc_b"), $"h".as("hb")),
+            $"h" === $"hb" && $"doc_a" < $"doc_b")
+          .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_inter"))
+        pairs
+          .join(co, Seq("doc_a", "doc_b"), "left")
+          .withColumn("n_inter", coalesce($"n_inter", lit(0L)))
+          .join(sizes.select($"doc_id".as("doc_a"), $"n".as("n_a")), "doc_a")
+          .join(sizes.select($"doc_id".as("doc_b"), $"n".as("n_b")), "doc_b")
+          .join(sigs.select($"doc_id".as("doc_a"), $"h1".as("a1"),
+            $"h2".as("a2"), $"h3".as("a3"), $"h4".as("a4")), "doc_a")
+          .join(sigs.select($"doc_id".as("doc_b"), $"h1".as("b1"),
+            $"h2".as("b2"), $"h3".as("b3"), $"h4".as("b4")), "doc_b")
+          .withColumn("true_ppm",
+            expr("n_inter * 1000000 div (n_a + n_b - n_inter)"))
+          .withColumn("caught",
+            ($"a1" === $"b1" && $"a2" === $"b2") ||
+            ($"a3" === $"b3" && $"a4" === $"b4"))
+          .groupBy(expr("true_ppm div 100000").as("sim_bucket"))
+          .agg(count(lit(1)).as("n_pairs"),
+            count(when($"caught", 1)).as("n_caught"))
+          .withColumn("recall_ppm",
+            expr("n_caught * 1000000 div n_pairs"))
+      },
+      Some(s"""WITH full_corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL SELECT doc_id + 100000, text FROM documents
+            WHERE doc_id % 10 = 0
+          UNION ALL SELECT doc_id + 200000, text || ' xtra' FROM documents
+            WHERE doc_id % 7 = 0),
+        corpus AS (
+          SELECT doc_id, text FROM full_corpus
+          WHERE substr(md5(CAST(doc_id % 100000 AS VARCHAR)), 1, 1) = '0'
+            AND substr(md5(CAST(doc_id % 100000 AS VARCHAR)), 2, 1) < '8'),
+        $signaturesSql,
+        hgrams AS (
+          SELECT DISTINCT doc_id, h FROM (
+            SELECT doc_id,
+              CASE WHEN length(norm) >= 5 THEN
+                (CAST(ord(substr(norm, i, 1)) AS BIGINT) * 923521
+                 + CAST(ord(substr(norm, i + 1, 1)) AS BIGINT) * 29791
+                 + CAST(ord(substr(norm, i + 2, 1)) AS BIGINT) * 961
+                 + CAST(ord(substr(norm, i + 3, 1)) AS BIGINT) * 31
+                 + ord(substr(norm, i + 4, 1))) % 1000000007 END AS h
+            FROM (SELECT doc_id, norm,
+                    unnest(generate_series(1, greatest(length(norm) - 4, 1)))
+                      AS i
+                  FROM (SELECT doc_id, $normSql AS norm FROM corpus) y) x) w
+          WHERE h IS NOT NULL),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM hgrams GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM sizes a JOIN sizes b ON a.doc_id < b.doc_id),
+        co AS (
+          SELECT ga.doc_id AS doc_a, gb.doc_id AS doc_b, COUNT(*) AS n_inter
+          FROM hgrams ga JOIN hgrams gb
+            ON gb.h = ga.h AND ga.doc_id < gb.doc_id
+          GROUP BY 1, 2),
+        scored AS (
+          SELECT p.doc_a, p.doc_b,
+            COALESCE(co.n_inter, 0) AS n_inter, sa.n AS n_a, sb.n AS n_b,
+            COALESCE(co.n_inter, 0) * 1000000
+              // (sa.n + sb.n - COALESCE(co.n_inter, 0)) AS true_ppm,
+            (ga.h1 = gb2.h1 AND ga.h2 = gb2.h2)
+              OR (ga.h3 = gb2.h3 AND ga.h4 = gb2.h4) AS caught
+          FROM pairs p
+          LEFT JOIN co ON co.doc_a = p.doc_a AND co.doc_b = p.doc_b
+          JOIN sizes sa ON sa.doc_id = p.doc_a
+          JOIN sizes sb ON sb.doc_id = p.doc_b
+          JOIN signatures ga ON ga.doc_id = p.doc_a
+          JOIN signatures gb2 ON gb2.doc_id = p.doc_b)
+        SELECT true_ppm // 100000 AS sim_bucket, COUNT(*) AS n_pairs,
+          COUNT(CASE WHEN caught THEN 1 END) AS n_caught,
+          COUNT(CASE WHEN caught THEN 1 END) * 1000000 // COUNT(*)
+            AS recall_ppm
+        FROM scored GROUP BY 1"""))
   )
 }

@@ -2047,6 +2047,58 @@ object EventsOps {
           n_common * 1000000 // (sa.n + sb.n - n_common) AS jaccard_ppm
         FROM inter
         JOIN sizes sa ON sa.event_type = type_a
-        JOIN sizes sb ON sb.event_type = type_b"""))
+        JOIN sizes sb ON sb.event_type = type_b""")),
+
+    // ------------------------------------------------------------------
+    // KPI delta report — the week-over-week dashboard header: per
+    // event type, this week's volume against last week's and against
+    // the trailing-4-week weekly average, with integer-ppm deltas
+    // (the 1e6-scaled relative change; NULL when the denominator is
+    // zero rather than a fake sentinel). Weeks anchor at the
+    // corpus's last day (one scalar pre-pass riding a broadcast
+    // one-row crossJoin); all windows come from conditional
+    // aggregation over ONE scan — the naive form scans once per
+    // window. Counts are exact integers; deltas divide them once.
+    Q("ev_kpi_deltas",
+      (s, d) => {
+        import s.implicits._
+        val days = Tables.events(s, d)
+          .select($"event_type",
+            datediff($"ts".cast("date"), lit("2024-01-01")).cast("long")
+              .as("day"))
+        val maxd = days.agg(max($"day").as("d0"))
+        days.crossJoin(broadcast(maxd))
+          .groupBy($"event_type")
+          .agg(
+            count(when($"day" > $"d0" - 7, 1)).as("n_this_week"),
+            count(when($"day" <= $"d0" - 7 && $"day" > $"d0" - 14, 1))
+              .as("n_prev_week"),
+            count(when($"day" > $"d0" - 28, 1)).as("n_4wk"))
+          .select($"event_type", $"n_this_week", $"n_prev_week",
+            expr("n_4wk div 4").as("weekly_avg_4wk"),
+            expr("(n_this_week - n_prev_week) * 1000000" +
+              " div nullif(n_prev_week, 0)").as("wow_delta_ppm"),
+            expr("(n_this_week - n_4wk div 4) * 1000000" +
+              " div nullif(n_4wk div 4, 0)").as("vs_4wk_ppm"))
+      },
+      Some("""WITH days AS (
+          SELECT event_type,
+            CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day
+          FROM events),
+        d0 AS (SELECT MAX(day) AS d0 FROM days),
+        agg AS (
+          SELECT event_type,
+            COUNT(CASE WHEN day > d0 - 7 THEN 1 END) AS n_this_week,
+            COUNT(CASE WHEN day <= d0 - 7 AND day > d0 - 14 THEN 1 END)
+              AS n_prev_week,
+            COUNT(CASE WHEN day > d0 - 28 THEN 1 END) AS n_4wk
+          FROM days, d0 GROUP BY event_type)
+        SELECT event_type, n_this_week, n_prev_week,
+          n_4wk // 4 AS weekly_avg_4wk,
+          (n_this_week - n_prev_week) * 1000000
+            // nullif(n_prev_week, 0) AS wow_delta_ppm,
+          (n_this_week - n_4wk // 4) * 1000000
+            // nullif(n_4wk // 4, 0) AS vs_4wk_ppm
+        FROM agg"""))
   )
 }

@@ -33,7 +33,8 @@ class Round9Spec extends AnyFunSuite {
     "ev_cms_accuracy", "mm_tile_plan",
     "dedup_onion", "ev_user_overlap", "sim_kpp_init",
     "rel_chi2_independence", "rel_outlier_iqr", "txt_code_detect",
-    "rel_scd2_lookup", "gr_random_walk")
+    "rel_scd2_lookup", "gr_random_walk",
+    "dedup_lsh_recall_curve", "ev_kpi_deltas")
 
   test("results are bit-identical under 4 and 7 shuffle partitions") {
     def snapshot(name: String): Seq[String] =
@@ -396,6 +397,38 @@ class Round9Spec extends AnyFunSuite {
       for (Array(x, y) <- steps.sliding(2)) {
         assert(adj(x.getAs[Long]("node"))(y.getAs[Long]("node")),
           s"walker $w hopped to a non-neighbor")
+      }
+    }
+  }
+
+  test("LSH recall curve: exact copies (top bucket) are always " +
+       "caught — pigeonhole makes banding lossless at Jaccard 1") {
+    val rows = SparkEntry.queries("dedup_lsh_recall_curve")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_caught") <= r.getAs[Long]("n_pairs"))
+      assert(r.getAs[Long]("recall_ppm") <= 1000000L)
+    }
+    rows.find(_.getAs[Long]("sim_bucket") == 10L).foreach { top =>
+      assert(top.getAs[Long]("recall_ppm") == 1000000L,
+        "identical docs share all 4 minhash components — both bands " +
+          "must match")
+    }
+  }
+
+  test("KPI deltas: window counts are consistent (this week ≤ 4-week " +
+       "total) and ppm deltas recompute from the exported counts") {
+    val rows = SparkEntry.queries("ev_kpi_deltas")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val tw = r.getAs[Long]("n_this_week")
+      val avg = r.getAs[Long]("weekly_avg_4wk")
+      assert(tw <= avg * 4 + 3, "this week is inside the 4-week span")
+      if (!r.isNullAt(r.fieldIndex("wow_delta_ppm"))) {
+        val pw = r.getAs[Long]("n_prev_week")
+        assert(r.getAs[Long]("wow_delta_ppm") ==
+          (tw - pw) * 1000000L / pw)
       }
     }
   }
