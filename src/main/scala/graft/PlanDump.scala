@@ -90,7 +90,8 @@ object PlanDump {
       "dedup_onion", "ev_user_overlap", "sim_kpp_init",
       "rel_chi2_independence", "rel_outlier_iqr", "txt_code_detect",
       "rel_scd2_lookup", "gr_random_walk",
-      "dedup_lsh_recall_curve", "ev_kpi_deltas")
+      "dedup_lsh_recall_curve", "ev_kpi_deltas",
+      "sim_embedding_health", "txt_length_histogram")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (")
       .append(sfDir).append(")\n\n")

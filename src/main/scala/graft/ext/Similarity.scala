@@ -1091,7 +1091,47 @@ object Similarity {
           UNION ALL SELECT 1, vec_id, mind FROM s1
           UNION ALL SELECT 2, vec_id, mind FROM s2
           UNION ALL SELECT 3, vec_id, mind FROM s3"""
-      })
+      }),
+
+    // ------------------------------------------------------------------
+    // Embedding-table health report — the QA gate an embedding
+    // pipeline runs before an index build or a training job reads
+    // the table: per label shard, vector count, min/max/mean squared
+    // norm and the zero-vector count (dead encoder outputs). Norms
+    // are the QUANTIZED self-dot (FloatVecDotQ — Σ floor(xᵢ²·10⁹) as
+    // BIGINT), so min/max select stored integers and the mean
+    // divides two exact integers: nothing in the report can flutter,
+    // unlike a float Σx² whose partial-agg order differs per run. A
+    // norm collapsing toward zero or exploding per shard is the
+    // classic symptom of an encoder regression — this is the report
+    // that catches it before a week of GPU time does. One scan, one
+    // |labels|-row rollup.
+    Q("sim_embedding_health",
+      (s, d) => {
+        import s.implicits._
+        Tables.embeddings(s, d)
+          .select($"label".cast("long").as("label"),
+            graft.functions.NativeFunctions.floatVecDotQ(
+              $"embedding", $"embedding").as("normq"))
+          .groupBy($"label")
+          .agg(count(lit(1)).as("n_vecs"),
+            min($"normq").as("min_normq"),
+            max($"normq").as("max_normq"),
+            sum($"normq").as("sum_normq"),
+            count(when($"normq" === 0, 1)).as("n_zero"))
+          .select($"label", $"n_vecs", $"min_normq", $"max_normq",
+            expr("sum_normq div n_vecs").as("mean_normq"), $"n_zero")
+      },
+      Some(s"""WITH scored AS (
+          SELECT CAST(label AS BIGINT) AS label,
+            ${dotQSql("embedding", "embedding")} AS normq
+          FROM embeddings)
+        SELECT label, COUNT(*) AS n_vecs,
+          CAST(MIN(normq) AS BIGINT) AS min_normq,
+          CAST(MAX(normq) AS BIGINT) AS max_normq,
+          CAST(SUM(normq) // COUNT(*) AS BIGINT) AS mean_normq,
+          COUNT(CASE WHEN normq = 0 THEN 1 END) AS n_zero
+        FROM scored GROUP BY label"""))
   )
 
   /** PQ codebook assignment shared by `sim_pq_encode` and

@@ -1887,7 +1887,46 @@ object TextAnalysis {
            (len(regexp_extract_all(text, '\b[a-z]+[A-Z][a-zA-Z]*\b', 0)) +
             len(regexp_extract_all(text, '\b[a-z]+_[a-z_]+\b', 0))) * 1000)
             // 6 > 20000 AS is_code
-        FROM documents"""))
+        FROM documents""")),
+
+    // ------------------------------------------------------------------
+    // Sequence-length distribution per source — the padding/
+    // truncation planning input: token-length buckets (powers of
+    // two, via the engine-identical length(bin(n))−1 digit trick —
+    // floor(log2) flutters at boundaries), with per-bucket doc and
+    // token totals and the share of tokens a 512-token cap would
+    // truncate. Together with txt_pack_batches this decides
+    // max_seq_len and packing strategy; at 100 TB it is one scan
+    // and a |sources|×|buckets| rollup.
+    Q("txt_length_histogram",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"source",
+            size(tokens($"text")).cast("long").as("n_toks"))
+          .withColumn("bucket",
+            (length(bin(greatest($"n_toks", lit(1L)))) - 1).cast("long"))
+          .groupBy($"source", $"bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_toks").as("n_tokens"),
+            sum(greatest($"n_toks" - 512, lit(0L))).as("tokens_over_512"))
+          .withColumn("truncated_ppm",
+            expr("tokens_over_512 * 1000000 div n_tokens"))
+      },
+      Some("""WITH per_doc AS (
+          SELECT source,
+            CAST(len(string_split_regex(trim(lower(text)), '\s+'))
+              AS BIGINT) AS n_toks
+          FROM documents)
+        SELECT source,
+          CAST(length(bin(greatest(n_toks, 1))) - 1 AS BIGINT) AS bucket,
+          COUNT(*) AS n_docs,
+          CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+          CAST(SUM(greatest(n_toks - 512, 0)) AS BIGINT)
+            AS tokens_over_512,
+          CAST(SUM(greatest(n_toks - 512, 0)) * 1000000 // SUM(n_toks)
+            AS BIGINT) AS truncated_ppm
+        FROM per_doc GROUP BY 1, 2"""))
   )
 
   /** DuckDB-side 12-bit int from 3 hex chars of a hash (same digit

@@ -34,7 +34,8 @@ class Round9Spec extends AnyFunSuite {
     "dedup_onion", "ev_user_overlap", "sim_kpp_init",
     "rel_chi2_independence", "rel_outlier_iqr", "txt_code_detect",
     "rel_scd2_lookup", "gr_random_walk",
-    "dedup_lsh_recall_curve", "ev_kpi_deltas")
+    "dedup_lsh_recall_curve", "ev_kpi_deltas",
+    "sim_embedding_health", "txt_length_histogram")
 
   test("results are bit-identical under 4 and 7 shuffle partitions") {
     def snapshot(name: String): Seq[String] =
@@ -430,6 +431,31 @@ class Round9Spec extends AnyFunSuite {
         assert(r.getAs[Long]("wow_delta_ppm") ==
           (tw - pw) * 1000000L / pw)
       }
+    }
+  }
+
+  test("embedding health: min ≤ mean ≤ max per shard, shards " +
+       "partition the table, zero counts bounded") {
+    val rows = SparkEntry.queries("sim_embedding_health")(spark, sf)
+      .collect()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum ==
+      graft.Tables.embeddings(spark, sf).count())
+    for (r <- rows) {
+      assert(r.getAs[Long]("min_normq") <= r.getAs[Long]("mean_normq"))
+      assert(r.getAs[Long]("mean_normq") <= r.getAs[Long]("max_normq"))
+      assert(r.getAs[Long]("n_zero") <= r.getAs[Long]("n_vecs"))
+    }
+  }
+
+  test("length histogram: buckets are powers of two (doc of n tokens " +
+       "lands in bucket floor(log2 n)) and truncation shares bounded") {
+    val rows = SparkEntry.queries("txt_length_histogram")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getAs[Long]("bucket") >= 0L)
+      assert(r.getAs[Long]("truncated_ppm") <= 1000000L)
+      assert(r.getAs[Long]("tokens_over_512") <= r.getAs[Long]("n_tokens"))
     }
   }
 
