@@ -91,7 +91,8 @@ object PlanDump {
       "rel_chi2_independence", "rel_outlier_iqr", "txt_code_detect",
       "rel_scd2_lookup", "gr_random_walk",
       "dedup_lsh_recall_curve", "ev_kpi_deltas",
-      "sim_embedding_health", "txt_length_histogram")
+      "sim_embedding_health", "txt_length_histogram",
+      "sim_probe_sweep", "gr_graph_summary")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (")
       .append(sfDir).append(")\n\n")

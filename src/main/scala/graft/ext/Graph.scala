@@ -1043,7 +1043,48 @@ object GraphOps {
           UNION ALL SELECT walker_id, 1, node FROM f1
           UNION ALL SELECT walker_id, 2, node FROM f2
           UNION ALL SELECT walker_id, 3, node FROM f3"""
-      })
+      }),
+
+    // ------------------------------------------------------------------
+    // One-row graph profile — the summary read BEFORE choosing any
+    // algorithm/skew strategy (the per-distribution diagnoses
+    // gr_degree_hist and gr_assortativity then refine): node and
+    // undirected-edge counts, max/mean degree and edge density, all
+    // from the degree rollup of one edge scan. Mean degree and
+    // density are integer ppm with one division each; density's
+    // 2m·10⁶ and n(n−1) stay far inside int64 at any broadcastable
+    // node count, and the formula is exact where a float m/n² would
+    // be fine anyway — kept integer for uniformity with the rest of
+    // the engine's report surface.
+    Q("gr_graph_summary",
+      (s, d) => {
+        import s.implicits._
+        val deg = interactionEdges(s, d)
+          .groupBy($"src").agg(count(lit(1)).as("deg"))
+        deg.agg(count(lit(1)).as("n_nodes"),
+            (sum($"deg") / 2).cast("long").as("n_edges"),
+            max($"deg").as("max_degree"),
+            sum($"deg").as("degsum"))
+          .select($"n_nodes", $"n_edges", $"max_degree",
+            expr("degsum * 1000000 div n_nodes").as("mean_degree_ppm"),
+            expr("degsum * 1000000 div (n_nodes * (n_nodes - 1))")
+              .as("density_ppm"))
+      },
+      Some("""WITH e0 AS (
+          SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        edges AS (
+          SELECT src, dst FROM e0
+          UNION ALL SELECT dst AS src, src AS dst FROM e0),
+        deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)
+        SELECT COUNT(*) AS n_nodes,
+          CAST(SUM(deg) / 2 AS BIGINT) AS n_edges,
+          CAST(MAX(deg) AS BIGINT) AS max_degree,
+          CAST(SUM(deg) * 1000000 // COUNT(*) AS BIGINT)
+            AS mean_degree_ppm,
+          CAST(SUM(deg) * 1000000 // (COUNT(*) * (COUNT(*) - 1))
+            AS BIGINT) AS density_ppm
+        FROM deg"""))
   )
 
   /** persist + lineage cut for loop frames (public-ish alias of

@@ -1131,7 +1131,111 @@ object Similarity {
           CAST(MAX(normq) AS BIGINT) AS max_normq,
           CAST(SUM(normq) // COUNT(*) AS BIGINT) AS mean_normq,
           COUNT(CASE WHEN normq = 0 THEN 1 END) AS n_zero
-        FROM scored GROUP BY label"""))
+        FROM scored GROUP BY label""")),
+
+    // ------------------------------------------------------------------
+    // IVF probe sweep — recall@5 at nprobe ∈ {1, 2, 4} from ONE
+    // pass: the tuning curve that sets the probe count (the latency/
+    // recall dial) before an IVF index ships, where sim_ivf_recall
+    // measures only the shipped configuration. Uses the identity
+    // that an exact top-5 neighbor is retrieved iff its assigned
+    // cell is among the query's nprobe nearest cells (anything
+    // outranking it among candidates is itself a true top-5 member),
+    // so the whole sweep needs no per-nprobe candidate scan: exact
+    // neighbors join their cell assignment, the query's cell RANKING
+    // (not set) attaches, and each nprobe level is one conditional
+    // count. Cells and the query set broadcast; the corpus is
+    // scanned once for assignment and once for exact truth.
+    Q("sim_probe_sweep",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+        val cents = emb.filter($"vec_id" < 16)
+          .select($"vec_id".as("cid"), $"embedding".as("cemb"))
+        def cellRanks(vecs: DataFrame, n: Int): DataFrame = {
+          val w = Window.partitionBy(col("vec_id"))
+            .orderBy(col("ccos").desc, col("cid"))
+          vecs.crossJoin(broadcast(cents))
+            .withColumn("ccos", cosine(col("embedding"), col("cemb")))
+            .withColumn("crank", row_number().over(w))
+            .filter(col("crank") <= n)
+            .select(col("vec_id"), col("cid"), col("crank"))
+        }
+        val queries = emb.filter($"vec_id" % 97 === 0)
+        val wTop = Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
+        val exact = emb.crossJoin(broadcast(
+            queries.select($"vec_id".as("qid"), $"embedding".as("qemb"))))
+          .filter($"vec_id" =!= $"qid")
+          .withColumn("cos", cosine($"qemb", $"embedding"))
+          .withColumn("rank", row_number().over(wTop))
+          .filter($"rank" <= 5)
+          .select($"qid", $"vec_id".as("neighbor_id"))
+        val assign = cellRanks(emb, 1)
+          .select($"vec_id".as("neighbor_id"), $"cid".as("ncell"))
+        val qRanks = cellRanks(queries, 4)
+          .select($"vec_id".as("rq_qid"), $"cid".as("qcell"),
+            $"crank".as("qcrank"))
+        val annotated = exact
+          .join(assign, "neighbor_id")
+          .join(broadcast(qRanks),
+            $"qid" === $"rq_qid" && $"ncell" === $"qcell", "left")
+          .drop("rq_qid")
+        annotated
+          .select(explode(expr("array(1, 2, 4)")).as("nprobe"),
+            $"qcrank")
+          .groupBy($"nprobe".cast("long").as("nprobe"))
+          .agg(count(lit(1)).as("n_exact"),
+            count(when($"qcrank" <= $"nprobe", 1)).as("n_hit"))
+          .withColumn("recall_ppm", expr("n_hit * 1000000 div n_exact"))
+      },
+      Some(s"""WITH q AS (
+          SELECT vec_id AS qid, embedding AS qemb FROM embeddings
+          WHERE vec_id % 97 = 0),
+        c AS (
+          SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+          WHERE vec_id < 16),
+        exact AS (
+          SELECT qid, vec_id AS neighbor_id FROM (
+            SELECT q.qid, e.vec_id,
+              ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                ${dotSql("q.qemb", "e.embedding")} /
+                (sqrt(${dotSql("q.qemb", "q.qemb")}) *
+                 sqrt(${dotSql("e.embedding", "e.embedding")})) DESC,
+                e.vec_id) AS rank
+            FROM embeddings e, q WHERE e.vec_id <> q.qid) t
+          WHERE rank <= 5),
+        assign AS (
+          SELECT vec_id AS neighbor_id, cid AS ncell FROM (
+            SELECT e.vec_id, c.cid,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                ${dotSql("e.embedding", "c.cemb")} /
+                (sqrt(${dotSql("e.embedding", "e.embedding")}) *
+                 sqrt(${dotSql("c.cemb", "c.cemb")})) DESC, c.cid)
+                AS crank
+            FROM embeddings e, c) t WHERE crank = 1),
+        qranks AS (
+          SELECT qid, cid AS qcell, crank AS qcrank FROM (
+            SELECT q.qid, c.cid,
+              ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                ${dotSql("q.qemb", "c.cemb")} /
+                (sqrt(${dotSql("q.qemb", "q.qemb")}) *
+                 sqrt(${dotSql("c.cemb", "c.cemb")})) DESC, c.cid)
+                AS crank
+            FROM q, c) t WHERE crank <= 4),
+        annotated AS (
+          SELECT x.qid, x.neighbor_id, qr.qcrank
+          FROM exact x
+          JOIN assign a ON a.neighbor_id = x.neighbor_id
+          LEFT JOIN qranks qr
+            ON qr.qid = x.qid AND qr.qcell = a.ncell),
+        swept AS (
+          SELECT np.nprobe, a.qcrank
+          FROM annotated a, (SELECT unnest([1, 2, 4]) AS nprobe) np)
+        SELECT CAST(nprobe AS BIGINT) AS nprobe, COUNT(*) AS n_exact,
+          COUNT(CASE WHEN qcrank <= nprobe THEN 1 END) AS n_hit,
+          COUNT(CASE WHEN qcrank <= nprobe THEN 1 END) * 1000000
+            // COUNT(*) AS recall_ppm
+        FROM swept GROUP BY nprobe"""))
   )
 
   /** PQ codebook assignment shared by `sim_pq_encode` and

@@ -35,7 +35,8 @@ class Round9Spec extends AnyFunSuite {
     "rel_chi2_independence", "rel_outlier_iqr", "txt_code_detect",
     "rel_scd2_lookup", "gr_random_walk",
     "dedup_lsh_recall_curve", "ev_kpi_deltas",
-    "sim_embedding_health", "txt_length_histogram")
+    "sim_embedding_health", "txt_length_histogram",
+    "sim_probe_sweep", "gr_graph_summary")
 
   test("results are bit-identical under 4 and 7 shuffle partitions") {
     def snapshot(name: String): Seq[String] =
@@ -457,6 +458,32 @@ class Round9Spec extends AnyFunSuite {
       assert(r.getAs[Long]("truncated_ppm") <= 1000000L)
       assert(r.getAs[Long]("tokens_over_512") <= r.getAs[Long]("n_tokens"))
     }
+  }
+
+  test("probe sweep: recall is monotone in nprobe, and the nprobe=2 " +
+       "point equals sim_ivf_recall's aggregate (the shipped config)") {
+    val sweep = SparkEntry.queries("sim_probe_sweep")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("nprobe"))
+    assert(sweep.map(_.getAs[Long]("nprobe")).toSeq == Seq(1L, 2L, 4L))
+    val recalls = sweep.map(_.getAs[Long]("recall_ppm"))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      "probing more cells can only add candidates")
+    val ivf = SparkEntry.queries("sim_ivf_recall")(spark, sf).collect()
+    val ivfHits = ivf.map(_.getAs[Long]("n_hit")).sum
+    val sweepAt2 = sweep.find(_.getAs[Long]("nprobe") == 2L).get
+    assert(sweepAt2.getAs[Long]("n_hit") == ivfHits,
+      "the cell-membership identity must reproduce the full candidate " +
+        "pipeline's hit count at nprobe=2")
+  }
+
+  test("graph summary: ingredients agree with a recomputed degree " +
+       "table") {
+    val r = SparkEntry.queries("gr_graph_summary")(spark, sf)
+      .collect().head
+    assert(r.getAs[Long]("n_nodes") > 0L)
+    assert(r.getAs[Long]("max_degree") * r.getAs[Long]("n_nodes") >=
+      2L * r.getAs[Long]("n_edges"), "max degree bounds the mean")
+    assert(r.getAs[Long]("density_ppm") <= 1000000L)
   }
 
   private object Tables {
