@@ -178,15 +178,37 @@ object Similarity {
           .filter($"rank" <= 5)
           .select($"qid", $"rank", $"vec_id".as("neighbor_id"))
       },
-      None),
+      // Round 4: no longer rows-only — the ±1 hyperplanes are
+      // driver-side literals, so the oracle replays the exact bucket
+      // assignment (sim_lsh_recall's bucketSql) and the candidate
+      // ranking is deterministic under the (cos desc, vec_id)
+      // tiebreak. The whole ANN result set is hash-checked.
+      Some(s"""WITH b AS (
+          SELECT vec_id, embedding,
+            ${bucketSql("embedding")} AS bucket
+          FROM embeddings),
+        q AS (
+          SELECT vec_id AS qid, embedding AS qemb, bucket FROM b
+          WHERE vec_id % 97 = 0)
+        SELECT qid, rank, neighbor_id FROM (
+          SELECT q.qid, e.vec_id AS neighbor_id,
+            ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+              ${dotSql("q.qemb", "e.embedding")} /
+              (sqrt(${dotSql("q.qemb", "q.qemb")}) *
+               sqrt(${dotSql("e.embedding", "e.embedding")})) DESC,
+              e.vec_id) AS rank
+          FROM b e JOIN q ON e.bucket = q.bucket
+          WHERE e.vec_id <> q.qid) t
+        WHERE rank <= 5""")),
 
     // ------------------------------------------------------------------
     // ANN via IVF (inverted-file index): corpus assigned once to its
     // nearest of K deterministic centroids (one broadcast pass);
     // queries probe their 2 nearest cells only. The coarse quantizer
     // shape that scales to 10⁹ vectors — cell assignment is a narrow
-    // map, candidate generation a bucket equi-join. Approximate →
-    // rows-only check; recall pinned by ExtSpec.
+    // map, candidate generation a bucket equi-join. Accuracy is
+    // measured by sim_ivf_recall/sim_probe_sweep; the result set
+    // itself is deterministic and hash-checked (oracle below).
     Q("sim_ann_ivf",
       (s, d) => {
         import s.implicits._
@@ -217,7 +239,49 @@ object Similarity {
           .filter($"rank" <= 5)
           .select($"qid", $"rank", $"vec_id".as("neighbor_id"))
       },
-      None),
+      // Round 4: no longer rows-only — centroids are deterministic
+      // corpus rows, cell assignment/probing carry the (cos desc,
+      // cid) tiebreak, and the candidate ranking is total-ordered,
+      // so the oracle (sim_ivf_recall's pipeline CTEs, emitting the
+      // ranked rows instead of the recall) hash-checks the full ANN
+      // result set.
+      Some(s"""WITH q AS (
+          SELECT vec_id AS qid, embedding AS qemb FROM embeddings
+          WHERE vec_id % 97 = 0),
+        c AS (
+          SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+          WHERE vec_id < 16),
+        assign AS (
+          SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                ${dotSql("e.embedding", "c.cemb")} /
+                (sqrt(${dotSql("e.embedding", "e.embedding")}) *
+                 sqrt(${dotSql("c.cemb", "c.cemb")})) DESC, c.cid)
+                AS crank
+            FROM embeddings e, c) t WHERE crank = 1),
+        probes AS (
+          SELECT qid, cid FROM (
+            SELECT q.qid, c.cid,
+              ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                ${dotSql("q.qemb", "c.cemb")} /
+                (sqrt(${dotSql("q.qemb", "q.qemb")}) *
+                 sqrt(${dotSql("c.cemb", "c.cemb")})) DESC, c.cid)
+                AS crank
+            FROM q, c) t WHERE crank <= 2)
+        SELECT qid, rank, neighbor_id FROM (
+          SELECT q.qid, e.vec_id AS neighbor_id,
+            ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+              ${dotSql("q.qemb", "e.embedding")} /
+              (sqrt(${dotSql("q.qemb", "q.qemb")}) *
+               sqrt(${dotSql("e.embedding", "e.embedding")})) DESC,
+              e.vec_id) AS rank
+          FROM probes p
+          JOIN assign a ON a.cid = p.cid
+          JOIN embeddings e ON e.vec_id = a.vec_id
+          JOIN q ON q.qid = p.qid
+          WHERE e.vec_id <> p.qid) t
+        WHERE rank <= 5""")),
 
     // ------------------------------------------------------------------
     // Per-language embedding centroid: posexplode + one partial-agg
