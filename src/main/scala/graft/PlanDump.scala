@@ -92,7 +92,8 @@ object PlanDump {
       "rel_scd2_lookup", "gr_random_walk",
       "dedup_lsh_recall_curve", "ev_kpi_deltas",
       "sim_embedding_health", "txt_length_histogram",
-      "sim_probe_sweep", "gr_graph_summary")
+      "sim_probe_sweep", "gr_graph_summary",
+      "ev_burn_rate_alert", "rel_grouping_id")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (")
       .append(sfDir).append(")\n\n")

@@ -1205,6 +1205,32 @@ object Advanced {
         FROM dim JOIN probes p
           ON dim.valid_from_day <= p.probe_day
          AND (dim.valid_to_day IS NULL OR p.probe_day < dim.valid_to_day)
-        GROUP BY p.probe_day, dim.status"""))
+        GROUP BY p.probe_day, dim.status""")),
+
+    // ------------------------------------------------------------------
+    // GROUPING markers on a rollup — the OLAP-semantics corner
+    // rel_rollup_qty/rel_cube_status leave untested: a consumer of a
+    // rollup cannot tell a NULL produced by aggregation from a NULL
+    // in the data without GROUPING()/GROUPING_ID(), so the marker
+    // columns are part of the contract. Bit order (leftmost group
+    // column = most significant bit) is the SQL standard both
+    // engines implement; pinned here cross-engine.
+    Q("rel_grouping_id",
+      (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d)
+          .rollup($"o_orderstatus", $"o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"),
+            grouping_id().cast("long").as("gid"),
+            grouping($"o_orderstatus").cast("long").as("g_status"),
+            grouping($"o_orderpriority").cast("long").as("g_priority"))
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority,
+          COUNT(*) AS n_orders,
+          CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+          CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+          CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"""))
   )
 }

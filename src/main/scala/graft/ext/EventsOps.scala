@@ -2099,6 +2099,57 @@ object EventsOps {
             // nullif(n_prev_week, 0) AS wow_delta_ppm,
           (n_this_week - n_4wk // 4) * 1000000
             // nullif(n_4wk // 4, 0) AS vs_4wk_ppm
-        FROM agg"""))
+        FROM agg""")),
+
+    // ------------------------------------------------------------------
+    // Multi-window burn-rate alert backfill — the Google-SRE alert
+    // rule ev_error_budget's single-window flag graduates to: fire
+    // only when the error share breaches the threshold in BOTH the
+    // 5-minute bucket (fast detection/fast reset) AND the trailing
+    // 1-hour window (sustained burn, not a blip). The event stream
+    // collapses to 5-minute buckets on one shuffle; the trailing
+    // window is a RANGE frame over the bucket index on the COLLAPSED
+    // frame (≤ 288 rows/day — never the event rows), and both shares
+    // are integer permille. This is the backfill that tunes the
+    // thresholds before the streaming twin alerts on-call.
+    Q("ev_burn_rate_alert",
+      (s, d) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy($"bucket").rangeBetween(-11, 0)
+        Tables.events(s, d)
+          .select(expr("unix_micros(ts) div 300000000").as("bucket"),
+            $"event_type")
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n_events"),
+            count(when($"event_type" === "error", 1)).as("n_errors"))
+          .withColumn("n_1h", sum($"n_events").over(w))
+          .withColumn("nerr_1h", sum($"n_errors").over(w))
+          .select($"bucket", $"n_events", $"n_errors",
+            expr("n_errors * 1000 div n_events").as("short_permille"),
+            expr("nerr_1h * 1000 div n_1h").as("long_permille"))
+          .withColumn("alert",
+            $"short_permille" > 250 && $"long_permille" > 250)
+      },
+      Some("""WITH b AS (
+          SELECT epoch_us(ts) // 300000000 AS bucket,
+            COUNT(*) AS n_events,
+            COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors
+          FROM events GROUP BY 1),
+        framed AS (
+          SELECT bucket, n_events, n_errors,
+            CAST(SUM(n_events) OVER (ORDER BY bucket
+              RANGE BETWEEN 11 PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS n_1h,
+            CAST(SUM(n_errors) OVER (ORDER BY bucket
+              RANGE BETWEEN 11 PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS nerr_1h
+          FROM b)
+        SELECT bucket, n_events, n_errors,
+          n_errors * 1000 // n_events AS short_permille,
+          nerr_1h * 1000 // n_1h AS long_permille,
+          n_errors * 1000 // n_events > 250
+            AND nerr_1h * 1000 // n_1h > 250 AS alert
+        FROM framed"""))
   )
 }

@@ -36,7 +36,8 @@ class Round9Spec extends AnyFunSuite {
     "rel_scd2_lookup", "gr_random_walk",
     "dedup_lsh_recall_curve", "ev_kpi_deltas",
     "sim_embedding_health", "txt_length_histogram",
-    "sim_probe_sweep", "gr_graph_summary")
+    "sim_probe_sweep", "gr_graph_summary",
+    "ev_burn_rate_alert", "rel_grouping_id")
 
   test("results are bit-identical under 4 and 7 shuffle partitions") {
     def snapshot(name: String): Seq[String] =
@@ -484,6 +485,31 @@ class Round9Spec extends AnyFunSuite {
     assert(r.getAs[Long]("max_degree") * r.getAs[Long]("n_nodes") >=
       2L * r.getAs[Long]("n_edges"), "max degree bounds the mean")
     assert(r.getAs[Long]("density_ppm") <= 1000000L)
+  }
+
+  test("burn-rate alert: firing requires BOTH windows above " +
+       "threshold — the long window alone never fires") {
+    val rows = SparkEntry.queries("ev_burn_rate_alert")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val alert = r.getAs[Boolean]("alert")
+      assert(alert == (r.getAs[Long]("short_permille") > 250L &&
+        r.getAs[Long]("long_permille") > 250L))
+    }
+  }
+
+  test("grouping markers: gid decomposes into the per-column bits " +
+       "and aggregation NULLs carry the marker") {
+    val rows = SparkEntry.queries("rel_grouping_id")(spark, sf).collect()
+    for (r <- rows) {
+      assert(r.getAs[Long]("gid") ==
+        2 * r.getAs[Long]("g_status") + r.getAs[Long]("g_priority"))
+      if (r.getAs[Long]("g_priority") == 1L)
+        assert(r.isNullAt(r.fieldIndex("o_orderpriority")))
+    }
+    assert(rows.count(_.getAs[Long]("gid") == 3L) == 1,
+      "rollup has exactly one grand-total row")
   }
 
   private object Tables {
