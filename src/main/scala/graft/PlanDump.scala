@@ -93,7 +93,8 @@ object PlanDump {
       "dedup_lsh_recall_curve", "ev_kpi_deltas",
       "sim_embedding_health", "txt_length_histogram",
       "sim_probe_sweep", "gr_graph_summary",
-      "ev_burn_rate_alert", "rel_grouping_id")
+      "ev_burn_rate_alert", "rel_grouping_id",
+      "ev_new_vs_returning", "txt_quality_dedup_matrix")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (")
       .append(sfDir).append(")\n\n")

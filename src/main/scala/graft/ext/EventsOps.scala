@@ -2150,6 +2150,49 @@ object EventsOps {
           nerr_1h * 1000 // n_1h AS long_permille,
           n_errors * 1000 // n_events > 250
             AND nerr_1h * 1000 // n_1h > 250 AS alert
-        FROM framed"""))
+        FROM framed""")),
+
+    // ------------------------------------------------------------------
+    // New-vs-returning daily split — the acquisition/retention
+    // decomposition every growth dashboard leads with: per day,
+    // events and users attributable to users seen for the FIRST time
+    // that day vs returning users. The first-seen day rides a window
+    // MIN on the user shuffle (the first-occurrence trick — never a
+    // user-base join-back), the daily rollup collapses the same
+    // frame, and the share is integer permille. One shuffle total.
+    Q("ev_new_vs_returning",
+      (s, d) => {
+        import s.implicits._
+        val wUser = org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id")
+        Tables.events(s, d)
+          .select($"user_id",
+            datediff($"ts".cast("date"), lit("2024-01-01")).cast("long")
+              .as("day"))
+          .withColumn("first_day", min($"day").over(wUser))
+          .withColumn("is_new", $"day" === $"first_day")
+          .groupBy($"day")
+          .agg(count(lit(1)).as("n_events"),
+            count(when($"is_new", 1)).as("n_new_events"),
+            countDistinct(when($"is_new", $"user_id")).as("n_new_users"),
+            countDistinct($"user_id").as("n_users"))
+          .withColumn("new_share_permille",
+            expr("n_new_events * 1000 div n_events"))
+      },
+      Some("""WITH ev AS (
+          SELECT user_id,
+            CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day
+          FROM events),
+        marked AS (
+          SELECT day, user_id,
+            day = MIN(day) OVER (PARTITION BY user_id) AS is_new
+          FROM ev)
+        SELECT day, COUNT(*) AS n_events,
+          COUNT(CASE WHEN is_new THEN 1 END) AS n_new_events,
+          COUNT(DISTINCT CASE WHEN is_new THEN user_id END) AS n_new_users,
+          COUNT(DISTINCT user_id) AS n_users,
+          COUNT(CASE WHEN is_new THEN 1 END) * 1000 // COUNT(*)
+            AS new_share_permille
+        FROM marked GROUP BY day"""))
   )
 }

@@ -1926,7 +1926,74 @@ object TextAnalysis {
             AS tokens_over_512,
           CAST(SUM(greatest(n_toks - 512, 0)) * 1000000 // SUM(n_toks)
             AS BIGINT) AS truncated_ppm
-        FROM per_doc GROUP BY 1, 2"""))
+        FROM per_doc GROUP BY 1, 2""")),
+
+    // ------------------------------------------------------------------
+    // Quality × duplication contingency — the cross-signal analysis
+    // behind a cleaning-policy decision: is duplicated content also
+    // low-quality (drop both via one filter) or is it high-quality
+    // boilerplate (dedup must NOT ride the quality gate)? A 2×2
+    // table of the Gopher-style quality verdict against exact-dup
+    // survivorship, with each cell's observed count and its
+    // integer-ppm lift over independence (o·n·10⁶ div (r·c)):
+    // lift > 10⁶ in the (low-quality, duplicated) cell is the
+    // empirical license to fold the two filters. One corpus scan
+    // computes both flags (quality is a narrow map; survivorship
+    // rides the content-hash window), margins roll up from the
+    // 4-cell table.
+    Q("txt_quality_dedup_matrix",
+      (s, d) => {
+        import s.implicits._
+        val wHash = Window.partitionBy($"content_hash")
+        val nWords = size(tokens($"text"))
+        val meanWl = length(regexp_replace($"text", "\\s", ""))
+          .cast("double") / nWords.cast("double")
+        val symRatio = length(regexp_replace($"text", "[a-zA-Z0-9\\s]", ""))
+          .cast("double") / length($"text").cast("double")
+        val cells = Tables.documents(s, d)
+          .select($"doc_id", $"text", md5($"text").as("content_hash"),
+            (nWords >= 30 && meanWl >= 3.0 && meanWl <= 10.0 &&
+              symRatio < 0.1).as("quality_ok"))
+          .withColumn("is_dup",
+            $"doc_id" =!= min($"doc_id").over(wHash))
+          .groupBy($"quality_ok", $"is_dup")
+          .agg(count(lit(1)).as("o"))
+        val rowM = cells.groupBy($"quality_ok").agg(sum($"o").as("r"))
+        val colM = cells.groupBy($"is_dup").agg(sum($"o").as("c"))
+        val tot = cells.agg(sum($"o").as("n"))
+        cells
+          .join(broadcast(rowM), "quality_ok")
+          .join(broadcast(colM), "is_dup")
+          .crossJoin(broadcast(tot))
+          .select($"quality_ok", $"is_dup", $"o".as("n_docs"),
+            expr("o * n * 1000000 div (r * c)").as("lift_ppm"))
+      },
+      Some("""WITH flagged AS (
+          SELECT doc_id,
+            len(string_split_regex(trim(lower(text)), '\s+')) >= 30
+              AND CAST(length(regexp_replace(text, '\s', '', 'g'))
+                  AS DOUBLE) /
+                CAST(len(string_split_regex(trim(lower(text)), '\s+'))
+                  AS DOUBLE) BETWEEN 3.0 AND 10.0
+              AND CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '',
+                  'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) < 0.1
+              AS quality_ok,
+            doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+          FROM documents),
+        cells AS (
+          SELECT quality_ok, is_dup, COUNT(*) AS o
+          FROM flagged GROUP BY 1, 2),
+        rm AS (SELECT quality_ok, CAST(SUM(o) AS BIGINT) AS r
+               FROM cells GROUP BY 1),
+        cm AS (SELECT is_dup, CAST(SUM(o) AS BIGINT) AS c
+               FROM cells GROUP BY 1),
+        tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells)
+        SELECT cells.quality_ok, cells.is_dup, o AS n_docs,
+          o * n * 1000000 // (r * c) AS lift_ppm
+        FROM cells
+        JOIN rm ON rm.quality_ok = cells.quality_ok
+        JOIN cm ON cm.is_dup = cells.is_dup
+        CROSS JOIN tot"""))
   )
 
   /** DuckDB-side 12-bit int from 3 hex chars of a hash (same digit

@@ -37,7 +37,8 @@ class Round9Spec extends AnyFunSuite {
     "dedup_lsh_recall_curve", "ev_kpi_deltas",
     "sim_embedding_health", "txt_length_histogram",
     "sim_probe_sweep", "gr_graph_summary",
-    "ev_burn_rate_alert", "rel_grouping_id")
+    "ev_burn_rate_alert", "rel_grouping_id",
+    "ev_new_vs_returning", "txt_quality_dedup_matrix")
 
   test("results are bit-identical under 4 and 7 shuffle partitions") {
     def snapshot(name: String): Seq[String] =
@@ -510,6 +511,33 @@ class Round9Spec extends AnyFunSuite {
     }
     assert(rows.count(_.getAs[Long]("gid") == 3L) == 1,
       "rollup has exactly one grand-total row")
+  }
+
+  test("new-vs-returning: day 0 is all-new, new users sum to the " +
+       "user base, shares bounded") {
+    val rows = SparkEntry.queries("ev_new_vs_returning")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("day"))
+    assert(rows.nonEmpty)
+    assert(rows.head.getAs[Long]("new_share_permille") == 1000L,
+      "every user on the first day is new")
+    val totalNew = rows.map(_.getAs[Long]("n_new_users")).sum
+    val userBase = graft.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(totalNew == userBase,
+      s"each user is new exactly once: $totalNew vs $userBase")
+    for (r <- rows)
+      assert(r.getAs[Long]("n_new_events") <= r.getAs[Long]("n_events"))
+  }
+
+  test("quality×dup matrix: cells partition the corpus and lifts " +
+       "average to independence") {
+    val rows = SparkEntry.queries("txt_quality_dedup_matrix")(spark, sf)
+      .collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.corpusCount(spark, sf))
+    // Σ o·lift/n = Σ o²·10⁶/(r·c) ≥ 10⁶·Σo/n by Cauchy-Schwarz —
+    // weaker but checkable: every lift is positive and finite
+    for (r <- rows) assert(r.getAs[Long]("lift_ppm") > 0L)
   }
 
   private object Tables {
