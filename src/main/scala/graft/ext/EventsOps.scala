@@ -2193,6 +2193,66 @@ object EventsOps {
           COUNT(DISTINCT user_id) AS n_users,
           COUNT(CASE WHEN is_new THEN 1 END) * 1000 // COUNT(*)
             AS new_share_permille
-        FROM marked GROUP BY day"""))
+        FROM marked GROUP BY day""")),
+
+    // ------------------------------------------------------------------
+    // Attribution-model comparison — first-touch vs last-touch vs
+    // linear credit, side by side per touch type: the report that
+    // decides WHICH attribution model a business adopts, where
+    // ev_multitouch_attribution computes one model. Per converting
+    // user (first purchase), the strictly-earlier view/click touches
+    // are credited three ways: all-credit-to-first, all-credit-to-
+    // last (both selected by min/max over the (ts, event_id) total
+    // order — engine-exact), and 10⁶ div n_touches each (integer
+    // micro-credits; the per-user floor remainder is the documented
+    // quantization). Touch collection, the per-user extremes and the
+    // touch counts all ride ONE user_id shuffle; the final rollup is
+    // |types|-sized.
+    Q("ev_attribution_compare",
+      (s, d) => {
+        import s.implicits._
+        val W = org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, d)
+          .select($"user_id", $"ts", $"event_id", $"event_type")
+        val conv = ev.filter($"event_type" === "purchase")
+          .groupBy($"user_id")
+          .agg(min($"ts").as("p_ts"))
+        val wUser = W.partitionBy($"user_id")
+        val touches = ev
+          .filter($"event_type".isin("view", "click"))
+          .join(conv, "user_id")
+          .filter($"ts" < $"p_ts")
+          .withColumn("k", struct($"ts", $"event_id"))
+          .withColumn("is_first", $"k" === min($"k").over(wUser))
+          .withColumn("is_last", $"k" === max($"k").over(wUser))
+          .withColumn("n_touches", count(lit(1)).over(wUser))
+        touches
+          .groupBy($"event_type")
+          .agg(count(when($"is_first", 1)).as("first_touch_convs"),
+            count(when($"is_last", 1)).as("last_touch_convs"),
+            sum(expr("1000000 div n_touches")).as("linear_credit_micro"))
+      },
+      Some("""WITH conv AS (
+          SELECT user_id, MIN(ts) AS p_ts
+          FROM events WHERE event_type = 'purchase'
+          GROUP BY user_id),
+        touches AS (
+          SELECT e.user_id, e.ts, e.event_id, e.event_type
+          FROM events e JOIN conv ON e.user_id = conv.user_id
+          WHERE e.event_type IN ('view', 'click') AND e.ts < conv.p_ts),
+        marked AS (
+          SELECT event_type,
+            ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) = 1 AS is_first,
+            ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) = 1 AS is_last,
+            COUNT(*) OVER (PARTITION BY user_id) AS n_touches
+          FROM touches)
+        SELECT event_type,
+          COUNT(CASE WHEN is_first THEN 1 END) AS first_touch_convs,
+          COUNT(CASE WHEN is_last THEN 1 END) AS last_touch_convs,
+          CAST(SUM(1000000 // n_touches) AS BIGINT)
+            AS linear_credit_micro
+        FROM marked GROUP BY event_type"""))
   )
 }

@@ -38,7 +38,8 @@ class Round9Spec extends AnyFunSuite {
     "sim_embedding_health", "txt_length_histogram",
     "sim_probe_sweep", "gr_graph_summary",
     "ev_burn_rate_alert", "rel_grouping_id",
-    "ev_new_vs_returning", "txt_quality_dedup_matrix")
+    "ev_new_vs_returning", "txt_quality_dedup_matrix",
+    "ev_attribution_compare")
 
   test("results are bit-identical under 4 and 7 shuffle partitions") {
     def snapshot(name: String): Seq[String] =
@@ -538,6 +539,21 @@ class Round9Spec extends AnyFunSuite {
     // Σ o·lift/n = Σ o²·10⁶/(r·c) ≥ 10⁶·Σo/n by Cauchy-Schwarz —
     // weaker but checkable: every lift is positive and finite
     for (r <- rows) assert(r.getAs[Long]("lift_ppm") > 0L)
+  }
+
+  test("attribution models agree on totals: first-touch and " +
+       "last-touch credits both sum to the converting-user count, " +
+       "and linear micro-credits to ~10⁶ per converter") {
+    val rows = SparkEntry.queries("ev_attribution_compare")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val ft = rows.map(_.getAs[Long]("first_touch_convs")).sum
+    val lt = rows.map(_.getAs[Long]("last_touch_convs")).sum
+    assert(ft == lt, "every converter has exactly one first and one last")
+    val linear = rows.map(_.getAs[Long]("linear_credit_micro")).sum
+    // per-user floor remainder loses < n_touches micro-units
+    assert(linear <= ft * 1000000L && linear > ft * 990000L,
+      s"linear credit $linear inconsistent with $ft converters")
   }
 
   private object Tables {
