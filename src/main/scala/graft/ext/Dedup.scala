@@ -1383,6 +1383,107 @@ object Dedup {
           COUNT(CASE WHEN caught THEN 1 END) AS n_caught,
           COUNT(CASE WHEN caught THEN 1 END) * 1000000 // COUNT(*)
             AS recall_ppm
-        FROM scored GROUP BY 1"""))
+        FROM scored GROUP BY 1""")),
+
+    // ------------------------------------------------------------------
+    // Shingle-size sweep — the OTHER dedup dial beside bands×rows
+    // (dedup_lsh_recall_curve): on the same salted content-group
+    // sample, every pair's true Jaccard at shingle sizes 4, 5 and 6,
+    // summarized per size as mean similarity and the count above the
+    // 0.8 near-dup threshold. Shorter shingles inflate similarity
+    // (more incidental matches), longer ones deflate it — this
+    // measures how much, on the corpus's own text, before a shingle
+    // size ships. One RollingHashAll pass per size over the sampled
+    // docs only; per-pair Jaccards are exact integer ppm and the
+    // mean divides two exact integers once.
+    Q("dedup_shingle_sweep",
+      (s, d) => {
+        import s.implicits._
+        val grpHash = md5(($"doc_id" % 100000).cast("string"))
+        val base = corpus(s, d)
+          .filter(substring(grpHash, 1, 1) === "0" &&
+            substring(grpHash, 2, 1) < "8")
+        def jaccards(k: Int): DataFrame = {
+          val hg = base.select($"doc_id",
+            explode(array_distinct(graft.functions.NativeFunctions
+              .rollingHashAll(norm($"text"), k))).as("h"))
+          val sizes = hg.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+          val pairs = sizes.select($"doc_id".as("doc_a"), $"n".as("n_a"))
+            .join(broadcast(sizes.select($"doc_id".as("doc_b"),
+              $"n".as("n_b"))), $"doc_a" < $"doc_b")
+          val co = hg.select($"doc_id".as("doc_a"), $"h")
+            .join(hg.select($"doc_id".as("doc_b"), $"h".as("hb")),
+              $"h" === $"hb" && $"doc_a" < $"doc_b")
+            .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_inter"))
+          pairs.join(co, Seq("doc_a", "doc_b"), "left")
+            .withColumn("n_inter", coalesce($"n_inter", lit(0L)))
+            .select(lit(k.toLong).as("shingle_k"),
+              expr("n_inter * 1000000 div (n_a + n_b - n_inter)")
+                .as("jacc_ppm"))
+        }
+        jaccards(4).unionByName(jaccards(5)).unionByName(jaccards(6))
+          .groupBy($"shingle_k")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum($"jacc_ppm").as("sum_jacc"),
+            count(when($"jacc_ppm" >= 800000, 1)).as("n_above_08"))
+          .select($"shingle_k", $"n_pairs",
+            expr("sum_jacc div n_pairs").as("mean_jacc_ppm"),
+            $"n_above_08")
+      },
+      Some {
+        def arm(k: Int) =
+          s"""(SELECT CAST($k AS BIGINT) AS shingle_k,
+              COALESCE(co.n_inter, 0) * 1000000
+                // (sa.n + sb.n - COALESCE(co.n_inter, 0)) AS jacc_ppm
+            FROM (SELECT a.doc_id AS doc_a, a.n AS n_a,
+                    b.doc_id AS doc_b, b.n AS n_b
+                  FROM sizes$k a JOIN sizes$k b ON a.doc_id < b.doc_id) p
+            LEFT JOIN (
+              SELECT ga.doc_id AS doc_a, gb.doc_id AS doc_b,
+                COUNT(*) AS n_inter
+              FROM hgrams$k ga JOIN hgrams$k gb
+                ON gb.h = ga.h AND ga.doc_id < gb.doc_id
+              GROUP BY 1, 2) co
+              ON co.doc_a = p.doc_a AND co.doc_b = p.doc_b
+            JOIN sizes$k sa ON sa.doc_id = p.doc_a
+            JOIN sizes$k sb ON sb.doc_id = p.doc_b)"""
+        def grams(k: Int) = {
+          val terms = (0 until k).map { i =>
+            s"CAST(ord(substr(norm, i + $i, 1)) AS BIGINT) * " +
+              s"${math.pow(31, k - 1 - i).toLong}"
+          }.mkString("\n                 + ")
+          s"""hgrams$k AS (
+            SELECT DISTINCT doc_id, h FROM (
+              SELECT doc_id,
+                CASE WHEN length(norm) >= $k THEN
+                  ($terms) % 1000000007 END AS h
+              FROM (SELECT doc_id, norm,
+                      unnest(generate_series(1,
+                        greatest(length(norm) - ${k - 1}, 1))) AS i
+                    FROM normed) x) w
+            WHERE h IS NOT NULL),
+          sizes$k AS (
+            SELECT doc_id, COUNT(*) AS n FROM hgrams$k GROUP BY doc_id)"""
+        }
+        s"""WITH full_corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL SELECT doc_id + 100000, text FROM documents
+              WHERE doc_id % 10 = 0
+            UNION ALL SELECT doc_id + 200000, text || ' xtra' FROM documents
+              WHERE doc_id % 7 = 0),
+          corpus AS (
+            SELECT doc_id, text FROM full_corpus
+            WHERE substr(md5(CAST(doc_id % 100000 AS VARCHAR)), 1, 1) = '0'
+              AND substr(md5(CAST(doc_id % 100000 AS VARCHAR)), 2, 1) < '8'),
+          normed AS (SELECT doc_id, $normSql AS norm FROM corpus),
+          ${grams(4)},
+          ${grams(5)},
+          ${grams(6)},
+          u AS (${arm(4)} UNION ALL ${arm(5)} UNION ALL ${arm(6)})
+          SELECT shingle_k, COUNT(*) AS n_pairs,
+            CAST(SUM(jacc_ppm) // COUNT(*) AS BIGINT) AS mean_jacc_ppm,
+            COUNT(CASE WHEN jacc_ppm >= 800000 THEN 1 END) AS n_above_08
+          FROM u GROUP BY shingle_k"""
+      })
   )
 }

@@ -39,7 +39,7 @@ class Round9Spec extends AnyFunSuite {
     "sim_probe_sweep", "gr_graph_summary",
     "ev_burn_rate_alert", "rel_grouping_id",
     "ev_new_vs_returning", "txt_quality_dedup_matrix",
-    "ev_attribution_compare")
+    "ev_attribution_compare", "dedup_shingle_sweep")
 
   test("results are bit-identical under 4 and 7 shuffle partitions") {
     def snapshot(name: String): Seq[String] =
@@ -554,6 +554,18 @@ class Round9Spec extends AnyFunSuite {
     // per-user floor remainder loses < n_touches micro-units
     assert(linear <= ft * 1000000L && linear > ft * 990000L,
       s"linear credit $linear inconsistent with $ft converters")
+  }
+
+  test("shingle sweep: shorter shingles only inflate similarity — " +
+       "mean Jaccard is non-increasing in shingle size") {
+    val rows = SparkEntry.queries("dedup_shingle_sweep")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("shingle_k"))
+    assert(rows.map(_.getAs[Long]("shingle_k")).toSeq == Seq(4L, 5L, 6L))
+    assert(rows.map(_.getAs[Long]("n_pairs")).distinct.length == 1,
+      "all three sizes score the same sampled pair set")
+    val means = rows.map(_.getAs[Long]("mean_jacc_ppm"))
+    assert(means.zip(means.tail).forall { case (a, b) => a >= b },
+      s"mean Jaccard should not increase with k: ${means.mkString(",")}")
   }
 
   private object Tables {
