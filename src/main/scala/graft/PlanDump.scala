@@ -95,7 +95,8 @@ object PlanDump {
       "sim_probe_sweep", "gr_graph_summary",
       "ev_burn_rate_alert", "rel_grouping_id",
       "ev_new_vs_returning", "txt_quality_dedup_matrix",
-      "ev_attribution_compare", "dedup_shingle_sweep")
+      "ev_attribution_compare", "dedup_shingle_sweep",
+      "rel_keep_last_n")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (")
       .append(sfDir).append(")\n\n")

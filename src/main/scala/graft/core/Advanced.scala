@@ -1231,6 +1231,50 @@ object Advanced {
           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority
         FROM orders
-        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"""))
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""")),
+
+    // ------------------------------------------------------------------
+    // Bounded version retention (keep-last-N compaction) — the
+    // time-travel retention policy between rel_merge_upsert's
+    // keep-1 and keeping everything: a three-version change history
+    // per order key compacted to its 2 newest versions. The per-key
+    // pick is a window top-N, which Spark lowers to WindowGroupLimit
+    // partial filtering BEFORE the exchange — each map task forwards
+    // at most N rows per key, so the shuffle carries ≤ N·|keys| rows
+    // whatever the history depth: the property that makes retention
+    // compaction affordable on a 100 TB versioned table.
+    Q("rel_keep_last_n",
+      (s, d) => {
+        import s.implicits._
+        def version(v: Int, filt: Column, price: Column): DataFrame =
+          Tables.orders(s, d).filter(filt)
+            .select($"o_orderkey", price.as("o_totalprice"),
+              lit(v.toLong).as("version"))
+        val history = version(0, lit(true), $"o_totalprice")
+          .unionByName(version(1, $"o_orderkey" % 10 === 0,
+            $"o_totalprice" * 2))
+          .unionByName(version(2, $"o_orderkey" % 20 === 0,
+            $"o_totalprice" * 3))
+        val w = Window.partitionBy($"o_orderkey")
+          .orderBy($"version".desc)
+        history
+          .withColumn("rk", row_number().over(w))
+          .filter($"rk" <= 2)
+          .select($"o_orderkey", $"version", $"o_totalprice")
+      },
+      Some("""WITH history AS (
+          SELECT o_orderkey, o_totalprice, CAST(0 AS BIGINT) AS version
+          FROM orders
+          UNION ALL
+          SELECT o_orderkey, o_totalprice * 2, 1 FROM orders
+          WHERE o_orderkey % 10 = 0
+          UNION ALL
+          SELECT o_orderkey, o_totalprice * 3, 2 FROM orders
+          WHERE o_orderkey % 20 = 0)
+        SELECT o_orderkey, version, o_totalprice FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+            ORDER BY version DESC) AS rk
+          FROM history) t
+        WHERE rk <= 2"""))
   )
 }

@@ -592,6 +592,14 @@ class PlanSpec extends AnyFunSuite {
       "tiling must keep payloads in their input partitions\n" + p.take(600))
   }
 
+  test("keep-last-N lowers the per-key top-2 to WindowGroupLimit " +
+       "partial filtering before the exchange") {
+    val p = plan("rel_keep_last_n")
+    assert(p.contains("WindowGroupLimit"),
+      "retention compaction must bound shuffle rows per key\n" +
+        p.take(600))
+  }
+
   test("code detection is one narrow no-exchange map") {
     val p = plan("txt_code_detect")
     assert(!p.contains("Exchange"), p.take(600))

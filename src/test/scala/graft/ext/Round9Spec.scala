@@ -39,7 +39,8 @@ class Round9Spec extends AnyFunSuite {
     "sim_probe_sweep", "gr_graph_summary",
     "ev_burn_rate_alert", "rel_grouping_id",
     "ev_new_vs_returning", "txt_quality_dedup_matrix",
-    "ev_attribution_compare", "dedup_shingle_sweep")
+    "ev_attribution_compare", "dedup_shingle_sweep",
+    "rel_keep_last_n")
 
   test("results are bit-identical under 4 and 7 shuffle partitions") {
     def snapshot(name: String): Seq[String] =
@@ -566,6 +567,20 @@ class Round9Spec extends AnyFunSuite {
     val means = rows.map(_.getAs[Long]("mean_jacc_ppm"))
     assert(means.zip(means.tail).forall { case (a, b) => a >= b },
       s"mean Jaccard should not increase with k: ${means.mkString(",")}")
+  }
+
+  test("keep-last-N: at most 2 versions survive per key and the " +
+       "survivors are the newest") {
+    val rows = SparkEntry.queries("rel_keep_last_n")(spark, sf).collect()
+    val byKey = rows.groupBy(_.getAs[Long]("o_orderkey"))
+    for ((k, vs) <- byKey) {
+      assert(vs.length <= 2, s"key $k keeps ${vs.length} versions")
+      val versions = vs.map(_.getAs[Long]("version")).sorted
+      if (k % 20 == 0) assert(versions.toSeq == Seq(1L, 2L),
+        s"key $k with 3 versions must keep {1,2}")
+      else if (k % 10 == 0) assert(versions.toSeq == Seq(0L, 1L))
+      else assert(versions.toSeq == Seq(0L))
+    }
   }
 
   private object Tables {
