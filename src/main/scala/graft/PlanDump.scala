@@ -96,7 +96,7 @@ object PlanDump {
       "ev_burn_rate_alert", "rel_grouping_id",
       "ev_new_vs_returning", "txt_quality_dedup_matrix",
       "ev_attribution_compare", "dedup_shingle_sweep",
-      "rel_keep_last_n")
+      "rel_keep_last_n", "dedup_cluster_purity")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (")
       .append(sfDir).append(")\n\n")

@@ -1484,6 +1484,69 @@ object Dedup {
             CAST(SUM(jacc_ppm) // COUNT(*) AS BIGINT) AS mean_jacc_ppm,
             COUNT(CASE WHEN jacc_ppm >= 800000 THEN 1 END) AS n_above_08
           FROM u GROUP BY shingle_k"""
-      })
+      }),
+
+    // ------------------------------------------------------------------
+    // Cluster source-purity — the provenance question the dedup
+    // verdict raises next: are duplicate clusters INTRA-source
+    // (over-crawl — fix the crawler) or CROSS-source (syndication/
+    // mirrors — expected, keep canonical-URL logic instead)? Per
+    // lexical cluster of the natural corpus, the majority-source
+    // share in exact ppm, rolled up by cluster-size bucket (2, 3,
+    // 4+) as cluster counts and mean purity. Majority counts ride
+    // the cluster rollup (never a window over the corpus); the mean
+    // divides two exact integers once.
+    Q("dedup_cluster_purity",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d).select($"doc_id", $"source")
+        val star = bucketStarEdges(bandedKeys(minhashSignatures(
+          Tables.documents(s, d).select($"doc_id", $"text"))))
+        val edges = star
+          .unionByName(star.select($"dst".as("src"), $"src".as("dst")))
+        // inner join: only clustered docs carry a cluster id
+        val members = docs.join(connectedComponents(edges), Seq("doc_id"))
+        val perSource = members.groupBy($"cluster_id", $"source")
+          .agg(count(lit(1)).as("c"))
+        val perCluster = perSource.groupBy($"cluster_id")
+          .agg(sum($"c").as("n_members"), max($"c").as("majority"))
+          .filter($"n_members" > 1)
+          .withColumn("purity_ppm",
+            expr("majority * 1000000 div n_members"))
+        perCluster
+          .groupBy(least($"n_members", lit(4L)).as("size_bucket"))
+          .agg(count(lit(1)).as("n_clusters"),
+            sum($"purity_ppm").as("sum_purity"))
+          .select($"size_bucket", $"n_clusters",
+            expr("sum_purity div n_clusters").as("mean_purity_ppm"))
+      },
+      Some(s"""WITH RECURSIVE corpus AS (
+          SELECT doc_id, text FROM documents),
+        $signaturesSql, $bandsSql,
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM candidates
+          UNION ALL SELECT doc_b AS a, doc_a AS b FROM candidates),
+        reach(v, r) AS (
+          SELECT DISTINCT a AS v, a AS r FROM edges
+          UNION
+          SELECT e.b AS v, reach.r FROM reach JOIN edges e ON e.a = reach.v),
+        clusters AS (
+          SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v),
+        members AS (
+          SELECT cl.cluster_id, d.source
+          FROM clusters cl JOIN documents d ON d.doc_id = cl.doc_id),
+        per_source AS (
+          SELECT cluster_id, source, COUNT(*) AS c
+          FROM members GROUP BY 1, 2),
+        per_cluster AS (
+          SELECT cluster_id, CAST(SUM(c) AS BIGINT) AS n_members,
+            CAST(MAX(c) AS BIGINT) AS majority
+          FROM per_source GROUP BY cluster_id
+          HAVING SUM(c) > 1)
+        SELECT least(n_members, 4) AS size_bucket,
+          COUNT(*) AS n_clusters,
+          CAST(SUM(majority * 1000000 // n_members) // COUNT(*)
+            AS BIGINT) AS mean_purity_ppm
+        FROM per_cluster GROUP BY 1"""))
   )
 }

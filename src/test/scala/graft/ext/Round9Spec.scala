@@ -40,7 +40,7 @@ class Round9Spec extends AnyFunSuite {
     "ev_burn_rate_alert", "rel_grouping_id",
     "ev_new_vs_returning", "txt_quality_dedup_matrix",
     "ev_attribution_compare", "dedup_shingle_sweep",
-    "rel_keep_last_n")
+    "rel_keep_last_n", "dedup_cluster_purity")
 
   test("results are bit-identical under 4 and 7 shuffle partitions") {
     def snapshot(name: String): Seq[String] =
@@ -580,6 +580,20 @@ class Round9Spec extends AnyFunSuite {
         s"key $k with 3 versions must keep {1,2}")
       else if (k % 10 == 0) assert(versions.toSeq == Seq(0L, 1L))
       else assert(versions.toSeq == Seq(0L))
+    }
+  }
+
+  test("cluster purity: buckets are 2..4+, purity bounded by " +
+       "(1/k, 1] in ppm") {
+    val rows = SparkEntry.queries("dedup_cluster_purity")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val b = r.getAs[Long]("size_bucket")
+      assert(b >= 2L && b <= 4L)
+      val p = r.getAs[Long]("mean_purity_ppm")
+      // majority share is a positive fraction of the cluster
+      assert(p <= 1000000L && p > 0L)
     }
   }
 
