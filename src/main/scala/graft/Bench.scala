@@ -106,8 +106,17 @@ object Bench {
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
           catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: $e"); false }
         val sec = (System.nanoTime() - t0) / 1e9
-        // let the ContextCleaner release broadcasts/shuffle state
-        // (after the clock is read — a full GC is not query time)
+        // Release everything the query pinned: Dataset.persist goes
+        // through the CacheManager (strong plan-keyed refs — NOT
+        // GC-cleaned like raw RDD persists), so iterative queries'
+        // final cached frames would accrete across a 250+-query
+        // sweep without an explicit sweep here. Per-query caches
+        // never help the next query (each invocation re-pins fresh
+        // LogicalRDD leaves), so this costs nothing and bounds the
+        // executor store. Then let the ContextCleaner release
+        // broadcasts/shuffle state (after the clock is read — a
+        // full GC is not query time).
+        spark.sqlContext.clearCache()
         System.gc()
         name -> (if (ok) sec else -1.0)
       }

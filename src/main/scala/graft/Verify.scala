@@ -60,6 +60,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Dataset.persist lives in the CacheManager (strong refs, not
+      // GC-cleaned) — drop each query's pins so a 250+-query dump
+      // doesn't accrete cached frames (see Bench for the reasoning).
+      spark.sqlContext.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -18,6 +18,18 @@ object Advanced {
   private def dsum(c: Column, scale: Int = 6): Column =
     sum(c.cast(DecimalType(27, scale))).cast("double")
 
+  /** Per-cell chi-square term in exact milli-units over 128-bit
+    * integers: (o·n − r·c)²·1000 div (r·c·n). The difference stays
+    * int64 (|o·n − r·c| ≤ n² ⇒ safe to n ≈ 3·10⁹); the square and
+    * the r·c·n denominator go through DECIMAL(38,0) (= DuckDB
+    * HUGEINT), holding exactly to n ≲ 5.6·10⁸. `div` truncates
+    * toward zero in both engines; all values here are positive.
+    * Shared by rel_chi2_independence and Chi2BoundarySpec so the
+    * test pins the exact registered expression. */
+  private[graft] val chi2TermMilliSql: String =
+    "((cast(o * n - r * c as decimal(38,0)) * (o * n - r * c) * 1000)" +
+      " div (cast(r as decimal(38,0)) * c * n))"
+
   /** SCD type-2 dimension over order status (the rel_scd2_dimension
     * body, reusable): gaps-and-islands runs with [valid_from,
     * valid_to) epoch-day ranges, one custkey shuffle shared by the
@@ -147,37 +159,52 @@ object Advanced {
     // estimate lands within the configured 2%+slack bound of the
     // exact count" is a deterministic boolean (Spark's HLL is
     // hash-based and order-independent), and the exact counts are
-    // oracle-exact integers. The driver therefore verifies the
-    // sketch's accuracy contract, not just row counts. The exact
-    // distinct arm exists only for the eval — production rollups use
-    // the sketch alone.
+    // oracle-exact integers. Ground truth comes from a DETERMINISTIC
+    // SALTED KEY-SAMPLE (the dedup_minhash_accuracy device): a key
+    // participates iff its salted md5 starts with '0' — ~1/16 of the
+    // DISTINCT keys, decided per key, so countDistinct over the
+    // sample is itself exact and engine-reproducible. The exact
+    // distinct shuffle therefore carries 1/16 of the keys instead of
+    // all of them — at 100 TB the eval costs a full scan plus a
+    // SMALL distinct, not the two full-width exact-distinct shuffles
+    // the sketch exists to avoid. (Production rollups call the
+    // sketch alone — an un-sampled exact arm would be the thing
+    // being replaced.) The sketch is scored on the SAME sampled key
+    // set, so the 5% bound check is like-for-like.
     Q("rel_approx_distinct",
       (s, d) => {
         import s.implicits._
         // ONE distinct column per aggregation: two countDistincts in
         // one agg make Catalyst Expand the scan once per distinct
-        // group (3× the rows through the shuffle — measured 10.5 s at
-        // sf0.1 vs ~2 s split). Each single-distinct agg plans as the
-        // efficient partial-distinct two-stage shape; the approx
-        // sketch rides the same pass, and the per-flag 3-row frames
-        // broadcast-join back together.
+        // group (3× the rows through the shuffle). Each single-
+        // distinct agg plans as the efficient partial-distinct
+        // two-stage shape; the sketch of the sampled keys rides the
+        // same pass, and the per-flag 3-row frames broadcast-join
+        // back together.
+        def keep(c: String) = substring(
+          md5(concat(lit("acd5|"), col(c).cast("string"))), 1, 1) === "0"
         def arm(c: String, exact: String, ok: String) =
           Tables.lineitem(s, d)
             .groupBy($"l_returnflag")
-            .agg(countDistinct(col(c)).as(exact),
-              approx_count_distinct(col(c), 0.02).as("a"))
+            .agg(countDistinct(when(keep(c), col(c))).as(exact),
+              approx_count_distinct(when(keep(c), col(c)), 0.02).as("a"))
             .select($"l_returnflag", col(exact),
               (abs($"a" - col(exact)).cast("double") /
                 col(exact) <= 0.05).as(ok))
-        arm("l_orderkey", "n_exact_orders", "orders_within_5pct")
-          .join(arm("l_partkey", "n_exact_parts", "parts_within_5pct"),
-            Seq("l_returnflag"))
-          .select($"l_returnflag", $"n_exact_orders", $"n_exact_parts",
+        arm("l_orderkey", "n_exact_orders_sampled", "orders_within_5pct")
+          .join(arm("l_partkey", "n_exact_parts_sampled",
+            "parts_within_5pct"), Seq("l_returnflag"))
+          .select($"l_returnflag",
+            $"n_exact_orders_sampled", $"n_exact_parts_sampled",
             $"orders_within_5pct", $"parts_within_5pct")
       },
       Some("""SELECT l_returnflag,
-          COUNT(DISTINCT l_orderkey) AS n_exact_orders,
-          COUNT(DISTINCT l_partkey) AS n_exact_parts,
+          COUNT(DISTINCT CASE WHEN substring(md5(
+              'acd5|' || CAST(l_orderkey AS VARCHAR)), 1, 1) = '0'
+            THEN l_orderkey END) AS n_exact_orders_sampled,
+          COUNT(DISTINCT CASE WHEN substring(md5(
+              'acd5|' || CAST(l_partkey AS VARCHAR)), 1, 1) = '0'
+            THEN l_partkey END) AS n_exact_parts_sampled,
           TRUE AS orders_within_5pct, TRUE AS parts_within_5pct
         FROM lineitem GROUP BY l_returnflag""")),
 
@@ -1068,12 +1095,18 @@ object Advanced {
     // cell contributes the exact integer (o·n − r·c)²·1000 div
     // (r·c·n) — milli-units with one floor per cell — and the sum is
     // integer-associative, so the statistic is bit-identical under
-    // any partial-agg order and in DuckDB. Magnitude: |o·n − r·c| ≤
-    // max(r,c)·n, and with balanced margins (r≈n/25, c≈n/5) the
-    // squared term stays ≲10¹⁴·n² — inside int64 through sf0.1's
-    // n=15k with the ×1000 scale. One scan → cell counts; margins
-    // from two rollups of the cell table (never a rescan), joined
-    // back broadcast.
+    // any partial-agg order and in DuckDB. The squared numerator is
+    // computed in 128-bit exact arithmetic (Spark DECIMAL(38,0),
+    // DuckDB HUGEINT — both truncate division toward zero on these
+    // positive values): |o·n − r·c| ≤ n², so the int64 form would
+    // overflow past n ≈ 10⁴ while the 128-bit form holds to
+    // n⁴·1000 < 10³⁸ ⇒ n ≲ 5.6·10⁸ rows — past any plausible
+    // contingency input (beyond it, rescale d by 10^k before
+    // squaring, trading k digits of the milli-statistic).
+    // Chi2BoundarySpec pins exactness at n=2·10⁶, ~100× the int64
+    // breaking point. One scan → cell counts; margins from two
+    // rollups of the cell table (never a rescan), joined back
+    // broadcast.
     Q("rel_chi2_independence",
       (s, d) => {
         import s.implicits._
@@ -1089,9 +1122,7 @@ object Advanced {
           .join(broadcast(rowM), "nk")
           .join(broadcast(colM), "c_mktsegment")
           .crossJoin(broadcast(tot))
-          .withColumn("term_milli",
-            expr("((o * n - r * c) * (o * n - r * c) * 1000)" +
-              " div (r * c * n)"))
+          .withColumn("term_milli", expr(chi2TermMilliSql))
           .agg(min($"n").as("n"),
             min(expr("(nr - 1) * (nc - 1)")).as("dof"),
             sum($"term_milli").as("chi2_milli"))
@@ -1110,8 +1141,9 @@ object Advanced {
                 FROM cells)
         SELECT MIN(n) AS n,
           MIN((nr - 1) * (nc - 1)) AS dof,
-          CAST(SUM(((o * n - r * c) * (o * n - r * c) * 1000)
-            // (r * c * n)) AS BIGINT) AS chi2_milli
+          CAST(SUM((CAST(o * n - r * c AS HUGEINT)
+              * (o * n - r * c) * 1000)
+            // (CAST(r AS HUGEINT) * c * n)) AS BIGINT) AS chi2_milli
         FROM cells
         JOIN rm USING (nk)
         JOIN cm USING (c_mktsegment)

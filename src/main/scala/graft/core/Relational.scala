@@ -694,8 +694,12 @@ object Relational {
         // mergeable approx_percentile sketch instead (bounded buffer,
         // same plan shape); only the bounds' exactness is traded, the
         // clipped sum stays an exact decimal. Oracle scales run the
-        // exact path.
-        val bigFrame = Tables.lineitem(s, d).count() > 100000000L
+        // exact path; the threshold is a conf so PlanSpec can force
+        // the big-frame regime and pin that no exact `percentile`
+        // (full per-group value buffering) survives in its plan.
+        val exactMax = s.conf.get(
+          "spark.graft.winsorize.exactMaxRows", "100000000").toLong
+        val bigFrame = Tables.lineitem(s, d).count() > exactMax
         val pctExpr =
           if (!bigFrame) "percentile(l_extendedprice, array(0.01D, 0.99D))"
           else "approx_percentile(l_extendedprice, array(0.01D, 0.99D), 10000)"

@@ -55,6 +55,24 @@ object GraphOps {
     cut
   }
 
+  /** [[pin]] + eager materialization (count — the frames here are
+    * node- or frontier-sized), then release the superseded round's
+    * cache: iterative builders hold ONE round frame plus the pinned
+    * scaffolds instead of accreting one cached frame per round per
+    * invocation across Bench's repeated sweeps. Unpersist only
+    * drops cache — lineage stays valid for any later recompute. */
+  private def pinStep(df: DataFrame, prev: DataFrame): DataFrame = {
+    val cut = pin(df)
+    cut.count()
+    prev.unpersist(false)
+    cut
+  }
+
+  /** Drop scaffold caches (edge/node frames) once the loop's final
+    * frame has been materialized by [[pinStep]]. */
+  private def release(dfs: DataFrame*): Unit =
+    dfs.foreach(_.unpersist(false))
+
   /** Undirected bipartite interaction graph from the testdata star
     * schema: customer ↔ supplier whenever a lineitem links them.
     * Ids are parity-disambiguated (customer 2k, supplier 2k+1). */
@@ -184,11 +202,13 @@ object GraphOps {
         .join(maybeB(ranks), $"src" === $"id")
         .groupBy($"dst")
         .agg(sum(expr("r div outdeg")).as("c"))
-      ranks = pin(ranks.select($"id")
+      ranks = pinStep(ranks.select($"id")
         .join(maybeB(contrib), $"id" === $"dst", "left")
         .select($"id",
-          (lit(base) + expr("(85 * coalesce(c, 0L)) div 100")).as("r")))
+          (lit(base) + expr("(85 * coalesce(c, 0L)) div 100")).as("r")),
+        prev = ranks)
     }
+    release(edges, em)
     ranks
   }
 
@@ -237,12 +257,14 @@ object GraphOps {
         .join(maybeB(ranks.filter($"r" > 0)), $"src" === $"id")
         .groupBy($"dst")
         .agg(sum(expr("r div outdeg")).as("c"))
-      ranks = pin(nodes
+      ranks = pinStep(nodes
         .join(maybeB(contrib), $"id" === $"dst", "left")
         .select($"id",
           ($"is_seed" * base + expr("(85 * coalesce(c, 0L)) div 100"))
-            .as("r")))
+            .as("r")),
+        prev = ranks)
     }
+    release(edges, em, nodes)
     ranks
   }
 
@@ -359,8 +381,8 @@ object GraphOps {
         .join(broadcast(labels.select($"v".as("u"), $"lbl")),
           $"src" === $"u")
         .select($"dst".as("v"), $"lbl")
-      labels = pin(labels.unionByName(fromNbr)
-        .groupBy($"v").agg(min($"lbl").as("lbl")))
+      labels = pinStep(labels.unionByName(fromNbr)
+        .groupBy($"v").agg(min($"lbl").as("lbl")), prev = labels)
     }
     labels
   }
@@ -497,7 +519,8 @@ object GraphOps {
     import s.implicits._
     var edges = pin(edges0)
     for (_ <- 1 to rounds)
-      edges = pin(kcoreRound(edges, k, broadcastSurvivors))
+      edges = pinStep(kcoreRound(edges, k, broadcastSurvivors),
+        prev = edges)
     edges.groupBy($"src".as("node_id")).agg(count(lit(1)).as("deg"))
   }
 
@@ -673,8 +696,8 @@ object GraphOps {
             .join(broadcast(dist.select($"v".as("u"), $"dist")),
               $"src" === $"u")
             .select($"dst".as("v"), ($"dist" + 1L).as("dist"))
-          dist = pin(dist.unionByName(next)
-            .groupBy($"v").agg(min($"dist").as("dist")))
+          dist = pinStep(dist.unionByName(next)
+            .groupBy($"v").agg(min($"dist").as("dist")), prev = dist)
         }
         dist.groupBy($"dist").agg(count(lit(1)).as("n_nodes"))
       },

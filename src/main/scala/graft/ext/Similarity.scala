@@ -1103,8 +1103,18 @@ object Similarity {
       (s, d) => {
         import s.implicits._
         val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
-        def pinned(df: DataFrame): DataFrame = {
-          val c = s.createDataFrame(df.rdd, df.schema); c.persist(); c
+        // Pin-and-release: the new centers frame is MATERIALIZED
+        // (count — ≤4 rows) before the previous round's cache is
+        // dropped, so each invocation holds at most one cached
+        // intermediate at a time instead of accreting three per call
+        // across Bench's repeated sweeps. The final frame is left
+        // cached for the consumer's single action; Verify/Bench
+        // clearCache() between queries bounds the session.
+        def pinned(df: DataFrame, prev: DataFrame = null): DataFrame = {
+          val c = s.createDataFrame(df.rdd, df.schema)
+          c.persist(); c.count()
+          if (prev != null) prev.unpersist(false)
+          c
         }
         var centers = pinned(emb.orderBy($"vec_id").limit(1)
           .select($"vec_id".as("cid"), $"embedding".as("cemb"),
@@ -1121,7 +1131,7 @@ object Similarity {
           val next = sel.join(emb, "vec_id")
             .select($"vec_id".as("cid"), $"embedding".as("cemb"),
               lit(r.toLong).as("round"), $"sel_dist_q")
-          centers = pinned(centers.unionByName(next))
+          centers = pinned(centers.unionByName(next), prev = centers)
         }
         centers.select($"round", $"cid".as("center_id"), $"sel_dist_q")
       },

