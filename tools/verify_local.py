@@ -14,7 +14,15 @@ exactly as the driver's gate behaves (round-3 lesson: 23 value-exact
 queries were hash-red purely on dtype). Any dtype divergence is
 reported explicitly so the offending cast can be fixed at the query.
 
+One deliberate divergence (round-4 verdict item 6): list-typed
+columns are canonicalized to strings before the sort so they get a
+real VALUE compare here instead of an unhashable-ndarray crash — with
+a loud WARN, because the DRIVER's gate still errors on array exports
+(the txt_inverted_postings class): a warned query must switch to an
+array_join/array_to_string export before it ships.
+
 Usage: python3 tools/verify_local.py [sfdir] [outdir]
+       python3 tools/verify_local.py --selftest
 (Run `sbt "runMain graft.Verify <sfdir> <outdir>"` first; honors the
  SPARK_GRAFT_ONLY subset via the filtered oracle_sql.json it writes.)
 """
@@ -23,25 +31,43 @@ import duckdb
 import numpy as np
 import pandas as pd
 
-sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
-
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-con = duckdb.connect()
-for t in TABLES:
-    con.execute(
-        f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
 
-oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+def _py(v):
+    return v.item() if isinstance(v, np.generic) else v
 
 
-def canon(df):
+def _canon_cell(v):
+    """List-typed cell -> canonical string '[e1, e2, ...]' with PYTHON
+    scalars (so int32 vs int64 / float32 element dtypes compare by
+    value), preserving element order. Scalars pass through."""
+    if isinstance(v, np.ndarray):
+        v = v.tolist()
+    if isinstance(v, (list, tuple)):
+        return "[" + ", ".join(repr(_py(x)) for x in v) + "]"
+    return v
+
+
+def canon(df, name="?", side="?", warnings=None):
     """Mirror the driver: columns sorted by name, rows sorted by all
-    columns (this is where array/unhashable columns crash, as they do
-    driver-side), index dropped."""
+    columns, index dropped — plus the list-column canonicalization
+    documented in the module docstring."""
     df = df[sorted(df.columns)]
+    for c in df.columns:
+        if df[c].dtype == object:
+            probe = df[c].dropna()
+            if len(probe) and isinstance(probe.iloc[0],
+                                         (np.ndarray, list, tuple)):
+                msg = (f"WARN {name} [{side}].{c}: list-typed column "
+                       f"canonicalized for local compare — the driver "
+                       f"gate ERRORS on array exports; use array_join "
+                       f"in the query")
+                print(msg)
+                if warnings is not None:
+                    warnings.append(msg)
+                df = df.assign(**{c: df[c].map(_canon_cell)})
     if len(df.columns):
         df = df.sort_values(by=list(df.columns), kind="mergesort")
     return df.reset_index(drop=True)
@@ -51,44 +77,35 @@ def row_hashes(df):
     return pd.util.hash_pandas_object(df, index=False).to_numpy()
 
 
-fails, passes = [], 0
-for name, sql in sorted(oracle.items()):
+def compare(name, sdf_raw, odf_raw, warnings=None):
+    """One query's compare; returns None on pass, message on fail."""
     try:
-        sdf = canon(pd.read_parquet(f"{outdir}/{name}"))
-        odf = canon(con.execute(sql).df())
+        sdf = canon(sdf_raw, name, "spark", warnings)
+        odf = canon(odf_raw, name, "oracle", warnings)
     except Exception:
-        fails.append((name, "ERROR: " + traceback.format_exc(limit=3)
-                      .strip().replace("\n", " | ")))
-        continue
+        return ("ERROR: " + traceback.format_exc(limit=3)
+                .strip().replace("\n", " | "))
     if list(sdf.columns) != list(odf.columns):
-        fails.append((name, f"schema mismatch: spark {list(sdf.columns)} "
-                            f"vs oracle {list(odf.columns)}"))
-        continue
+        return (f"schema mismatch: spark {list(sdf.columns)} "
+                f"vs oracle {list(odf.columns)}")
     if len(sdf) != len(odf):
-        fails.append((name, f"row count: spark {len(sdf)} vs oracle {len(odf)}"))
-        continue
+        return f"row count: spark {len(sdf)} vs oracle {len(odf)}"
     dtype_diffs = [
         f"{c}: spark={sdf[c].dtype} oracle={odf[c].dtype}"
         for c in sdf.columns if str(sdf[c].dtype) != str(odf[c].dtype)]
     try:
         hmatch = bool(np.array_equal(row_hashes(sdf), row_hashes(odf)))
     except Exception:
-        fails.append((name, "ERROR hashing: " + traceback.format_exc(limit=2)
-                      .strip().replace("\n", " | ")))
-        continue
+        return ("ERROR hashing: " + traceback.format_exc(limit=2)
+                .strip().replace("\n", " | "))
     # Dtype divergence is a FAIL even when the value hashes coincide:
     # int32 hashes like int64 in hash_pandas_object, and 0 hashes like
     # 0.0, but the driver's gate reds those (round-3 lesson —
     # mm_shard_manifest slipped through locally on all-zero shard ids).
     if hmatch and not dtype_diffs:
-        passes += 1
-        print(f"PASS {name} ({len(sdf)} rows)")
-        continue
+        return None
     if hmatch:
-        fails.append((name, "dtype mismatch (values equal): "
-                      + "; ".join(dtype_diffs)))
-        continue
-    # Diagnose: is it dtype-only (value-exact) or a real value diff?
+        return "dtype mismatch (values equal): " + "; ".join(dtype_diffs)
     msg = "hash mismatch"
     if dtype_diffs:
         msg += "; DTYPE DIFFS: " + "; ".join(dtype_diffs)
@@ -99,9 +116,74 @@ for name, sql in sorted(oracle.items()):
                     f"oracle={tuple(odf.iloc[i])}")
     except Exception:
         pass
-    fails.append((name, msg))
+    return msg
 
-for name, msg in fails:
-    print(f"FAIL {name}: {msg[:800]}")
-print(f"\n{passes} passed, {len(fails)} failed, {len(oracle)} total oracles")
-sys.exit(1 if fails else 0)
+
+def selftest():
+    """Array-canonicalization round-trip, no Spark needed: a
+    list-column parquet (pyarrow reads cells as ndarray — the exact
+    shape a Spark array export produces) must PASS against a
+    list-producing oracle, element dtype must not matter, and a
+    value- or order-perturbed oracle must FAIL."""
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    con = duckdb.connect()
+    os.mkdir(f"{d}/arr_q")
+    con.execute(f"""COPY (SELECT * FROM (VALUES
+        (1, [10, 20, 30], 'a'), (2, [7], 'b'), (3, [5, 5], 'c'))
+        t(id, arr, tag)) TO '{d}/arr_q/p0.parquet' (FORMAT PARQUET)""")
+    sdf = pd.read_parquet(f"{d}/arr_q")
+    assert isinstance(sdf["arr"].iloc[0], np.ndarray), \
+        "selftest premise: pyarrow must yield ndarray cells"
+    base = ("SELECT * FROM (VALUES (1, [10, 20, 30], 'a'), "
+            "(2, [7], 'b'), (3, [5, 5], 'c')) t(id, arr, tag)")
+    w = []
+    r = compare("selftest_arr", sdf, con.execute(base).df(), w)
+    assert r is None, f"identical list columns must pass, got: {r}"
+    assert any("list-typed" in x for x in w), "must warn on list columns"
+    # element dtype must not matter (INT vs BIGINT lists)
+    wide = base.replace("[10, 20, 30]", "[CAST(10 AS BIGINT), 20, 30]")
+    assert compare("selftest_dtype", sdf, con.execute(wide).df()) is None
+    # a perturbed value and a reordered list must both fail
+    badv = base.replace("[10, 20, 30]", "[10, 20, 31]")
+    assert compare("selftest_badv", sdf, con.execute(badv).df()) is not None
+    bado = base.replace("[10, 20, 30]", "[20, 10, 30]")
+    assert compare("selftest_bado", sdf, con.execute(bado).df()) is not None
+    print("selftest OK: list-column round-trip passes, perturbations fail")
+
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--selftest":
+        selftest()
+        return 0
+    sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sfdir}/{t}.parquet')")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    fails, passes = [], 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            sdf_raw = pd.read_parquet(f"{outdir}/{name}")
+            odf_raw = con.execute(sql).df()
+        except Exception:
+            fails.append((name, "ERROR: " + traceback.format_exc(limit=3)
+                          .strip().replace("\n", " | ")))
+            continue
+        r = compare(name, sdf_raw, odf_raw)
+        if r is None:
+            passes += 1
+            print(f"PASS {name} ({len(sdf_raw)} rows)")
+        else:
+            fails.append((name, r))
+    for name, msg in fails:
+        print(f"FAIL {name}: {msg[:800]}")
+    print(f"\n{passes} passed, {len(fails)} failed, "
+          f"{len(oracle)} total oracles")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
