@@ -65,6 +65,7 @@ object OcrDataSourceV2 {
   private[sources] def clientFor(opts: Map[String, String]): OcrClient =
     opts.getOrElse("client", "stub") match {
       case "stub" => TextractConnector.stub()
+      case "aws"  => AwsHttpOcrClient.fromOptions(opts)
       case fqcn   => Class.forName(fqcn).getDeclaredConstructor()
                        .newInstance().asInstanceOf[OcrClient]
     }
@@ -133,6 +134,12 @@ private case class OcrReaderFactory(options: Map[String, String],
     val client = OcrDataSourceV2.clientFor(options)
     val pollDelayMs = options.getOrElse("pollDelayMs", "2000").toLong
     val maxWaitMs = options.getOrElse("maxWaitMs", "900000").toLong
+    // pollBackoffFactor=1.0 is the reference's fixed-delay loop
+    // (lambda_function.py:57-67); >1 grows the delay geometrically to
+    // maxPollDelayMs — at 1000 concurrent jobs a fixed 2 s poll is
+    // 500 rps of GetDocumentTextDetection against a throttled API.
+    val backoff = options.getOrElse("pollBackoffFactor", "1.0").toDouble
+    val maxPollDelayMs = options.getOrElse("maxPollDelayMs", "30000").toLong
 
     new PartitionReader[InternalRow] {
       private var it: Iterator[InternalRow] = _
@@ -172,11 +179,14 @@ private case class OcrReaderFactory(options: Map[String, String],
           val jobId = client.startJob(doc)
           val deadline = System.nanoTime() + maxWaitMs * 1000000L
           var status = client.jobStatus(jobId)
+          var delay = pollDelayMs
           while (status != "SUCCEEDED" && status != "FAILED"
                  && status != "PARTIAL_SUCCESS") {
             if (System.nanoTime() > deadline)
               throw new RuntimeException(s"OCR job $jobId timed out")
-            Thread.sleep(pollDelayMs)
+            Thread.sleep(delay)
+            delay = math.min(math.max((delay * backoff).toLong, delay),
+              maxPollDelayMs)
             status = client.jobStatus(jobId)
           }
           if (status != "SUCCEEDED")

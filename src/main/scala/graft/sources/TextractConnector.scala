@@ -38,17 +38,25 @@ object TextractConnector {
         : (Seq[(String, String, Int, Double, Double)], Option[String])
   }
 
-  /** Poll loop (:57-67): fixed delay, hard deadline, then fail. */
+  /** Poll loop (:57-67): reference-parity fixed delay at
+    * backoffFactor=1.0, geometric growth to maxDelayMs otherwise
+    * (1000 concurrent jobs on a fixed 2 s poll is 500 rps against a
+    * throttled API), hard deadline, then fail. */
   @tailrec
   private def waitForJob(client: OcrClient, jobId: String,
-                         delayMs: Long, deadlineNanos: Long): String = {
+                         delayMs: Long, deadlineNanos: Long,
+                         backoffFactor: Double = 1.0,
+                         maxDelayMs: Long = 30000L): String = {
     val st = client.jobStatus(jobId)
     if (st == "SUCCEEDED" || st == "FAILED" || st == "PARTIAL_SUCCESS") st
     else if (System.nanoTime() > deadlineNanos)
       throw new RuntimeException(s"OCR job $jobId timed out")
     else {
       Thread.sleep(delayMs)
-      waitForJob(client, jobId, delayMs, deadlineNanos)
+      val next = math.min(
+        math.max((delayMs * backoffFactor).toLong, delayMs), maxDelayMs)
+      waitForJob(client, jobId, next, deadlineNanos, backoffFactor,
+        maxDelayMs)
     }
   }
 
@@ -109,7 +117,9 @@ object TextractConnector {
     */
   def fetchBlocks(keys: Dataset[String], client: OcrClient,
                   parallelism: Int = 0,
-                  pollDelayMs: Long = 2000, maxWaitMs: Long = 900000L)
+                  pollDelayMs: Long = 2000, maxWaitMs: Long = 900000L,
+                  pollBackoffFactor: Double = 1.0,
+                  maxPollDelayMs: Long = 30000L)
       : Dataset[FetchedBlock] = {
     import keys.sparkSession.implicits._
     val repartitioned =
@@ -119,7 +129,8 @@ object TextractConnector {
         try {
           val jobId = client.startJob(doc)
           val deadline = System.nanoTime() + maxWaitMs * 1000000L
-          val status = waitForJob(client, jobId, pollDelayMs, deadline)
+          val status = waitForJob(client, jobId, pollDelayMs, deadline,
+            pollBackoffFactor, maxPollDelayMs)
           if (status != "SUCCEEDED")
             throw new RuntimeException(s"OCR failed with status: $status")
           quarantined(doc, blockIterator(client, doc, jobId))
