@@ -32,6 +32,8 @@ object SparkEntry {
     ext.Multimodal.all2 ++
     ext.GraphOps.all ++
     ext.GraphOps.all2 ++
+    ext.GraphOps.all3 ++
+    ext.PipelineOps.all ++
     parity.ParityQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1113,4 +1113,58 @@ object GraphOps {
   /** persist + lineage cut for loop frames (public-ish alias of
     * [[pin]] for the walk loop — same contract). */
   private def pinned(df: DataFrame): DataFrame = pin(df)
+
+  val all3: Seq[Q] = Seq(
+
+    // ------------------------------------------------------------------
+    // Resource-allocation link prediction (Zhou/Lü/Zhang 2009) over
+    // the co-purchase graph: for a non-adjacent pair (x, y), score
+    // RA = Σ_{z ∈ N(x)∩N(y)} 1/deg(z) — common neighbors weighted
+    // inversely by how promiscuous the shared neighbor is (the index
+    // that beats raw common-neighbor counts on most graphs, without
+    // Adamic-Adar's floating log). Contribution is exported in
+    // integer nano-units (10^9 div deg(z)) so the sum is associative
+    // and engine-exact. Same scale guards as gr_common_neighbors:
+    // wedge centers capped at degree 64 (an uncapped hub z
+    // contributes least — 1/deg(z) — and costs deg² wedges, the
+    // classic drop), candidate floor cn >= 2, adjacency removed by
+    // anti-join, top-30 over the (ra, x, y) total order.
+    Q("gr_resource_allocation",
+      (s, d) => {
+        import s.implicits._
+        val sym = pin(copurchaseSym(s, d))
+        val deg = pin(sym.groupBy($"src".as("v"))
+          .agg(count(lit(1)).as("deg")))
+        val capped = sym
+          .join(broadcast(deg.filter($"deg" <= 64)), $"src" === $"v")
+          .select($"src", $"dst", $"deg")
+        val wing = capped.select($"src".as("s2"), $"dst".as("d2"))
+        val cand = capped
+          .join(wing, $"src" === $"s2" && $"dst" < $"d2")
+          .withColumn("contrib", expr("1000000000 div deg"))
+          .groupBy($"dst".as("x"), $"d2".as("y"))
+          .agg(count(lit(1)).as("cn"), sum($"contrib").as("ra_nano"))
+          .filter($"cn" >= 2)
+        cand
+          .join(sym, cand("x") === sym("src") && cand("y") === sym("dst"),
+            "left_anti")
+          .orderBy($"ra_nano".desc, $"x", $"y")
+          .limit(30)
+          .select($"x", $"y", $"cn", $"ra_nano")
+      },
+      Some(s"""WITH $copurchaseSymSql,
+        deg AS (SELECT src AS v, COUNT(*) AS deg FROM e0 GROUP BY src),
+        capped AS (SELECT e.src, e.dst, d.deg FROM e0 e
+                   JOIN deg d ON e.src = d.v WHERE d.deg <= 64),
+        cand AS (
+          SELECT e1.dst AS x, e2.dst AS y, COUNT(*) AS cn,
+            CAST(SUM(1000000000 // e1.deg) AS BIGINT) AS ra_nano
+          FROM capped e1 JOIN capped e2
+            ON e1.src = e2.src AND e1.dst < e2.dst
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        SELECT x, y, cn, ra_nano FROM cand c
+        WHERE NOT EXISTS (
+          SELECT 1 FROM e0 WHERE e0.src = c.x AND e0.dst = c.y)
+        ORDER BY ra_nano DESC, x, y LIMIT 30"""))
+  )
 }

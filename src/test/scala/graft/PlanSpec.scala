@@ -653,4 +653,59 @@ class PlanSpec extends AnyFunSuite {
         p.take(600))
     assert(p.contains("TakeOrderedAndProject"), p.take(600))
   }
+
+  // ---------------------------------------------------------------
+  // Round-5 pipeline wave
+
+  test("semdedup family broadcasts the 16 centroids over the corpus " +
+       "scan — never an un-broadcast cartesian") {
+    for (name <- Seq("dedup_semdedup", "dedup_semdedup_recall",
+        "sim_ivf_imbalance")) {
+      val p = plan(name)
+      assert(p.contains("BroadcastNestedLoopJoin"),
+        s"$name: centroid attach must be a broadcast product\n" + p.take(600))
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a cartesian product\n" + p.take(600))
+    }
+  }
+
+  test("rrf fusion: dense arm broadcasts the query slice, lexical arm " +
+       "broadcasts query bigrams — the corpus side never re-shuffles " +
+       "for the probe") {
+    for (name <- Seq("sim_rrf_fusion", "sim_fusion_shift")) {
+      val p = plan(name)
+      assert(p.contains("BroadcastNestedLoopJoin"),
+        s"$name: dense query attach must broadcast\n" + p.take(600))
+      assert(p.contains("BroadcastHashJoin"),
+        s"$name: lexical bigram probe must broadcast the query side\n" +
+          p.take(600))
+      assert(!p.contains("CartesianProduct"), p.take(600))
+    }
+  }
+
+  test("dsir weights broadcast the 64-row feature table back onto the " +
+       "per-doc aggregation") {
+    val p = plan("txt_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("SortMergeJoin"),
+      "the weight table must never shuffle the per-doc side\n" +
+        p.take(600))
+  }
+
+  test("srm check is two aggregations with map-side partials — no " +
+       "joins at all") {
+    val p = plan("ev_srm_check")
+    assert(!p.contains("Join"), "assignment is a narrow map\n" + p.take(600))
+    assert(p.contains("partial_"),
+      "exposure distinct must partial-aggregate before the exchange\n" +
+        p.take(600))
+  }
+
+  test("resource-allocation link prediction broadcasts the degree " +
+       "frame and anti-joins adjacency — top-30 via a bounded heap") {
+    val p = plan("gr_resource_allocation")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(p.contains("LeftAnti"), p.take(600))
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+  }
 }
