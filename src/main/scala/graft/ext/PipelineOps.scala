@@ -286,6 +286,82 @@ object PipelineOps {
         FROM agg""")),
 
     // ------------------------------------------------------------------
+    // CUPED variance reduction (Deng et al. 2013): before an A/B
+    // readout, measure how much pre-period behavior explains the
+    // post-period metric — theta = cov(X,Y)/var(X) and the variance
+    // reduction rho^2, per event_type. X/Y are per-user pre/post
+    // value sums quantized to integer micro-units, the moment sums
+    // ride DECIMAL(38,0) (x*y per user overflows int64 once a user's
+    // period sum passes ~3*10^9 micro), and the exported theta/rho^2
+    // are DEFINED as two-step integer divisions — bit-identical in
+    // both engines, no IEEE covariance anywhere. The pre/post split
+    // is day-15 from the corpus's own first day (one broadcast
+    // scalar); per-user collapse is ONE (event_type, user) shuffle.
+    // rho2_ppm answers "is CUPED worth wiring up for this metric";
+    // theta_micro is the adjustment coefficient itself.
+    Q("ev_cuped",
+      (s, d) => {
+        import s.implicits._
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val ev = Tables.events(s, d)
+        val t0 = ev.agg(unix_micros(date_trunc("day", min($"ts")))
+          .as("t0_us"))
+        val split = expr("t0_us + 1296000000000")  // 15 days of micros
+        val vMicro = floor($"value" * 1000000).cast("long")
+        val ux = ev.crossJoin(broadcast(t0))
+          .select($"event_type", $"user_id",
+            when(unix_micros($"ts") < split, vMicro).otherwise(0L).as("vx"),
+            when(unix_micros($"ts") >= split, vMicro).otherwise(0L).as("vy"))
+          .groupBy($"event_type", $"user_id")
+          .agg(sum($"vx").as("x"), sum($"vy").as("y"))
+        val agg = ux.groupBy($"event_type")
+          .agg(count(lit(1)).as("n"),
+            sum($"x".cast(dec)).as("sx"), sum($"y".cast(dec)).as("sy"),
+            sum(($"x".cast(dec) * $"y")).as("sxy"),
+            sum(($"x".cast(dec) * $"x")).as("sxx"),
+            sum(($"y".cast(dec) * $"y")).as("syy"))
+        agg
+          .withColumn("covn", expr("n * sxy - sx * sy"))
+          .withColumn("varn", expr("n * sxx - sx * sx"))
+          .withColumn("varyn", expr("n * syy - sy * sy"))
+          .withColumn("theta_micro",
+            expr("(covn * 1000000) div nullif(varn, 0)"))
+          .select($"event_type", $"n", $"theta_micro",
+            expr("(theta_micro * covn) div nullif(varyn, 0)").as("rho2_ppm"))
+      },
+      Some("""WITH d0 AS (
+          SELECT epoch_us(CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP))
+            AS t0_us FROM events),
+        ux AS (
+          SELECT event_type, user_id,
+            CAST(SUM(CASE WHEN epoch_us(ts) < t0_us + 1296000000000
+              THEN CAST(floor(value * 1000000) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS x,
+            CAST(SUM(CASE WHEN epoch_us(ts) >= t0_us + 1296000000000
+              THEN CAST(floor(value * 1000000) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS y
+          FROM events CROSS JOIN d0
+          GROUP BY event_type, user_id),
+        agg AS (
+          SELECT event_type, COUNT(*) AS n,
+            CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+            CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+            CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+            CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+          FROM ux GROUP BY event_type),
+        norm AS (
+          SELECT event_type, n,
+            n * sxy - sx * sy AS covn,
+            n * sxx - sx * sx AS varn,
+            n * syy - sy * sy AS varyn
+          FROM agg)
+        SELECT event_type, n,
+          CAST(covn * 1000000 // NULLIF(varn, 0) AS BIGINT) AS theta_micro,
+          CAST(((covn * 1000000 // NULLIF(varn, 0)) * covn)
+            // NULLIF(varyn, 0) AS BIGINT) AS rho2_ppm
+        FROM norm""")),
+
+    // ------------------------------------------------------------------
     // Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009)
     // of a dense cosine top-20 and a lexical bigram-overlap top-20,
     // k = 60. RRF credit is exported in integer nano-units

@@ -701,6 +701,19 @@ class PlanSpec extends AnyFunSuite {
         p.take(600))
   }
 
+  test("cuped attaches the split scalar by broadcast and collapses " +
+       "per user before the moment sums — no event-row re-shuffle") {
+    val p = plan("ev_cuped")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "t0 scalar must broadcast\n" + p.take(600))
+    val userExchanges =
+      "hashpartitioning\\(event_type[^)]*user_id".r.findAllIn(p).size
+    assert(userExchanges == 1,
+      s"expected one (event_type, user) shuffle, got $userExchanges\n" +
+        p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(600))
+  }
+
   test("resource-allocation link prediction broadcasts the degree " +
        "frame and anti-joins adjacency — top-30 via a bounded heap") {
     val p = plan("gr_resource_allocation")

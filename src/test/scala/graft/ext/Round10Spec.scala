@@ -108,6 +108,45 @@ class Round10Spec extends AnyFunSuite {
   }
 
   // -------------------------------------------------------------------
+  test("ev_cuped: theta and rho2 replay exactly from independently " +
+       "collected per-user pre/post sums (BigInt, no IEEE anywhere)") {
+    import spark.implicits._
+    val got = run("ev_cuped", sf001).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("theta_micro"),
+          r.getAs[Long]("rho2_ppm"))).toMap
+    assert(got.nonEmpty)
+    val ev = graft.Tables.events(spark, sf001)
+    val t0 = ev.agg(unix_micros(date_trunc("day", min($"ts"))))
+      .as[Long].head()
+    val split = t0 + 1296000000000L
+    val ux = ev.select($"event_type", $"user_id",
+        when(unix_micros($"ts") < split,
+          floor($"value" * 1000000).cast("long")).otherwise(0L).as("vx"),
+        when(unix_micros($"ts") >= split,
+          floor($"value" * 1000000).cast("long")).otherwise(0L).as("vy"))
+      .groupBy($"event_type", $"user_id")
+      .agg(sum($"vx").as("x"), sum($"vy").as("y"))
+      .collect()
+    for ((et, (n, theta, rho2)) <- got) {
+      val xs = ux.filter(_.getAs[String]("event_type") == et)
+        .map(r => (BigInt(r.getAs[Long]("x")), BigInt(r.getAs[Long]("y"))))
+      assert(xs.length.toLong == n)
+      val bn = BigInt(n)
+      val sx = xs.map(_._1).sum; val sy = xs.map(_._2).sum
+      val sxy = xs.map(p => p._1 * p._2).sum
+      val sxx = xs.map(p => p._1 * p._1).sum
+      val syy = xs.map(p => p._2 * p._2).sum
+      val covn = bn * sxy - sx * sy
+      val varn = bn * sxx - sx * sx
+      val varyn = bn * syy - sy * sy
+      val thetaRef = covn * 1000000 / varn  // BigInt / truncates to zero
+      assert(BigInt(theta) == thetaRef, s"$et theta")
+      assert(BigInt(rho2) == thetaRef * covn / varyn, s"$et rho2")
+    }
+  }
+
+  // -------------------------------------------------------------------
   test("sim_fusion_shift: one row per query, overlap@10 in [0, 10], " +
        "reciprocal rank is 10^6 div k or 0") {
     val rows = run("sim_fusion_shift", sf01).collect()
@@ -185,7 +224,8 @@ class Round10Spec extends AnyFunSuite {
     val queries = Seq("ev_srm_check" -> sf001, "sim_rrf_fusion" -> sf001,
       "txt_dsir_weights" -> sf001, "dedup_semdedup" -> sf001,
       "sim_ivf_imbalance" -> sf001, "gr_resource_allocation" -> sf01,
-      "sim_fusion_shift" -> sf001, "dedup_semdedup_recall" -> sf001)
+      "sim_fusion_shift" -> sf001, "dedup_semdedup_recall" -> sf001,
+      "ev_cuped" -> sf001)
     def snapshot(name: String, d: String): Seq[String] =
       run(name, d).collect().map(_.toString).sorted.toSeq
     for ((name, d) <- queries) {
