@@ -30,6 +30,7 @@ object SparkEntry {
     ext.Similarity.all ++
     ext.Multimodal.all ++
     ext.Multimodal.all2 ++
+    ext.Multimodal.all3 ++
     ext.GraphOps.all ++
     ext.GraphOps.all2 ++
     ext.GraphOps.all3 ++

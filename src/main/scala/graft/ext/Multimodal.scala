@@ -568,4 +568,89 @@ object Multimodal {
             + 128, height) AS y1
         FROM grid"""))
   )
+
+  val all3: Seq[Q] = Seq(
+    // ------------------------------------------------------------------
+    // Interleaved-sequence packing across modalities: each document's
+    // training-sequence cost is its subword token count plus its
+    // media cost — 258 tokens per ViT tile for images (the
+    // mm_tile_plan grid), one token per 160 payload bytes for audio
+    // (a 10 ms-frame stand-in), 258 per sampled frame for video —
+    // and documents are greedily packed into 8192-token batches per
+    // modality shard (training shards are modality-homogeneous; the
+    // window partitions by kind, so the packing distributes and no
+    // global window exists). Costs flow through the REAL
+    // decodeFeatures stub path; the oracle replays the wrapping-Long
+    // checksum to reconstruct identical dims. Same exclusive
+    // running-sum device as txt_pack_batches — the shuffle carries
+    // one row per document, never payload bytes.
+    Q("mm_modality_pack",
+      (s, d) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"kind").orderBy($"doc_id")
+        val feats = decodeFeatures(mediaFromDocuments(s, d)).toDF()
+          .select($"doc_id", $"kind",
+            $"byte_len".cast("long").as("byte_len"),
+            $"width".cast("long").as("width"),
+            $"height".cast("long").as("height"),
+            $"n_frames".cast("long").as("n_frames"))
+        val toks = Tables.documents(s, d)
+          .select($"doc_id",
+            TextAnalysis.subwordCount($"text").cast("long").as("n_tok"))
+        feats.join(toks, "doc_id")
+          .withColumn("media_cost",
+            when($"kind" === "image", expr(
+              "258 * ((width + 127) div 128) * ((height + 127) div 128)"))
+            .when($"kind" === "audio", expr("byte_len div 160"))
+            .otherwise(expr("258 * n_frames")))
+          .withColumn("seq_cost", $"n_tok" + $"media_cost")
+          .withColumn("cum_excl", sum($"seq_cost").over(w) - $"seq_cost")
+          .select($"doc_id", $"kind", $"n_tok", $"media_cost", $"seq_cost",
+            expr("cum_excl div 8192").as("batch_id"))
+      },
+      Some("""WITH decoded AS (
+          SELECT doc_id,
+            list_reduce(
+              list_prepend(CAST(0 AS HUGEINT),
+                list_transform(generate_series(1, length(text)),
+                  i -> CAST(ord(substr(text, i, 1)) AS HUGEINT))),
+              (h, b) -> (h * 31 + b) % 18446744073709551616) AS hu
+          FROM documents WHERE doc_id % 3 = 0),
+        signed AS (
+          SELECT doc_id, CASE WHEN hu >= 9223372036854775808
+                         THEN hu - 18446744073709551616 ELSE hu END AS s
+          FROM decoded),
+        dims AS (
+          SELECT doc_id,
+            CAST(16 + abs(s % 1024) AS BIGINT) AS width,
+            CAST(16 + abs((CASE WHEN s >= 0 THEN s // 1024
+                  ELSE -((-s + 1023) // 1024) END) % 1024) AS BIGINT)
+              AS height
+          FROM signed),
+        base AS (
+          SELECT d.doc_id,
+            ['image','audio','video'][CAST(d.doc_id % 3 AS INT) + 1]
+              AS kind,
+            CAST(length(d.text) AS BIGINT) AS byte_len,
+            CAST(len(list_filter(
+              string_split_regex(lower(d.text), '[^a-z0-9]+'),
+              x -> len(x) > 0)) AS BIGINT) AS n_tok,
+            m.width, m.height
+          FROM documents d LEFT JOIN dims m ON m.doc_id = d.doc_id),
+        costed AS (
+          SELECT doc_id, kind, n_tok,
+            CASE kind
+              WHEN 'image' THEN
+                258 * ((width + 127) // 128) * ((height + 127) // 128)
+              WHEN 'audio' THEN byte_len // 160
+              ELSE 258 * (1 + byte_len % 32) END AS media_cost
+          FROM base)
+        SELECT doc_id, kind, n_tok, media_cost,
+          n_tok + media_cost AS seq_cost,
+          CAST((SUM(n_tok + media_cost) OVER (PARTITION BY kind
+              ORDER BY doc_id) - (n_tok + media_cost)) // 8192 AS BIGINT)
+            AS batch_id
+        FROM costed"""))
+  )
 }

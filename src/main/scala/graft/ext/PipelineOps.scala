@@ -431,6 +431,146 @@ object PipelineOps {
         WHERE d.rnk_d = 1""")),
 
     // ------------------------------------------------------------------
+    // Difference-in-differences estimator: the observational
+    // complement of ev_ab_ttest/ev_cuped — effect = (treated post −
+    // treated pre) − (control post − control pre), per event_type.
+    // Treatment is the salted-md5 user split, the pre/post boundary
+    // the same day-15 scalar as ev_cuped. The four cell means are
+    // exported in exact integer micro-units (DECIMAL(38,0) sums, one
+    // final div each — at 10^12 events an int64 value sum overflows),
+    // so the DiD contrast is a pure integer expression both engines
+    // share. One (event_type, treated, post) aggregation over a
+    // narrow map — cells ride map-side partials, no user shuffle at
+    // all.
+    Q("ev_diff_in_diff",
+      (s, d) => {
+        import s.implicits._
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val ev = Tables.events(s, d)
+        val t0 = ev.agg(unix_micros(date_trunc("day", min($"ts")))
+          .as("t0_us"))
+        val cells = ev.crossJoin(broadcast(t0))
+          .select($"event_type",
+            when(substring(md5(concat(lit("did|"),
+                $"user_id".cast("string"))), 1, 1)
+              .isin("0", "1", "2", "3", "4", "5", "6", "7"), 1L)
+              .otherwise(0L).as("treated"),
+            when(unix_micros($"ts") >= expr("t0_us + 1296000000000"), 1L)
+              .otherwise(0L).as("post"),
+            floor($"value" * 1000000).cast("long").as("v"))
+          .groupBy($"event_type", $"treated", $"post")
+          .agg(count(lit(1)).as("n"), sum($"v".cast(dec)).as("sv"))
+          .select($"event_type", $"treated", $"post",
+            expr("sv div n").as("mean_micro"))
+        cells.groupBy($"event_type")
+          .agg(
+            min(when($"treated" === 1 && $"post" === 0, $"mean_micro"))
+              .as("mean_t_pre"),
+            min(when($"treated" === 1 && $"post" === 1, $"mean_micro"))
+              .as("mean_t_post"),
+            min(when($"treated" === 0 && $"post" === 0, $"mean_micro"))
+              .as("mean_c_pre"),
+            min(when($"treated" === 0 && $"post" === 1, $"mean_micro"))
+              .as("mean_c_post"))
+          .select($"event_type", $"mean_t_pre", $"mean_t_post",
+            $"mean_c_pre", $"mean_c_post",
+            (($"mean_t_post" - $"mean_t_pre")
+              - ($"mean_c_post" - $"mean_c_pre")).as("did_micro"))
+      },
+      Some("""WITH d0 AS (
+          SELECT epoch_us(CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP))
+            AS t0_us FROM events),
+        cell AS (
+          SELECT event_type,
+            CASE WHEN substr(md5('did|' || CAST(user_id AS VARCHAR)), 1, 1)
+                 IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE 0 END
+              AS treated,
+            CASE WHEN epoch_us(ts) >= t0_us + 1296000000000
+                 THEN 1 ELSE 0 END AS post,
+            CAST(floor(value * 1000000) AS BIGINT) AS v
+          FROM events CROSS JOIN d0),
+        m AS (
+          SELECT event_type, treated, post,
+            CAST(SUM(CAST(v AS HUGEINT)) // COUNT(*) AS BIGINT)
+              AS mean_micro
+          FROM cell GROUP BY 1, 2, 3)
+        SELECT event_type,
+          MIN(CASE WHEN treated=1 AND post=0 THEN mean_micro END)
+            AS mean_t_pre,
+          MIN(CASE WHEN treated=1 AND post=1 THEN mean_micro END)
+            AS mean_t_post,
+          MIN(CASE WHEN treated=0 AND post=0 THEN mean_micro END)
+            AS mean_c_pre,
+          MIN(CASE WHEN treated=0 AND post=1 THEN mean_micro END)
+            AS mean_c_post,
+          (MIN(CASE WHEN treated=1 AND post=1 THEN mean_micro END)
+           - MIN(CASE WHEN treated=1 AND post=0 THEN mean_micro END))
+          - (MIN(CASE WHEN treated=0 AND post=1 THEN mean_micro END)
+           - MIN(CASE WHEN treated=0 AND post=0 THEN mean_micro END))
+            AS did_micro
+        FROM m GROUP BY event_type""")),
+
+    // ------------------------------------------------------------------
+    // Embedding drift monitor: per label, the squared distance (in
+    // micro-mean units) between the centroid of the even-id half and
+    // the odd-id half of the corpus — the distribution-shift check a
+    // pipeline runs between ingestion batches before trusting a
+    // frozen ANN index or classifier on new data. Components are
+    // floor-quantized micro means (integer div — engine-exact), so
+    // the drift is an associative integer sum; max per-dimension
+    // drift localizes WHICH component moved. One (half, label, pos)
+    // aggregation over the posexplode — map-side combined,
+    // centroid-table-sized join only.
+    Q("sim_embedding_drift",
+      (s, d) => {
+        import s.implicits._
+        val q = Tables.embeddings(s, d)
+          .select(($"vec_id" % 2).as("half"), $"label",
+            posexplode($"embedding"))
+          .toDF("half", "label", "pos", "e")
+          .select($"half", $"label", $"pos",
+            floor($"e".cast("double") * 1000000).cast("long").as("qv"))
+        val cent = q.groupBy($"half", $"label", $"pos")
+          .agg(count(lit(1)).as("n"), sum($"qv").as("sq"))
+          .select($"half", $"label", $"pos", $"n",
+            expr("sq div n").as("mean_micro"))
+        val a = cent.filter($"half" === 0)
+          .select($"label", $"pos", $"n".as("n_a"),
+            $"mean_micro".as("ma"))
+        val b = cent.filter($"half" === 1)
+          .select($"label".as("lb"), $"pos".as("pb"), $"n".as("n_b"),
+            $"mean_micro".as("mb"))
+        a.join(b, $"label" === $"lb" && $"pos" === $"pb")
+          .select($"label", $"pos", $"n_a", $"n_b",
+            ($"ma" - $"mb").as("dm"))
+          .groupBy($"label".cast("long").as("label"))
+          .agg(min($"n_a").as("n_a"), min($"n_b").as("n_b"),
+            sum($"dm" * $"dm").as("drift_sq_micro2"),
+            max(abs($"dm")).as("max_dim_drift_micro"))
+      },
+      Some("""WITH q AS (
+          SELECT vec_id % 2 AS half, label, g.i - 1 AS pos,
+            CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1000000) AS BIGINT)
+              AS qv
+          FROM embeddings
+          CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) g),
+        cent AS (
+          SELECT half, label, pos, COUNT(*) AS n,
+            CAST(SUM(qv) // COUNT(*) AS BIGINT) AS mean_micro
+          FROM q GROUP BY 1, 2, 3),
+        delta AS (
+          SELECT a.label, a.pos, a.mean_micro - b.mean_micro AS dm,
+            a.n AS n_a, b.n AS n_b
+          FROM cent a JOIN cent b
+            ON a.label = b.label AND a.pos = b.pos
+              AND a.half = 0 AND b.half = 1)
+        SELECT CAST(label AS BIGINT) AS label,
+          MIN(n_a) AS n_a, MIN(n_b) AS n_b,
+          CAST(SUM(dm * dm) AS BIGINT) AS drift_sq_micro2,
+          CAST(MAX(abs(dm)) AS BIGINT) AS max_dim_drift_micro
+        FROM delta GROUP BY label""")),
+
+    // ------------------------------------------------------------------
     // DSIR importance weights (hashed-bigram importance resampling):
     // target domain = lang 'en'; per 64-bucket hashed bigram feature,
     // the Laplace-smoothed target share w = (n_target+1)*10^6 div

@@ -714,6 +714,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p.take(600))
   }
 
+  test("diff-in-diff never shuffles by user — cells partial-aggregate " +
+       "on (type, treated, post) only") {
+    val p = plan("ev_diff_in_diff")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "t0 scalar must broadcast\n" + p.take(600))
+    assert(!p.contains("hashpartitioning(user_id"),
+      "user-level shuffle planned — cells must ride map-side partials\n" +
+        p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(600))
+  }
+
+  test("modality packing windows per kind — no global window, payload " +
+       "bytes never shuffle") {
+    val p = plan("mm_modality_pack")
+    assert(p.contains("windowspecdefinition(kind"),
+      "running sum must partition by modality shard\n" + p.take(800))
+  }
+
   test("resource-allocation link prediction broadcasts the degree " +
        "frame and anti-joins adjacency — top-30 via a bounded heap") {
     val p = plan("gr_resource_allocation")

@@ -186,6 +186,51 @@ class Round10Spec extends AnyFunSuite {
   }
 
   // -------------------------------------------------------------------
+  test("ev_diff_in_diff: the contrast is exactly the four-cell " +
+       "identity and every cell mean is populated") {
+    val rows = run("ev_diff_in_diff", sf001).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val tp = r.getAs[Long]("mean_t_post"); val tq = r.getAs[Long]("mean_t_pre")
+      val cp = r.getAs[Long]("mean_c_post"); val cq = r.getAs[Long]("mean_c_pre")
+      assert(Seq(tp, tq, cp, cq).forall(_ >= 0L), "value means are nonneg")
+      assert(r.getAs[Long]("did_micro") == (tp - tq) - (cp - cq))
+    }
+  }
+
+  // -------------------------------------------------------------------
+  test("sim_embedding_drift: per-label drift bounded by its own " +
+       "max component, halves partition the corpus") {
+    val rows = run("sim_embedding_drift", sf001).collect()
+    assert(rows.nonEmpty)
+    var users = 0L
+    for (r <- rows) {
+      val sq = r.getAs[Long]("drift_sq_micro2")
+      val mx = r.getAs[Long]("max_dim_drift_micro")
+      assert(sq >= mx * mx, "sum of squares below its max term")
+      assert(sq <= 64L * mx * mx, "sum of squares above 64 max terms")
+      users += r.getAs[Long]("n_a") + r.getAs[Long]("n_b")
+    }
+    assert(users == graft.Tables.embeddings(spark, sf001).count())
+  }
+
+  // -------------------------------------------------------------------
+  test("mm_modality_pack: batch ids replay exactly from a greedy " +
+       "scan per modality shard, never crossing kinds") {
+    val rows = run("mm_modality_pack", sf001).collect()
+      .map(r => (r.getAs[String]("kind"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("seq_cost"), r.getAs[Long]("batch_id")))
+    assert(rows.nonEmpty)
+    for ((kind, rs) <- rows.groupBy(_._1)) {
+      var cum = 0L
+      for ((_, _, cost, batch) <- rs.sortBy(_._2)) {
+        assert(batch == cum / 8192L, s"$kind batch drift")
+        cum += cost
+      }
+    }
+  }
+
+  // -------------------------------------------------------------------
   test("sim_ivf_imbalance: Cauchy-Schwarz floors — load factor and " +
        "imbalance are >= 1.0 exactly, with equality only when uniform") {
     val r = run("sim_ivf_imbalance", sf001).collect().head
@@ -225,7 +270,8 @@ class Round10Spec extends AnyFunSuite {
       "txt_dsir_weights" -> sf001, "dedup_semdedup" -> sf001,
       "sim_ivf_imbalance" -> sf001, "gr_resource_allocation" -> sf01,
       "sim_fusion_shift" -> sf001, "dedup_semdedup_recall" -> sf001,
-      "ev_cuped" -> sf001)
+      "ev_cuped" -> sf001, "ev_diff_in_diff" -> sf001,
+      "sim_embedding_drift" -> sf001, "mm_modality_pack" -> sf001)
     def snapshot(name: String, d: String): Seq[String] =
       run(name, d).collect().map(_.toString).sorted.toSeq
     for ((name, d) <- queries) {
