@@ -728,6 +728,48 @@ object PipelineOps {
         GROUP BY t.label""")),
 
     // ------------------------------------------------------------------
+    // Maximum-inner-product top-k: recommendation scoring ranks by
+    // RAW dot product, not cosine (a popular item with a long vector
+    // SHOULD outrank a short well-aligned one — normalizing away
+    // magnitude is exactly wrong for MIPS). Score is the quantized
+    // integer dot (FloatVecDotQ: associative integer term-sums), so
+    // the exported ranking AND score are engine-exact with no IEEE
+    // tie risk at all — the one retrieval query here whose score
+    // column is bit-stable by construction rather than by margin.
+    // Same broadcast(queries) x corpus scan as sim_cosine_topk; the
+    // IVF/LSH paths replace the scan at 10^9 vectors.
+    Q("sim_mips_topk",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+        val queries = emb.filter($"vec_id" % 97 === 0)
+          .select($"vec_id".as("qid"), $"embedding".as("qemb"))
+        val w = Window.partitionBy($"qid")
+          .orderBy($"dot_q".desc, $"vec_id")
+        emb.crossJoin(broadcast(queries))
+          .filter($"vec_id" =!= $"qid")
+          .withColumn("dot_q", graft.functions.NativeFunctions
+            .floatVecDotQ($"qemb", $"embedding"))
+          .withColumn("rank", row_number().over(w))
+          .filter($"rank" <= 5)
+          .select($"qid", $"rank", $"vec_id".as("neighbor_id"), $"dot_q")
+      },
+      Some("""WITH q AS (
+          SELECT vec_id AS qid, embedding AS qemb FROM embeddings
+          WHERE vec_id % 97 = 0),
+        scored AS (
+          SELECT q.qid, e.vec_id,
+            CAST((SELECT SUM(CAST(floor(CAST(q.qemb[i] AS DOUBLE) *
+                  CAST(e.embedding[i] AS DOUBLE) * 1000000000.0) AS BIGINT))
+             FROM generate_series(1, 64) t(i)) AS BIGINT) AS dot_q
+          FROM embeddings e, q WHERE e.vec_id <> q.qid)
+        SELECT qid, rank, vec_id AS neighbor_id, dot_q FROM (
+          SELECT qid, vec_id, dot_q,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot_q DESC, vec_id)
+              AS rank
+          FROM scored) t WHERE rank <= 5""")),
+
+    // ------------------------------------------------------------------
     // IVF index health: cell-population skew of the coarse quantizer.
     // imbalance = max_cell / mean_cell (ppm) — the tail-latency
     // multiplier a hot probe pays; load_factor = k * sum(n^2) / N^2

@@ -231,6 +231,21 @@ class Round10Spec extends AnyFunSuite {
   }
 
   // -------------------------------------------------------------------
+  test("sim_mips_topk: ranks dense 1..5 per query, integer score " +
+       "monotone non-increasing — the dot ranking is bit-stable by " +
+       "construction") {
+    val rows = run("sim_mips_topk", sf001).collect()
+    assert(rows.nonEmpty)
+    for ((q, rs) <- rows.groupBy(_.getAs[Long]("qid"))) {
+      val sorted = rs.sortBy(_.getAs[Int]("rank").toLong)
+      assert(sorted.map(_.getAs[Int]("rank").toLong).toSeq ==
+        (1L to sorted.length).toSeq, s"qid=$q ranks not dense")
+      val scores = sorted.map(_.getAs[Long]("dot_q")).toSeq
+      assert(scores == scores.sortBy(-_), s"qid=$q not monotone")
+    }
+  }
+
+  // -------------------------------------------------------------------
   test("sim_ivf_imbalance: Cauchy-Schwarz floors — load factor and " +
        "imbalance are >= 1.0 exactly, with equality only when uniform") {
     val r = run("sim_ivf_imbalance", sf001).collect().head
@@ -271,7 +286,8 @@ class Round10Spec extends AnyFunSuite {
       "sim_ivf_imbalance" -> sf001, "gr_resource_allocation" -> sf01,
       "sim_fusion_shift" -> sf001, "dedup_semdedup_recall" -> sf001,
       "ev_cuped" -> sf001, "ev_diff_in_diff" -> sf001,
-      "sim_embedding_drift" -> sf001, "mm_modality_pack" -> sf001)
+      "sim_embedding_drift" -> sf001, "mm_modality_pack" -> sf001,
+      "sim_mips_topk" -> sf001)
     def snapshot(name: String, d: String): Seq[String] =
       run(name, d).collect().map(_.toString).sorted.toSeq
     for ((name, d) <- queries) {
