@@ -48,8 +48,8 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // Local-iteration filter (not used by the driver): run only the
-    // named queries, e.g. SPARK_GRAFT_ONLY=q1,q2 — oracle_sql.json is
-    // filtered to match so tools/verify_local.py compares the subset.
+    // named queries, e.g. SPARK_GRAFT_ONLY=q1,q2 (pair with
+    // VERIFY_ONLY on the compare side).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def selected(name: String): Boolean = only.forall(_.contains(name))
@@ -77,7 +77,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
+    // ALWAYS the full oracle map, even under SPARK_GRAFT_ONLY: a
+    // filtered dump into a shared out dir would clobber the complete
+    // oracle_sql.json other queries' compares read (verify_local's
+    // VERIFY_ONLY handles compare-side subsetting).
+    val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
