@@ -34,7 +34,9 @@ object SparkEntry {
     ext.GraphOps.all ++
     ext.GraphOps.all2 ++
     ext.GraphOps.all3 ++
+    ext.GraphOps.all4 ++
     ext.PipelineOps.all ++
+    ext.LakeOps.all ++
     parity.ParityQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -404,9 +404,11 @@ object Lifecycle {
           JOIN nation ON c_nationkey = n_nationkey
           JOIN region ON n_regionkey = r_regionkey
           GROUP BY r_name, n_name)
-        SELECT r_name, n_name, CAST(rev AS DOUBLE) AS revenue,
-          CAST(rev AS DOUBLE) /
-            CAST(SUM(rev) OVER (PARTITION BY r_name) AS DOUBLE) AS share
+        SELECT r_name, n_name,
+          CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS revenue,
+          CAST(CAST(rev AS VARCHAR) AS DOUBLE) /
+            CAST(CAST(SUM(rev) OVER (PARTITION BY r_name) AS VARCHAR)
+              AS DOUBLE) AS share
         FROM by_nation""")),
 
     // ------------------------------------------------------------------

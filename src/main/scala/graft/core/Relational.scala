@@ -42,11 +42,15 @@ object Relational {
             dsum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")).as("sum_charge"),
             count(lit(1)).as("count_order"))
       },
+      // The two scale-6 sums cross 15 significant digits at sf1 and
+      // DuckDB's direct DECIMAL→DOUBLE cast is not correctly rounded
+      // there (SKILL.md) — bridge via VARCHAR (strtod IS correctly
+      // rounded, and matches at every smaller magnitude too).
       Some("""SELECT l_returnflag, l_linestatus,
         CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty,
         CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE) AS sum_base_price,
-        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS sum_disc_price,
-        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(27,6))) AS DOUBLE) AS sum_charge,
+        CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+        CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) AS sum_charge,
         COUNT(*) AS count_order
         FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-06-30 00:00:00'
         GROUP BY l_returnflag, l_linestatus""")),

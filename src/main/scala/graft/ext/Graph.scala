@@ -1167,4 +1167,66 @@ object GraphOps {
           SELECT 1 FROM e0 WHERE e0.src = c.x AND e0.dst = c.y)
         ORDER BY ra_nano DESC, x, y LIMIT 30"""))
   )
+
+  val all4: Seq[Q] = Seq(
+    // ------------------------------------------------------------------
+    // Weighted single-source shortest paths, FIXED three Bellman-Ford
+    // relaxation rounds from the gr_bfs_reach seed set (every 100th
+    // node) over the co-purchase graph — BFS answers "how many hops",
+    // SSSP answers "how cheap": each edge carries the deterministic
+    // integer weight 1 + (src+dst) % 7 (a stand-in for a stored cost
+    // column), and each round relaxes dist(v) = min(dist(v),
+    // min_{(u,v)} dist(u) + w). Three rounds give exact shortest
+    // distances over paths of ≤ 3 edges — a deterministic,
+    // oracle-expressible quantity (full convergence would be the
+    // dedup_cc-style iterate-to-fixpoint loop; a fixed round count is
+    // the same design choice as gr_label_prop/gr_kcore). Each round
+    // is one broadcast join of the node-sized frontier against the
+    // pinned edge frame plus a map-side-combined min — the Pregel
+    // round shape shared with gr_pagerank, with its documented
+    // SHUFFLE_HASH regime past broadcastable node counts. Output is
+    // the distance histogram (all exact integers); unreached nodes
+    // are absent, so the row count is bounded by the distance range,
+    // not the node count.
+    Q("gr_sssp",
+      (s, d) => {
+        import s.implicits._
+        val edges = pin(copurchaseSym(s, d)
+          .withColumn("w", ($"src" + $"dst") % 7L + 1L))
+        var dist = pin(edges.select($"src".as("v")).distinct()
+          .filter($"v" % 100 === 0)
+          .select($"v", lit(0L).as("dist")))
+        for (_ <- 1 to 3) {
+          val next = edges
+            .join(broadcast(dist.select($"v".as("u"), $"dist")),
+              $"src" === $"u")
+            .select($"dst".as("v"), ($"dist" + $"w").as("dist"))
+          dist = pinStep(dist.unionByName(next)
+            .groupBy($"v").agg(min($"dist").as("dist")), prev = dist)
+        }
+        val out = dist.groupBy($"dist").agg(count(lit(1)).as("n_nodes"))
+        release(edges)
+        out
+      },
+      Some(s"""WITH $copurchaseSymSql,
+        ew AS (SELECT src, dst, (src + dst) % 7 + 1 AS w FROM e0),
+        d0 AS (SELECT DISTINCT src AS v, CAST(0 AS BIGINT) AS dist
+               FROM e0 WHERE src % 100 = 0),
+        d1 AS (SELECT v, MIN(dist) AS dist FROM (
+            SELECT v, dist FROM d0
+            UNION ALL
+            SELECT e.dst AS v, p.dist + e.w FROM ew e JOIN d0 p ON e.src = p.v)
+          u GROUP BY v),
+        d2 AS (SELECT v, MIN(dist) AS dist FROM (
+            SELECT v, dist FROM d1
+            UNION ALL
+            SELECT e.dst AS v, p.dist + e.w FROM ew e JOIN d1 p ON e.src = p.v)
+          u GROUP BY v),
+        d3 AS (SELECT v, MIN(dist) AS dist FROM (
+            SELECT v, dist FROM d2
+            UNION ALL
+            SELECT e.dst AS v, p.dist + e.w FROM ew e JOIN d2 p ON e.src = p.v)
+          u GROUP BY v)
+        SELECT dist, COUNT(*) AS n_nodes FROM d3 GROUP BY dist"""))
+  )
 }

@@ -739,4 +739,47 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), p.take(600))
     assert(p.contains("TakeOrderedAndProject"), p.take(600))
   }
+
+  test("compaction planner windows per partition-month and shuffles " +
+       "file metadata only — no join, no global window") {
+    val p = plan("rel_compaction_plan")
+    assert(p.contains("windowspecdefinition(part_month"),
+      "running sum must partition by month\n" + p.take(800))
+    assert(!p.contains("Join"), "planner is scan+agg+window\n" + p.take(600))
+    assert(p.contains("partial_count"),
+      "file row counts must map-side combine\n" + p.take(600))
+  }
+
+  test("z-order layout is one scan, one aggregation — the Morton key " +
+       "is a projection, no join, no window, one exchange") {
+    val p = plan("rel_zorder_layout")
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(600))
+    assert(p.contains("partial_count"),
+      "bucket stats must map-side combine\n" + p.take(600))
+    assert("Exchange".r.findAllIn(p).size == 1,
+      "exactly one bucket-key exchange expected\n" + p.take(600))
+  }
+
+  test("power analysis collapses per user before the moment sums — " +
+       "no join, exactly one (type, user) shuffle") {
+    val p = plan("ev_power_analysis")
+    assert(!p.contains("Join"), p.take(600))
+    val userExchanges =
+      "hashpartitioning\\(event_type[^)]*user_id".r.findAllIn(p).size
+    assert(userExchanges == 1,
+      s"expected one (event_type, user) shuffle, got $userExchanges\n" +
+        p.take(800))
+  }
+
+  test("sssp rounds ride the pinned lineage-cut frame — the final " +
+       "plan is one aggregation over the cached frontier, no joins") {
+    // The relaxation joins execute eagerly inside pinStep (same
+    // regime as gr_pagerank); the final plan must show the cut
+    // lineage, not a 2^rounds re-derivation.
+    val p = plan("gr_sssp")
+    assert(p.contains("InMemoryTableScan") || p.contains("ExistingRDD"),
+      "per-round lineage must be pinned\n" + p.take(400))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(400))
+  }
 }
