@@ -27,6 +27,7 @@ object SparkEntry {
     ext.TextAnalysis.all2 ++
     ext.TextAnalysis.all3 ++
     ext.Dedup.all ++
+    ext.Dedup.all2 ++
     ext.Similarity.all ++
     ext.Multimodal.all ++
     ext.Multimodal.all2 ++

@@ -1549,4 +1549,79 @@ object Dedup {
             AS BIGINT) AS mean_purity_ppm
         FROM per_cluster GROUP BY 1"""))
   )
+
+  val all2: Seq[Q] = Seq(
+    // ------------------------------------------------------------------
+    // Incremental (batch-vs-history) dedup — the DAILY-INGEST shape:
+    // production dedup never re-runs over the full corpus; an
+    // arriving batch is checked against the accumulated history and
+    // only batch×history work happens (never history×history, which
+    // at 100 TB is the difference between minutes and a full
+    // recompute). Here history is the natural corpus minus every
+    // 10th doc; the batch is the planted duplicate rows plus those
+    // held-out naturals — so all three verdicts occur. An arrival is
+    //   exact_dup  — its content hash exists in history (one
+    //                hash-keyed semi-ish join; at scale the history
+    //                hash set is a maintained index, the same storage
+    //                posture as ext.SimilarityIndex);
+    //   near_dup   — it shares a MinHash LSH band bucket with a
+    //                history doc (batch bands ⋈ history bands on the
+    //                band key — collision-sized, exactly the
+    //                dedup_lsh_pairs machinery scoped to the batch);
+    //   new        — otherwise.
+    // matched_id is the smallest matching history id (-1 for new);
+    // exact beats near. Both probe joins shuffle the small batch
+    // side; NULL band hashes (sub-shingle docs) never join.
+    Q("dedup_incremental",
+      (s, d) => {
+        import s.implicits._
+        val c = corpus(s, d)
+        val isBatch = col("doc_id") >= 100000L || col("doc_id") % 10 === 9
+        val hist = c.filter(!isBatch)
+        val batch = c.filter(isBatch)
+        val exact = batch.select($"doc_id", md5($"text").as("h"))
+          .join(hist.select(md5($"text").as("h"), $"doc_id".as("hist_id")),
+            Seq("h"))
+          .groupBy($"doc_id").agg(min($"hist_id").as("exact_match"))
+        val bb = bandedKeys(minhashSignatures(batch))
+          .filter($"band_hash".isNotNull)
+        val hb = bandedKeys(minhashSignatures(hist))
+          .filter($"band_hash".isNotNull)
+          .select($"doc_id".as("hist_id"), $"band_idx", $"band_hash")
+        val near = bb.join(hb, Seq("band_idx", "band_hash"))
+          .groupBy($"doc_id").agg(min($"hist_id").as("near_match"))
+        batch.select($"doc_id")
+          .join(exact, Seq("doc_id"), "left")
+          .join(near, Seq("doc_id"), "left")
+          .select($"doc_id",
+            when($"exact_match".isNotNull, "exact_dup")
+              .when($"near_match".isNotNull, "near_dup")
+              .otherwise("new").as("verdict"),
+            coalesce($"exact_match", $"near_match", lit(-1L))
+              .as("matched_id"))
+      },
+      Some(s"""WITH $corpusSql, $signaturesSql, $bandsSql,
+        exact AS (
+          SELECT b.doc_id, MIN(h.doc_id) AS exact_match
+          FROM corpus b JOIN corpus h ON md5(b.text) = md5(h.text)
+          WHERE (b.doc_id >= 100000 OR b.doc_id % 10 = 9)
+            AND h.doc_id < 100000 AND h.doc_id % 10 <> 9
+          GROUP BY b.doc_id),
+        near AS (
+          SELECT b.doc_id, MIN(h.doc_id) AS near_match
+          FROM bands b JOIN bands h
+            ON b.band_idx = h.band_idx AND b.band_hash = h.band_hash
+          WHERE (b.doc_id >= 100000 OR b.doc_id % 10 = 9)
+            AND h.doc_id < 100000 AND h.doc_id % 10 <> 9
+          GROUP BY b.doc_id)
+        SELECT c.doc_id,
+          CASE WHEN e.exact_match IS NOT NULL THEN 'exact_dup'
+               WHEN n.near_match IS NOT NULL THEN 'near_dup'
+               ELSE 'new' END AS verdict,
+          COALESCE(e.exact_match, n.near_match, -1) AS matched_id
+        FROM corpus c
+        LEFT JOIN exact e ON e.doc_id = c.doc_id
+        LEFT JOIN near n ON n.doc_id = c.doc_id
+        WHERE c.doc_id >= 100000 OR c.doc_id % 10 = 9"""))
+  )
 }

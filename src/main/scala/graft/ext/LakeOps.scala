@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -197,6 +197,167 @@ object LakeOps {
           CASE WHEN n_required >= 0 AND n_required * 2 <= n_users
             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
             AS is_powered
-        FROM fin"""))
+        FROM fin""")),
+
+    // ------------------------------------------------------------------
+    // Zone-map pruning comparison — the MEASUREMENT that justifies
+    // rel_zorder_layout: for 16 deterministic 64×64 rectangle
+    // predicates, how many buckets (and how many rows) survive
+    // zone-map pruning under the Z-order layout vs a single-dimension
+    // (x-sorted) layout of the same 256-bucket budget. Z-order zone
+    // maps bound BOTH dimensions, so a 2-D predicate prunes to a few
+    // buckets; the linear layout's y zone maps span everything and
+    // every x-matching bucket must be scanned. ONE fact scan total:
+    // both layouts derive from the pre-aggregated (x, y) point grid
+    // (≤ 2^20 rows at any table size), and the predicate probe is a
+    // 16-row broadcast against 256-row zone-map frames — the planner
+    // runs at metadata scale, exactly like a real file-skipping pass.
+    Q("rel_zone_map_prune",
+      (s, d) => {
+        import s.implicits._
+        val z = mortonSql("x", "y", "div")
+        // ONE fact scan, structurally: the point grid explodes into
+        // (layout, bucket) tags, so both layouts' zone maps come out
+        // of one aggregation — a twice-referenced pts frame would
+        // scan the table twice (Catalyst does not dedupe repeated
+        // subplans; the dedup_ngram_jaccard lesson).
+        // Dimensions must span their 0..1023 domain at EVERY test
+        // scale or the comparison lies: suppkey%1024 covers only
+        // 1..100 at sf0.01, so a 64-high Z tile swallows most of the
+        // y mass while a 4-wide linear stripe stays selective and
+        // "wins". partkey and orderkey are dense mod 1024 from
+        // sf0.001 up.
+        val zones = Tables.lineitem(s, d)
+          .select(($"l_partkey" % 1024L).as("x"),
+            ($"l_orderkey" % 1024L).as("y"))
+          .groupBy($"x", $"y").agg(count(lit(1)).as("n"))
+          .select($"x", $"y", $"n", explode(array(
+            struct(lit("z").as("layout"),
+              expr(s"$z div 4096").as("bucket")),
+            struct(lit("lin").as("layout"),
+              expr("x div 4").as("bucket")))).as("t"))
+          .select($"x", $"y", $"n",
+            $"t.layout".as("layout"), $"t.bucket".as("bucket"))
+          .groupBy($"layout", $"bucket")
+          .agg(sum($"n").as("n_rows"),
+            min($"x").as("min_x"), max($"x").as("max_x"),
+            min($"y").as("min_y"), max($"y").as("max_y"))
+        val preds = s.range(16).select($"id".as("qid"),
+          (($"id" * 193L) % 960L).as("x0"), (($"id" * 389L) % 960L).as("y0"))
+          .withColumn("x1", $"x0" + 63L).withColumn("y1", $"y0" + 63L)
+        preds.join(zones, !($"max_x" < $"x0" || $"min_x" > $"x1" ||
+            $"max_y" < $"y0" || $"min_y" > $"y1"), "left")
+          .groupBy($"qid", $"x0", $"y0")
+          .agg(
+            count(when($"layout" === "z", $"bucket")).as("touched_z"),
+            coalesce(sum(when($"layout" === "z", $"n_rows")), lit(0L))
+              .as("rows_z"),
+            count(when($"layout" === "lin", $"bucket")).as("touched_lin"),
+            coalesce(sum(when($"layout" === "lin", $"n_rows")), lit(0L))
+              .as("rows_lin"))
+      },
+      Some(s"""WITH pts AS (
+          SELECT l_partkey % 1024 AS x, l_orderkey % 1024 AS y,
+            COUNT(*) AS n
+          FROM lineitem GROUP BY 1, 2),
+        zones AS (
+          SELECT 'z' AS layout, ${mortonSql("x", "y", "//")} // 4096
+              AS bucket,
+            CAST(SUM(n) AS BIGINT) AS n_rows,
+            MIN(x) AS min_x, MAX(x) AS max_x,
+            MIN(y) AS min_y, MAX(y) AS max_y
+          FROM pts GROUP BY 1, 2
+          UNION ALL
+          SELECT 'lin' AS layout, x // 4 AS bucket,
+            CAST(SUM(n) AS BIGINT) AS n_rows,
+            MIN(x) AS min_x, MAX(x) AS max_x,
+            MIN(y) AS min_y, MAX(y) AS max_y
+          FROM pts GROUP BY 1, 2),
+        preds AS (
+          SELECT i AS qid, (i * 193) % 960 AS x0, (i * 389) % 960 AS y0,
+            (i * 193) % 960 + 63 AS x1, (i * 389) % 960 + 63 AS y1
+          FROM (SELECT unnest(generate_series(0, 15)) AS i))
+        SELECT qid, x0, y0,
+          COUNT(CASE WHEN layout = 'z' THEN bucket END) AS touched_z,
+          COALESCE(CAST(SUM(CASE WHEN layout = 'z' THEN n_rows END)
+            AS BIGINT), 0) AS rows_z,
+          COUNT(CASE WHEN layout = 'lin' THEN bucket END) AS touched_lin,
+          COALESCE(CAST(SUM(CASE WHEN layout = 'lin' THEN n_rows END)
+            AS BIGINT), 0) AS rows_lin
+        FROM preds LEFT JOIN zones ON NOT (max_x < x0 OR min_x > x1
+          OR max_y < y0 OR min_y > y1)
+        GROUP BY 1, 2, 3""")),
+
+    // ------------------------------------------------------------------
+    // 2×2 factorial experiment readout: two INDEPENDENT salted-md5
+    // assignments (factor A, factor B) per user, per-event-type cell
+    // means in integer micro-units, and the three contrasts — main
+    // effect of A, main effect of B, and the A×B interaction (the
+    // quantity a pair of separate ev_ab_ttest reads structurally
+    // cannot see). Like ev_diff_in_diff, the cells ride map-side
+    // partials on (type, a, b) collapsed by ONE conditional
+    // aggregation — no user-level shuffle exists at any scale. All
+    // means and contrasts are integer `div` arithmetic; independence
+    // of the two salts is what makes the off-diagonal cells balanced
+    // (the Round12 spec checks cell counts are within chi-square
+    // bounds of 25% each).
+    Q("ev_factorial_interaction",
+      (s, d) => {
+        import s.implicits._
+        def arm(salt: String) = when(
+          substring(md5(concat(lit(salt), $"user_id".cast("string"))), 1, 1)
+            .isin("0", "1", "2", "3", "4", "5", "6", "7"), 1L).otherwise(0L)
+        val vMicro = floor($"value" * 1000000).cast("long")
+        def cnt(a: Int, b: Int) =
+          sum(when($"a" === a && $"b" === b, 1L).otherwise(0L))
+        def vsum(a: Int, b: Int) =
+          sum(when($"a" === a && $"b" === b, $"v").otherwise(0L))
+        Tables.events(s, d)
+          .select($"event_type", arm("fa|").as("a"), arm("fb|").as("b"),
+            vMicro.as("v"))
+          .groupBy($"event_type")
+          .agg(cnt(0, 0).as("n00"), cnt(0, 1).as("n01"),
+            cnt(1, 0).as("n10"), cnt(1, 1).as("n11"),
+            vsum(0, 0).as("s00"), vsum(0, 1).as("s01"),
+            vsum(1, 0).as("s10"), vsum(1, 1).as("s11"))
+          .withColumn("m00", expr("s00 div nullif(n00, 0)"))
+          .withColumn("m01", expr("s01 div nullif(n01, 0)"))
+          .withColumn("m10", expr("s10 div nullif(n10, 0)"))
+          .withColumn("m11", expr("s11 div nullif(n11, 0)"))
+          .select($"event_type", $"n00", $"n01", $"n10", $"n11",
+            $"m00", $"m01", $"m10", $"m11",
+            expr("((m11 + m10) - (m01 + m00)) div 2").as("main_a_micro"),
+            expr("((m11 + m01) - (m10 + m00)) div 2").as("main_b_micro"),
+            expr("m11 - m10 - m01 + m00").as("interaction_micro"))
+      },
+      Some("""WITH cells AS (
+          SELECT event_type,
+            CASE WHEN substr(md5('fa|' || CAST(user_id AS VARCHAR)), 1, 1)
+              IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE 0 END AS a,
+            CASE WHEN substr(md5('fb|' || CAST(user_id AS VARCHAR)), 1, 1)
+              IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE 0 END AS b,
+            CAST(floor(value * 1000000) AS BIGINT) AS v
+          FROM events),
+        agg AS (
+          SELECT event_type,
+            CAST(SUM(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+            CAST(SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+            CAST(SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+            CAST(SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+            CAST(SUM(CASE WHEN a = 0 AND b = 0 THEN v ELSE 0 END) AS BIGINT) AS s00,
+            CAST(SUM(CASE WHEN a = 0 AND b = 1 THEN v ELSE 0 END) AS BIGINT) AS s01,
+            CAST(SUM(CASE WHEN a = 1 AND b = 0 THEN v ELSE 0 END) AS BIGINT) AS s10,
+            CAST(SUM(CASE WHEN a = 1 AND b = 1 THEN v ELSE 0 END) AS BIGINT) AS s11
+          FROM cells GROUP BY event_type),
+        means AS (
+          SELECT event_type, n00, n01, n10, n11,
+            s00 // NULLIF(n00, 0) AS m00, s01 // NULLIF(n01, 0) AS m01,
+            s10 // NULLIF(n10, 0) AS m10, s11 // NULLIF(n11, 0) AS m11
+          FROM agg)
+        SELECT event_type, n00, n01, n10, n11, m00, m01, m10, m11,
+          ((m11 + m10) - (m01 + m00)) // 2 AS main_a_micro,
+          ((m11 + m01) - (m10 + m00)) // 2 AS main_b_micro,
+          m11 - m10 - m01 + m00 AS interaction_micro
+        FROM means"""))
   )
 }

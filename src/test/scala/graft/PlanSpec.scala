@@ -771,6 +771,33 @@ class PlanSpec extends AnyFunSuite {
         p.take(800))
   }
 
+  test("incremental dedup probes batch-vs-history only — no " +
+       "cartesian, no history-side nested loop") {
+    val p = plan("dedup_incremental")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(600))
+    assert(p.contains("partial_min"),
+      "match ids must map-side combine\n" + p.take(600))
+  }
+
+  test("zone-map pruning scans the fact table ONCE — both layouts " +
+       "derive from one exploded point grid") {
+    val p = plan("rel_zone_map_prune")
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      "both layouts must share one scan\n" + p.take(800))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the 16-predicate probe joins broadcast against zone maps\n" +
+        p.take(600))
+  }
+
+  test("factorial readout is one conditional aggregation — no join, " +
+       "no user-level shuffle") {
+    val p = plan("ev_factorial_interaction")
+    assert(!p.contains("Join"), p.take(600))
+    assert(!p.contains("hashpartitioning(user_id"),
+      "cells must ride map-side partials\n" + p.take(800))
+  }
+
   test("sssp rounds ride the pinned lineage-cut frame — the final " +
        "plan is one aggregation over the cached frontier, no joins") {
     // The relaxation joins execute eagerly inside pinStep (same
