@@ -1227,6 +1227,83 @@ object GraphOps {
             UNION ALL
             SELECT e.dst AS v, p.dist + e.w FROM ew e JOIN d2 p ON e.src = p.v)
           u GROUP BY v)
-        SELECT dist, COUNT(*) AS n_nodes FROM d3 GROUP BY dist"""))
+        SELECT dist, COUNT(*) AS n_nodes FROM d3 GROUP BY dist""")),
+
+    // ------------------------------------------------------------------
+    // One synchronous Louvain move round from singleton communities
+    // over the weighted co-purchase graph (weight = co-occurrence
+    // support): every node simultaneously evaluates the modularity
+    // gain of joining each neighbor's community and reports its best
+    // target. From singletons the gain of i→{j} has the closed form
+    // ΔQ = w_ij/m − k_i·k_j/(2m²); scaling by the constant 2m² > 0
+    // gives the INTEGER comparator gain_num = S·w_ij − k_i·k_j with
+    // S = 2m = Σ_sym w — no floating modularity anywhere, so both the
+    // argmax and the exported gain are bit-stable under any partial-
+    // aggregation order. Ties break toward the smaller neighbor id
+    // (total order). The synchronous round is the parallel-Louvain
+    // building block: every sequential visit order is a different
+    // serial artifact; the synchronous form is what a cluster
+    // actually computes each sweep. Plan: the shared pair build's one
+    // shuffle, a node-sized degree frame joined back BROADCAST on
+    // both endpoints, and a per-src window argmax — no quadratic
+    // step, edge-linear work. At 10⁹-edge scale k_i·k_j can exceed
+    // int64 (k up to ~2³²) — the production switch is the same
+    // DECIMAL(38,0) widening the chi2/power queries use; at every
+    // test scale the products stay far below 2⁶³.
+    Q("gr_louvain_move",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d).select($"l_orderkey", $"l_partkey")
+        val pairs = li
+          .join(li.select($"l_orderkey".as("ok2"), $"l_partkey".as("pk2")),
+            $"l_orderkey" === $"ok2" && $"l_partkey" < $"pk2")
+          .groupBy($"l_partkey".as("a"), $"pk2".as("b"))
+          .agg(count(lit(1)).as("w"))
+          .filter($"w" >= 2)
+        val edges = pairs.select($"a".as("src"), $"b".as("dst"), $"w")
+          .unionAll(pairs.select($"b".as("src"), $"a".as("dst"), $"w"))
+        val deg = edges.groupBy($"src".as("id")).agg(sum($"w").as("k"))
+        val stot = deg.agg(sum($"k").as("s_tot"))
+        val scored = edges
+          .join(broadcast(deg.select($"id".as("src"), $"k".as("k_src"))),
+            Seq("src"))
+          .join(broadcast(deg.select($"id".as("dst"), $"k".as("k_dst"))),
+            Seq("dst"))
+          .crossJoin(broadcast(stot))
+          .select($"src", $"dst",
+            ($"s_tot" * $"w" - $"k_src" * $"k_dst").as("gain_num"))
+        val wnd = org.apache.spark.sql.expressions.Window
+          .partitionBy($"src").orderBy($"gain_num".desc, $"dst".asc)
+        scored.withColumn("rn", row_number().over(wnd))
+          .filter($"rn" === 1)
+          .select($"src".as("node_id"), $"dst".as("target_id"),
+            $"gain_num",
+            when($"gain_num" > 0, 1L).otherwise(0L).as("would_move"))
+      },
+      Some("""WITH pw AS (
+          SELECT l1.l_partkey AS a, l2.l_partkey AS b,
+            CAST(COUNT(*) AS BIGINT) AS w
+          FROM lineitem l1 JOIN lineitem l2
+            ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        edges AS (SELECT a AS src, b AS dst, w FROM pw
+                  UNION ALL SELECT b AS src, a AS dst, w FROM pw),
+        deg AS (SELECT src AS id, CAST(SUM(w) AS BIGINT) AS k
+                FROM edges GROUP BY 1),
+        st AS (SELECT CAST(SUM(k) AS BIGINT) AS s_tot FROM deg),
+        scored AS (
+          SELECT e.src, e.dst, st.s_tot * e.w - ds.k * dd.k AS gain_num
+          FROM edges e
+          JOIN deg ds ON ds.id = e.src
+          JOIN deg dd ON dd.id = e.dst
+          CROSS JOIN st)
+        SELECT src AS node_id, dst AS target_id,
+          CAST(gain_num AS BIGINT) AS gain_num,
+          CASE WHEN gain_num > 0 THEN CAST(1 AS BIGINT)
+               ELSE CAST(0 AS BIGINT) END AS would_move
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+                ORDER BY gain_num DESC, dst ASC) AS rn
+              FROM scored) x
+        WHERE rn = 1"""))
   )
 }

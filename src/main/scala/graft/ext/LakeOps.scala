@@ -358,6 +358,62 @@ object LakeOps {
           ((m11 + m10) - (m01 + m00)) // 2 AS main_a_micro,
           ((m11 + m01) - (m10 + m00)) // 2 AS main_b_micro,
           m11 - m10 - m01 + m00 AS interaction_micro
-        FROM means"""))
+        FROM means""")),
+
+    // ------------------------------------------------------------------
+    // Join-output cardinality estimation audit — the System-R
+    // independence assumption every optimizer rests on, measured
+    // against ground truth: for each (l_returnflag × o_orderpriority)
+    // cell of the lineitem⋈orders join, the estimate
+    // |cell| ≈ m_flag · m_prio / N from the two 1-D marginals vs the
+    // actual cell count. ONE fact join and ONE aggregation produce
+    // the 15-row cell table; the marginals and total are WINDOW sums
+    // over those 15 rows (a repeated-subplan assembly — cube +
+    // grouping_id filtered four ways, or marginal CTEs — would
+    // re-derive the fact join once per reference; Catalyst does not
+    // dedupe repeated subplans, the dedup_ngram_jaccard lesson). The
+    // estimate arithmetic runs at metadata scale, like a real
+    // optimizer's stats lookup. err_ppm is signed integer ppm:
+    // (est − actual)·10⁶ div actual. Returnflag correlates with ship
+    // date (and through it, weakly, with priority mix), so the audit
+    // reports real — small — independence violations; correlated
+    // real columns are exactly what it exists to expose. At 100 TB
+    // the marginal product m_flag·m_prio can cross int64 (~10¹² rows
+    // per marginal) — the production form widens that one product
+    // to DECIMAL(38,0), as the chi2/power queries do.
+    Q("rel_cardinality_est",
+      (s, d) => {
+        import s.implicits._
+        val j = Tables.lineitem(s, d).select($"l_orderkey", $"l_returnflag")
+          .join(Tables.orders(s, d)
+            .select($"o_orderkey", $"o_orderpriority"),
+            $"l_orderkey" === $"o_orderkey")
+          .select($"l_returnflag".as("flag"), $"o_orderpriority".as("prio"))
+        j.groupBy($"flag", $"prio").agg(count(lit(1)).as("actual"))
+          .select($"flag", $"prio", $"actual",
+            sum($"actual").over(Window.partitionBy($"flag")).as("m_flag"),
+            sum($"actual").over(Window.partitionBy($"prio")).as("m_prio"),
+            sum($"actual").over(Window.partitionBy()).as("n_tot"))
+          .select($"flag", $"prio", $"actual",
+            expr("m_flag * m_prio div n_tot").as("est"),
+            expr("(m_flag * m_prio div n_tot - actual) * 1000000 div actual")
+              .as("err_ppm"))
+      },
+      Some("""WITH cells AS (
+          SELECT l_returnflag AS flag, o_orderpriority AS prio,
+            CAST(COUNT(*) AS BIGINT) AS actual
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY 1, 2),
+        stats AS (
+          SELECT flag, prio, actual,
+            CAST(SUM(actual) OVER (PARTITION BY flag) AS BIGINT) AS m_flag,
+            CAST(SUM(actual) OVER (PARTITION BY prio) AS BIGINT) AS m_prio,
+            CAST(SUM(actual) OVER () AS BIGINT) AS n_tot
+          FROM cells)
+        SELECT flag, prio, actual,
+          m_flag * m_prio // n_tot AS est,
+          (m_flag * m_prio // n_tot - actual) * 1000000 // actual
+            AS err_ppm
+        FROM stats"""))
   )
 }

@@ -1993,7 +1993,65 @@ object TextAnalysis {
         FROM cells
         JOIN rm ON rm.quality_ok = cells.quality_ok
         JOIN cm ON cm.is_dup = cells.is_dup
-        CROSS JOIN tot"""))
+        CROSS JOIN tot""")),
+
+    // ------------------------------------------------------------------
+    // Packing-efficiency eval for the txt_pack_batches greedy
+    // running-sum packer, across two capacity configs in ONE pass:
+    // docs are tagged with each capacity by a 2-way explode BEFORE
+    // the window, so both configs ride one (lang, cap) shuffle. Per
+    // (lang, cap): bins used, the bin-count lower bound
+    // ceil(total/cap) (no packer beats it), fill ratio in ppm of the
+    // capacity actually allocated, and the tokens overflowing past
+    // cap in bins the boundary-crossing assignment overfills. All
+    // exact integers — waste is measured, never estimated. The same
+    // floor((cumsum − n)/cap) assignment as txt_pack_batches so the
+    // eval scores the packer that actually ships.
+    Q("txt_pack_efficiency",
+      (s, d) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"lang", $"cap").orderBy($"doc_id")
+        val bins = Tables.documents(s, d)
+          .select($"doc_id", $"lang",
+            size(tokens($"text")).cast("long").as("n_tok"),
+            explode(array(lit(512L), lit(2000L))).as("cap"))
+          .withColumn("batch_id",
+            floor((sum($"n_tok").over(w) - $"n_tok") / $"cap").cast("long"))
+          .groupBy($"lang", $"cap", $"batch_id")
+          .agg(sum($"n_tok").as("bin_tok"))
+        bins.groupBy($"lang", $"cap")
+          .agg(count(lit(1)).as("n_bins"),
+            sum($"bin_tok").as("total_tok"),
+            sum(greatest($"bin_tok" - $"cap", lit(0L))).as("overflow_tok"))
+          .select($"lang", $"cap", $"n_bins", $"total_tok",
+            expr("(total_tok + cap - 1) div cap").as("lb_bins"),
+            expr("total_tok * 1000000 div (n_bins * cap)").as("fill_ppm"),
+            $"overflow_tok")
+      },
+      Some("""WITH docs AS (
+          SELECT doc_id, lang, cap,
+            CAST(len(string_split_regex(trim(lower(text)), '\s+'))
+                 AS BIGINT) AS n_tok
+          FROM documents
+          CROSS JOIN (SELECT unnest([512, 2000]) AS cap)),
+        packed AS (
+          SELECT lang, cap, n_tok,
+            (SUM(n_tok) OVER (PARTITION BY lang, cap ORDER BY doc_id)
+              - n_tok) // cap AS batch_id
+          FROM docs),
+        bins AS (
+          SELECT lang, cap, batch_id,
+            CAST(SUM(n_tok) AS BIGINT) AS bin_tok
+          FROM packed GROUP BY 1, 2, 3)
+        SELECT lang, CAST(cap AS BIGINT) AS cap,
+          CAST(COUNT(*) AS BIGINT) AS n_bins,
+          CAST(SUM(bin_tok) AS BIGINT) AS total_tok,
+          (CAST(SUM(bin_tok) AS BIGINT) + cap - 1) // cap AS lb_bins,
+          CAST(SUM(bin_tok) AS BIGINT) * 1000000 // (COUNT(*) * cap)
+            AS fill_ppm,
+          CAST(SUM(GREATEST(bin_tok - cap, 0)) AS BIGINT) AS overflow_tok
+        FROM bins GROUP BY lang, cap"""))
   )
 
   /** DuckDB-side 12-bit int from 3 hex chars of a hash (same digit

@@ -798,6 +798,33 @@ class PlanSpec extends AnyFunSuite {
       "cells must ride map-side partials\n" + p.take(800))
   }
 
+  test("louvain move round: node-sized degree frames broadcast onto " +
+       "the edge frame — no cartesian, no quadratic step") {
+    val p = plan("gr_louvain_move")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "both degree attachments must broadcast\n" + p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+  }
+
+  test("cardinality-estimate audit scans each fact table ONCE — " +
+       "marginals come from windows over the cell rollup, not " +
+       "re-derived joins") {
+    val p = plan("rel_cardinality_est")
+    assert("FileScan parquet".r.findAllIn(p).size == 2,
+      "one lineitem scan + one orders scan, nothing re-derived\n" +
+        p.take(800))
+    assert(p.contains("Window"), p.take(600))
+  }
+
+  test("pack-efficiency eval rides one (lang, cap) shuffle — the " +
+       "2-way capacity explode happens before the window") {
+    val p = plan("txt_pack_efficiency")
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      "both capacities must share one documents scan\n" + p.take(800))
+    assert(p.contains("Generate explode"),
+      "capacity tagging is an explode before the window\n" + p.take(600))
+  }
+
   test("sssp rounds ride the pinned lineage-cut frame — the final " +
        "plan is one aggregation over the cached frontier, no joins") {
     // The relaxation joins execute eagerly inside pinStep (same
