@@ -38,6 +38,7 @@ object SparkEntry {
     ext.GraphOps.all4 ++
     ext.PipelineOps.all ++
     ext.LakeOps.all ++
+    ext.LakeOps.all2 ++
     parity.ParityQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

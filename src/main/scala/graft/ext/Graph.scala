@@ -1304,6 +1304,77 @@ object GraphOps {
         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY src
                 ORDER BY gain_num DESC, dst ASC) AS rn
               FROM scored) x
-        WHERE rn = 1"""))
+        WHERE rn = 1""")),
+
+    // ------------------------------------------------------------------
+    // Jaccard-coefficient link prediction over the co-purchase graph:
+    // for non-adjacent pairs (x, y), jacc = |N(x)∩N(y)| /
+    // |N(x)∪N(y)| = cn / (deg_x + deg_y − cn) — the neighborhood-
+    // overlap score, complementing gr_resource_allocation's
+    // hub-discounted RA index (RA rewards rare shared neighbors;
+    // Jaccard normalizes by total neighborhood size, so it prefers
+    // pairs whose neighborhoods AGREE, not just intersect). Exported
+    // as integer ppm — one division at the end, bit-stable under any
+    // aggregation order. Shared scale guards: wedge centers capped
+    // at degree 64 (an uncapped hub costs deg² wedges and
+    // contributes mostly noise to cn), adjacency removed by
+    // anti-join, top-30 over the (jacc_ppm, x, y) total order. The
+    // candidate floor is cn ≥ 1 — unlike RA (whose 1/deg weights
+    // make single shared neighbors pure noise), Jaccard's
+    // denominator already normalizes a lone shared neighbor by both
+    // full neighborhoods, and at larger SFs the co-purchase graph
+    // thins (parts scale with SF, so co-occurrence dilutes) until
+    // cn ≥ 2 pairs vanish entirely — the floor that keeps RA clean
+    // makes Jaccard degenerate. True degrees come from the FULL
+    // symmetric graph (node-sized frame, broadcast onto the
+    // candidate pairs) — only wedge CENTERS are capped, so the
+    // denominator is exact while the numerator is the same capped
+    // lower bound both engines compute identically.
+    Q("gr_jaccard_linkpred",
+      (s, d) => {
+        import s.implicits._
+        val sym = pin(copurchaseSym(s, d))
+        val deg = pin(sym.groupBy($"src".as("v"))
+          .agg(count(lit(1)).as("deg")))
+        val capped = sym
+          .join(broadcast(deg.filter($"deg" <= 64)), $"src" === $"v")
+          .select($"src", $"dst")
+        val wing = capped.select($"src".as("s2"), $"dst".as("d2"))
+        val cand = capped
+          .join(wing, $"src" === $"s2" && $"dst" < $"d2")
+          .groupBy($"dst".as("x"), $"d2".as("y"))
+          .agg(count(lit(1)).as("cn"))
+        cand
+          .join(sym, cand("x") === sym("src") && cand("y") === sym("dst"),
+            "left_anti")
+          .join(broadcast(deg.select($"v".as("x"), $"deg".as("deg_x"))),
+            Seq("x"))
+          .join(broadcast(deg.select($"v".as("y"), $"deg".as("deg_y"))),
+            Seq("y"))
+          .withColumn("jacc_ppm",
+            expr("cn * 1000000 div (deg_x + deg_y - cn)"))
+          .orderBy($"jacc_ppm".desc, $"x", $"y")
+          .limit(30)
+          .select($"x", $"y", $"cn", $"deg_x", $"deg_y", $"jacc_ppm")
+      },
+      Some(s"""WITH $copurchaseSymSql,
+        deg AS (SELECT src AS v, COUNT(*) AS deg FROM e0 GROUP BY src),
+        capped AS (SELECT e.src, e.dst FROM e0 e
+                   JOIN deg d ON e.src = d.v WHERE d.deg <= 64),
+        cand AS (
+          SELECT e1.dst AS x, e2.dst AS y, COUNT(*) AS cn
+          FROM capped e1 JOIN capped e2
+            ON e1.src = e2.src AND e1.dst < e2.dst
+          GROUP BY 1, 2)
+        SELECT x, y, CAST(cn AS BIGINT) AS cn,
+          CAST(dx.deg AS BIGINT) AS deg_x,
+          CAST(dy.deg AS BIGINT) AS deg_y,
+          cn * 1000000 // (dx.deg + dy.deg - cn) AS jacc_ppm
+        FROM cand c
+        JOIN deg dx ON dx.v = c.x
+        JOIN deg dy ON dy.v = c.y
+        WHERE NOT EXISTS (
+          SELECT 1 FROM e0 WHERE e0.src = c.x AND e0.dst = c.y)
+        ORDER BY jacc_ppm DESC, x, y LIMIT 30"""))
   )
 }

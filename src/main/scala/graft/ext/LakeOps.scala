@@ -416,4 +416,178 @@ object LakeOps {
             AS err_ppm
         FROM stats"""))
   )
+
+  val all2: Seq[Q] = Seq(
+
+    // ------------------------------------------------------------------
+    // Equi-depth histogram construction + selectivity-estimation
+    // audit — the other half of the optimizer-statistics family
+    // (rel_cardinality_est audits the independence assumption; this
+    // audits the per-column range estimator). A 16-bucket equi-depth
+    // histogram over o_totalprice (in exact CENTS — round(x*100) is
+    // 4e-9 from an integer here, never near a .5 boundary, so both
+    // engines round identically) is built with Ranking.exactNtile:
+    // a range-partitioned sort + per-partition offsets, NOT the
+    // single-partition `NTILE() OVER (ORDER BY ...)` window — the
+    // construction distributes at any scale. Tiebreak (cents,
+    // o_orderkey) makes bucket assignment a total order, so bucket
+    // boundary stats are bit-identical to DuckDB's NTILE. Then eight
+    // fixed `price < T` predicates are estimated from the 16-row
+    // histogram with integer-cents uniform interpolation
+    // (cnt·(T−min) div width — one div per partial bucket, no IEEE)
+    // and audited against ground truth from ONE conditional-
+    // aggregation scan (eight FILTER-style sums riding one pass —
+    // never eight scans). err_ppm is signed integer ppm. At 100 TB
+    // the truth arm is the expensive audit half — production serves
+    // estimates from the 16-row histogram alone; the audit is the
+    // eval that says when to re-collect stats.
+    Q("rel_histogram_equidepth",
+      (s, d) => {
+        import s.implicits._
+        val thrs = Seq(200000L, 500000L, 1000000L, 1500000L,
+          2000000L, 2500000L, 3000000L, 4000000L)
+        val c = Tables.orders(s, d).select(
+          round($"o_totalprice" * 100).cast("long").as("cents"),
+          $"o_orderkey")
+        val h = graft.core.Ranking
+          .exactNtile(c, 16, Seq($"cents", $"o_orderkey"))
+          .groupBy($"tile")
+          .agg(count(lit(1)).as("cnt"),
+            min($"cents").as("min_c"), max($"cents").as("max_c"))
+        val est = h
+          .select($"cnt", $"min_c", $"max_c",
+            explode(array(thrs.map(lit): _*)).as("thr"))
+          .groupBy($"thr")
+          .agg(sum(when($"max_c" < $"thr", $"cnt")
+            .when($"min_c" >= $"thr", 0L)
+            .otherwise(expr(
+              "cnt * (thr - min_c) div (max_c - min_c + 1)")))
+            .as("est"))
+        val actAggs = thrs.map(t =>
+          sum(when($"cents" < t, 1L).otherwise(0L)).as(s"a$t"))
+        val act = c.agg(actAggs.head, actAggs.tail: _*)
+          .select(expr("stack(8, " + thrs.map(t =>
+            s"${t}L, a$t").mkString(", ") + ") AS (thr, actual)"))
+        est.join(act, Seq("thr"))
+          .select($"thr".as("threshold_cents"), $"actual", $"est",
+            expr("(est - actual) * 1000000 div actual").as("err_ppm"))
+      },
+      Some("""WITH c AS (
+          SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+            o_orderkey
+          FROM orders),
+        t AS (SELECT cents,
+            NTILE(16) OVER (ORDER BY cents, o_orderkey) AS tile
+          FROM c),
+        h AS (SELECT tile, CAST(COUNT(*) AS BIGINT) AS cnt,
+            MIN(cents) AS min_c, MAX(cents) AS max_c
+          FROM t GROUP BY 1),
+        thr AS (SELECT unnest([200000, 500000, 1000000, 1500000,
+            2000000, 2500000, 3000000, 4000000]) AS thr),
+        est AS (SELECT thr,
+            CAST(SUM(CASE WHEN max_c < thr THEN cnt
+              WHEN min_c >= thr THEN 0
+              ELSE cnt * (thr - min_c) // (max_c - min_c + 1)
+            END) AS BIGINT) AS est
+          FROM h CROSS JOIN thr GROUP BY 1),
+        act AS (SELECT thr,
+            CAST(COUNT(*) FILTER (WHERE cents < thr) AS BIGINT)
+              AS actual
+          FROM c CROSS JOIN thr GROUP BY 1)
+        SELECT CAST(thr AS BIGINT) AS threshold_cents, actual, est,
+          (est - actual) * 1000000 // actual AS err_ppm
+        FROM est JOIN act USING (thr)""")),
+
+    // ------------------------------------------------------------------
+    // Encoding advisor — the physical-layout statistic that decides
+    // RLE vs dictionary vs plain encoding per column, computed the
+    // way a parquet writer actually experiences the data: per
+    // simulated FILE (4096-orderkey ranges, the same file fiction as
+    // rel_compaction_plan) in the writer's row order (l_orderkey,
+    // l_linenumber). Three columns ride ONE scan via a stack
+    // unpivot BEFORE the window, so each (file, column) partition
+    // counts its value runs independently — per-file windows, never
+    // a global sort, embarrassingly parallel at any scale. Per
+    // column: files, rows, runs, mean run length in milli-rows
+    // (integer div), files where dictionary encoding is viable
+    // (≤256 distinct values → 1-byte codes) and where RLE wins
+    // (mean run ≥ 2). A real advisor reads this table and picks the
+    // encoding + sort-key change; rel_zorder_layout/
+    // rel_zone_map_prune are the downstream layout moves.
+    Q("rel_encoding_advisor",
+      (s, d) => {
+        import s.implicits._
+        val base = Tables.lineitem(s, d)
+          .select($"l_orderkey", $"l_linenumber",
+            expr("l_orderkey div 4096").as("file_id"),
+            expr("""stack(3,
+              'returnflag', l_returnflag,
+              'linestatus', l_linestatus,
+              'ship_month', CAST(month(l_shipdate) AS STRING))
+              AS (col_name, val)"""))
+        // (l_orderkey, l_linenumber) is NOT unique in this corpus —
+        // appending val makes run counting permutation-invariant:
+        // rows tying on all three sort keys carry equal values, so
+        // any order among them yields the same run structure.
+        val w = Window.partitionBy($"file_id", $"col_name")
+          .orderBy($"l_orderkey", $"l_linenumber", $"val")
+        val perFile = base
+          .withColumn("rs",
+            when(!(lag($"val", 1).over(w) <=> $"val"), 1L)
+              .otherwise(0L))
+          .groupBy($"file_id", $"col_name")
+          .agg(count(lit(1)).as("n_rows"), sum($"rs").as("n_runs"),
+            countDistinct($"val").as("n_distinct"))
+        perFile.groupBy($"col_name")
+          .agg(count(lit(1)).as("n_files"),
+            sum($"n_rows").as("n_rows"),
+            sum($"n_runs").as("n_runs"),
+            sum(when($"n_distinct" <= 256, 1L).otherwise(0L))
+              .as("n_dict_files"),
+            sum(when($"n_runs" * 2 <= $"n_rows", 1L).otherwise(0L))
+              .as("n_rle_files"))
+          .select($"col_name", $"n_files", $"n_rows", $"n_runs",
+            expr("n_rows * 1000 div n_runs").as("mean_run_len_milli"),
+            $"n_dict_files", $"n_rle_files")
+      },
+      Some("""WITH base AS (
+          SELECT l_orderkey, l_linenumber,
+            l_orderkey // 4096 AS file_id, col_name, val
+          FROM (
+            SELECT l_orderkey, l_linenumber,
+              'returnflag' AS col_name, l_returnflag AS val
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'linestatus',
+              l_linestatus
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'ship_month',
+              CAST(month(l_shipdate) AS VARCHAR)
+            FROM lineitem)),
+        runs AS (
+          SELECT file_id, col_name, val,
+            CASE WHEN lag(val) OVER (
+                PARTITION BY file_id, col_name
+                ORDER BY l_orderkey, l_linenumber, val)
+              IS DISTINCT FROM val THEN 1 ELSE 0 END AS rs
+          FROM base),
+        per_file AS (
+          SELECT file_id, col_name,
+            CAST(COUNT(*) AS BIGINT) AS n_rows,
+            CAST(SUM(rs) AS BIGINT) AS n_runs,
+            CAST(COUNT(DISTINCT val) AS BIGINT) AS n_distinct
+          FROM runs GROUP BY 1, 2)
+        SELECT col_name,
+          CAST(COUNT(*) AS BIGINT) AS n_files,
+          CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+          CAST(SUM(n_runs) AS BIGINT) AS n_runs,
+          CAST(SUM(n_rows) AS BIGINT) * 1000
+            // CAST(SUM(n_runs) AS BIGINT) AS mean_run_len_milli,
+          CAST(COUNT(CASE WHEN n_distinct <= 256 THEN 1 END)
+            AS BIGINT) AS n_dict_files,
+          CAST(COUNT(CASE WHEN n_runs * 2 <= n_rows THEN 1 END)
+            AS BIGINT) AS n_rle_files
+        FROM per_file GROUP BY 1"""))
+  )
 }

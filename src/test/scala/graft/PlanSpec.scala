@@ -825,6 +825,34 @@ class PlanSpec extends AnyFunSuite {
       "capacity tagging is an explode before the window\n" + p.take(600))
   }
 
+  test("jaccard link prediction: node-sized degree frames broadcast " +
+       "onto candidates, ranking is TakeOrdered, no cartesian") {
+    val p = plan("gr_jaccard_linkpred")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      "cap filter + two degree attachments must broadcast\n" +
+        p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-30 must be TakeOrdered, not a global sort\n" + p.take(600))
+  }
+
+  test("equi-depth histogram builds via the range-partitioned " +
+       "exactNtile — never a single-partition NTILE window") {
+    val p = plan("rel_histogram_equidepth")
+    assert(!p.contains("Window"),
+      "no WindowExec anywhere — the global-order ntile hazard\n" +
+        p.take(800))
+    assert(p.contains("HashAggregate"), p.take(600))
+  }
+
+  test("encoding advisor rides ONE lineitem scan — the 3-column " +
+       "unpivot happens before the per-file window") {
+    val p = plan("rel_encoding_advisor")
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      "all three columns must share one scan\n" + p.take(800))
+    assert(p.contains("Window"), p.take(600))
+  }
+
   test("sssp rounds ride the pinned lineage-cut frame — the final " +
        "plan is one aggregation over the cached frontier, no joins") {
     // The relaxation joins execute eagerly inside pinStep (same
