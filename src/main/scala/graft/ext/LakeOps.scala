@@ -588,6 +588,69 @@ object LakeOps {
             AS BIGINT) AS n_dict_files,
           CAST(COUNT(CASE WHEN n_runs * 2 <= n_rows THEN 1 END)
             AS BIGINT) AS n_rle_files
-        FROM per_file GROUP BY 1"""))
+        FROM per_file GROUP BY 1""")),
+
+    // ------------------------------------------------------------------
+    // Materialized-view rewrite audit — the summary-table move every
+    // warehouse runs: a quarterly revenue question is answered (a)
+    // from the base fact scan and (b) by RE-AGGREGATING the monthly
+    // pre-aggregate (the view rel_monthly_orders-style pipelines
+    // maintain), proving the month→quarter rollup rewrite exact —
+    // SUM is distributive, month nests inside quarter, and revenue
+    // is summed in exact CENTS so not even an IEEE reassociation can
+    // split the arms. Keys are integers (yq = year·10 + quarter)
+    // end to end. At 100 TB the view arm aggregates tens of rows
+    // per month per priority — metadata scale — while the base arm
+    // is the full fact scan; production serves from the view and
+    // runs this audit on sampled partitions when the view's
+    // freshness is in question. Every row must land match = 1; a 0
+    // would mean the rewrite (or the view maintenance) is broken.
+    Q("rel_view_answer",
+      (s, d) => {
+        import s.implicits._
+        val cents = round($"o_totalprice" * 100).cast("long")
+        val base = Tables.orders(s, d)
+          .groupBy($"o_orderpriority".as("prio"),
+            (year($"o_orderdate") * 10 + quarter($"o_orderdate"))
+              .cast("long").as("yq"))
+          .agg(sum(cents).as("rev_base_cents"))
+        val view = Tables.orders(s, d)
+          .groupBy($"o_orderpriority".as("prio"),
+            (year($"o_orderdate") * 100 + month($"o_orderdate"))
+              .cast("long").as("ym"))
+          .agg(sum(cents).as("rev_m"))
+        val fromView = view
+          .groupBy($"prio",
+            expr("ym div 100 * 10 + (ym % 100 + 2) div 3").as("yq"))
+          .agg(sum($"rev_m").as("rev_view_cents"))
+        base.join(fromView, Seq("prio", "yq"))
+          .select($"prio", $"yq", $"rev_base_cents", $"rev_view_cents",
+            when($"rev_base_cents" === $"rev_view_cents", 1L)
+              .otherwise(0L).as("is_match"))
+      },
+      Some("""WITH base AS (
+          SELECT o_orderpriority AS prio,
+            CAST(year(o_orderdate) * 10 + quarter(o_orderdate)
+              AS BIGINT) AS yq,
+            CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS rev_base_cents
+          FROM orders GROUP BY 1, 2),
+        mview AS (
+          SELECT o_orderpriority AS prio,
+            CAST(year(o_orderdate) * 100 + month(o_orderdate)
+              AS BIGINT) AS ym,
+            CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS rev_m
+          FROM orders GROUP BY 1, 2),
+        fromview AS (
+          SELECT prio, ym // 100 * 10 + (ym % 100 + 2) // 3 AS yq,
+            CAST(SUM(rev_m) AS BIGINT) AS rev_view_cents
+          FROM mview GROUP BY 1, 2)
+        SELECT b.prio, b.yq, b.rev_base_cents, f.rev_view_cents,
+          CASE WHEN b.rev_base_cents = f.rev_view_cents
+            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+            AS is_match
+        FROM base b JOIN fromview f
+          ON b.prio = f.prio AND b.yq = f.yq"""))
   )
 }

@@ -651,6 +651,98 @@ object Multimodal {
           CAST((SUM(n_tok + media_cost) OVER (PARTITION BY kind
               ORDER BY doc_id) - (n_tok + media_cost)) // 8192 AS BIGINT)
             AS batch_id
-        FROM costed"""))
+        FROM costed""")),
+
+    // ------------------------------------------------------------------
+    // Audio/video synchronization alignment — the multimodal ETL step
+    // that stamps every sampled video frame with the audio analysis
+    // window covering it, so downstream feature fusion reads aligned
+    // (frame, audio-window) pairs. Frames are mm_frame_sample's
+    // stride-4 grid at 24 fps; the same container's audio track
+    // derives its sample rate and 25 ms / 10 ms framing exactly like
+    // mm_audio_windows. Both timelines are exact integer
+    // MILLISECONDS (`idx·1000 div fps`, `idx·hop·1000 div sr`) so
+    // the alignment and the exported lag carry no IEEE anywhere.
+    // The join is the shared window-carry [[graft.core.Joins.asofJoin]]
+    // (backward: latest window start ≤ frame time) — ONE (doc_id)
+    // shuffle regardless of how many windows per doc, the same
+    // operator the feature-store queries ride, against DuckDB's
+    // native ASOF JOIN as the oracle. sync_lag_ms < hop_ms for every
+    // frame inside the audio track's span — frames past the last
+    // window accumulate lag linearly (the drift a real sync monitor
+    // alerts on).
+    Q("mm_av_align",
+      (s, d) => {
+        import s.implicits._
+        val media = decodeFeatures(mediaFromDocuments(s, d)).toDF()
+          .filter($"kind" === "video")
+          .select($"doc_id", $"byte_len".cast("long").as("bl"),
+            $"n_frames".cast("long").as("n_frames"))
+        val frames = media
+          .select($"doc_id",
+            explode(sequence(lit(0L), $"n_frames" - 1, lit(4L)))
+              .as("frame_idx"))
+          .withColumn("t_ms", expr("frame_idx * 1000 div 24"))
+        val audio = media
+          .select($"doc_id",
+            element_at(
+              array(lit(8000L), lit(16000L), lit(22050L), lit(44100L)),
+              ($"bl" % 4 + 1).cast("int")).as("sr"),
+            ($"bl" * 64).as("n_samples"))
+          .withColumn("flen", expr("sr * 25 div 1000"))
+          .withColumn("hop", expr("sr * 10 div 1000"))
+          .withColumn("n_aw",
+            when($"n_samples" >= $"flen",
+              lit(1L) + expr("(n_samples - flen) div hop"))
+              .otherwise(lit(0L)))
+          .filter($"n_aw" > 0)
+          .select($"doc_id", $"sr", $"hop",
+            explode(sequence(lit(0L), $"n_aw" - 1)).as("aw_idx"))
+          .select($"doc_id", $"aw_idx",
+            expr("aw_idx * hop * 1000 div sr").as("t_ms"))
+          .withColumn("aw_start", $"t_ms")
+        graft.core.Joins.asofJoin(
+            frames, audio, "doc_id", "t_ms", Seq("aw_idx", "aw_start"))
+          .select($"doc_id", $"frame_idx", $"t_ms",
+            $"asof_aw_idx".as("aw_idx"),
+            $"asof_aw_start".as("aw_start_ms"),
+            ($"t_ms" - $"asof_aw_start").as("sync_lag_ms"))
+      },
+      Some("""WITH v AS (
+          SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT)
+            AS bl
+          FROM documents WHERE doc_id % 3 = 2),
+        fr AS (
+          SELECT doc_id,
+            unnest(generate_series(0, (1 + bl % 32) - 1, 4))
+              AS frame_idx
+          FROM v),
+        frt AS (SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+            frame_idx * 1000 // 24 AS t_ms
+          FROM fr),
+        aud AS (
+          SELECT doc_id,
+            ([8000, 16000, 22050, 44100])[CAST(bl % 4 + 1 AS INTEGER)]
+              AS sr,
+            bl * 64 AS n_samples
+          FROM v),
+        awf AS (
+          SELECT doc_id, sr, sr * 10 // 1000 AS hop,
+            CASE WHEN n_samples >= sr * 25 // 1000
+              THEN 1 + (n_samples - sr * 25 // 1000)
+                // (sr * 10 // 1000)
+              ELSE 0 END AS n_aw
+          FROM aud),
+        awt AS (
+          SELECT doc_id,
+            CAST(unnest(generate_series(0, n_aw - 1)) AS BIGINT)
+              AS aw_idx,
+            unnest(generate_series(0, n_aw - 1)) * hop * 1000 // sr
+              AS aw_start_ms
+          FROM awf WHERE n_aw > 0)
+        SELECT f.doc_id, f.frame_idx, f.t_ms, a.aw_idx, a.aw_start_ms,
+          f.t_ms - a.aw_start_ms AS sync_lag_ms
+        FROM frt f ASOF JOIN awt a
+          ON f.doc_id = a.doc_id AND f.t_ms >= a.aw_start_ms"""))
   )
 }

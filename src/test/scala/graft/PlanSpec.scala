@@ -853,6 +853,33 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), p.take(600))
   }
 
+  test("a/v alignment rides the joinless window-carry asof — no " +
+       "join operator, both timelines explode narrowly") {
+    val p = plan("mm_av_align")
+    assert(p.contains("Window"), p.take(600))
+    assert(!p.contains("SortMergeJoin") && !p.contains("Cartesian"),
+      "asof must stay the union+window carry\n" + p.take(600))
+    assert("Generate explode".r.findAllIn(p).size >= 2,
+      "frame and audio-window grids are explodes\n" + p.take(600))
+  }
+
+  test("view-answer audit: two fact scans (base arm + view arm), " +
+       "the final reconciliation join is never a cartesian") {
+    val p = plan("rel_view_answer")
+    assert("FileScan parquet".r.findAllIn(p).size == 2,
+      "one scan per arm\n" + p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+  }
+
+  test("funnel window sensitivity rides ONE events scan — the " +
+       "3-way window explode happens before the per-user exchange") {
+    val p = plan("ev_funnel_windows")
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      "all three windows must share one scan\n" + p.take(800))
+    assert(p.contains("Generate explode"), p.take(600))
+    assert(p.contains("Window"), p.take(600))
+  }
+
   test("sssp rounds ride the pinned lineage-cut frame — the final " +
        "plan is one aggregation over the cached frontier, no joins") {
     // The relaxation joins execute eagerly inside pinStep (same
