@@ -1622,6 +1622,68 @@ object Dedup {
         FROM corpus c
         LEFT JOIN exact e ON e.doc_id = c.doc_id
         LEFT JOIN near n ON n.doc_id = c.doc_id
-        WHERE c.doc_id >= 100000 OR c.doc_id % 10 = 9"""))
+        WHERE c.doc_id >= 100000 OR c.doc_id % 10 = 9""")),
+
+    // ------------------------------------------------------------------
+    // Train/test split-leakage audit — the evaluation-integrity
+    // check that must run BEFORE any split ships: when documents are
+    // assigned to train/valid/test by the salted doc-id hash
+    // (txt_split_hash's exact device) WITHOUT deduplicating first,
+    // every near-duplicate pair whose members hash to different
+    // splits leaks training signal into evaluation. The audit counts
+    // banded-MinHash candidate pairs per unordered split pair
+    // (least/greatest canonicalization) and reports each cell's
+    // share and leak flag — on an 80/10/10 split, ~34% of duplicate
+    // pairs leak by expectation, which is why production dedups (or
+    // splits by cluster id) first. Distinct from txt_contamination
+    // (benchmark n-gram overlap): this measures SELF-leakage through
+    // the split boundary. Scale: the pair frame is the banded-LSH
+    // candidate set (never corpus²), split labels are computed
+    // directly from the pair's ids — no join back to the corpus —
+    // and the cell table is ≤6 rows.
+    Q("dedup_split_leakage",
+      (s, d) => {
+        import s.implicits._
+        def splitOf(c: Column): Column = {
+          val bucket = conv(substring(
+              md5(concat(lit("split:"), c.cast("string"))), 1, 4),
+            16, 10).cast("int") % 10
+          when(bucket < 8, "train").when(bucket === 8, "valid")
+            .otherwise("test")
+        }
+        val cells = lshCandidates(minhashSignatures(corpus(s, d)))
+          .select(splitOf($"doc_a").as("sa"), splitOf($"doc_b").as("sb"))
+          .select(least($"sa", $"sb").as("split_lo"),
+            greatest($"sa", $"sb").as("split_hi"))
+          .groupBy($"split_lo", $"split_hi")
+          .agg(count(lit(1)).as("n_pairs"))
+        cells
+          .withColumn("total", sum($"n_pairs")
+            .over(org.apache.spark.sql.expressions.Window.partitionBy()))
+          .select($"split_lo", $"split_hi", $"n_pairs",
+            when($"split_lo" =!= $"split_hi", 1L).otherwise(0L)
+              .as("is_leak"),
+            expr("n_pairs * 1000000 div total").as("share_ppm"))
+      },
+      Some(s"""WITH $corpusSql, $signaturesSql, $bandsSql,
+        lab AS (
+          SELECT
+            CASE WHEN ${hex4Sql("substr(md5('split:' || CAST(doc_a AS VARCHAR)), 1, 4)")} % 10 < 8 THEN 'train'
+                 WHEN ${hex4Sql("substr(md5('split:' || CAST(doc_a AS VARCHAR)), 1, 4)")} % 10 = 8 THEN 'valid'
+                 ELSE 'test' END AS sa,
+            CASE WHEN ${hex4Sql("substr(md5('split:' || CAST(doc_b AS VARCHAR)), 1, 4)")} % 10 < 8 THEN 'train'
+                 WHEN ${hex4Sql("substr(md5('split:' || CAST(doc_b AS VARCHAR)), 1, 4)")} % 10 = 8 THEN 'valid'
+                 ELSE 'test' END AS sb
+          FROM candidates),
+        cells AS (
+          SELECT least(sa, sb) AS split_lo, greatest(sa, sb) AS split_hi,
+            CAST(COUNT(*) AS BIGINT) AS n_pairs
+          FROM lab GROUP BY 1, 2),
+        tot AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS total FROM cells)
+        SELECT split_lo, split_hi, n_pairs,
+          CASE WHEN split_lo <> split_hi THEN CAST(1 AS BIGINT)
+               ELSE CAST(0 AS BIGINT) END AS is_leak,
+          n_pairs * 1000000 // total AS share_ppm
+        FROM cells CROSS JOIN tot"""))
   )
 }

@@ -743,6 +743,85 @@ object Multimodal {
         SELECT f.doc_id, f.frame_idx, f.t_ms, a.aw_idx, a.aw_start_ms,
           f.t_ms - a.aw_start_ms AS sync_lag_ms
         FROM frt f ASOF JOIN awt a
-          ON f.doc_id = a.doc_id AND f.t_ms >= a.aw_start_ms"""))
+          ON f.doc_id = a.doc_id AND f.t_ms >= a.aw_start_ms""")),
+
+    // ------------------------------------------------------------------
+    // Contrastive-pair mining — the (anchor, hard-negative) manifest
+    // a CLIP-style multimodal trainer consumes: for every image doc,
+    // up to 3 hard negatives from the SAME source whose payload size
+    // is nearest the anchor's (size as the deterministic hardness
+    // proxy this container can compute; a production pipeline swaps
+    // in embedding distance — the mining plan is identical). Per
+    // source the docs are totally ordered by (byte_len, doc_id); the
+    // 4 sort-neighbors (lag/lead 1..2) are the only candidates that
+    // can be nearest in a 1-D ordering, so candidate generation is
+    // O(1) per row on ONE per-source window — never a same-source
+    // self-join (which is quadratic in source size under skew). A
+    // stack unpivot then ranks the 4 by (gap, neg_id) and keeps 3.
+    // Everything integer, every ordering total — bit-stable at any
+    // partition count.
+    Q("mm_contrastive_pairs",
+      (s, d) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"source").orderBy($"blen", $"doc_id")
+        val img = Tables.documents(s, d)
+          .filter($"doc_id" % 3 === 0)
+          .select($"doc_id", $"source",
+            octet_length($"text").cast("long").as("blen"))
+        val cands = img
+          .withColumn("c1_id", lag($"doc_id", 1).over(w))
+          .withColumn("c1_len", lag($"blen", 1).over(w))
+          .withColumn("c2_id", lead($"doc_id", 1).over(w))
+          .withColumn("c2_len", lead($"blen", 1).over(w))
+          .withColumn("c3_id", lag($"doc_id", 2).over(w))
+          .withColumn("c3_len", lag($"blen", 2).over(w))
+          .withColumn("c4_id", lead($"doc_id", 2).over(w))
+          .withColumn("c4_len", lead($"blen", 2).over(w))
+          .select($"doc_id".as("anchor_id"), $"source", $"blen",
+            expr("""stack(4, c1_id, c1_len, c2_id, c2_len,
+              c3_id, c3_len, c4_id, c4_len) AS (neg_id, neg_len)"""))
+          .filter($"neg_id".isNotNull)
+          .withColumn("len_gap", abs($"blen" - $"neg_len"))
+        val wr = org.apache.spark.sql.expressions.Window
+          .partitionBy($"anchor_id").orderBy($"len_gap", $"neg_id")
+        cands.withColumn("rank", row_number().over(wr).cast("long"))
+          .filter($"rank" <= 3)
+          .select($"anchor_id", $"source", $"neg_id", $"len_gap",
+            $"rank")
+      },
+      Some("""WITH img AS (
+          SELECT doc_id, source,
+            CAST(octet_length(encode(text)) AS BIGINT) AS blen
+          FROM documents WHERE doc_id % 3 = 0),
+        nbr AS (
+          SELECT doc_id, source, blen,
+            lag(doc_id, 1) OVER w AS c1_id,
+            lag(blen, 1) OVER w AS c1_len,
+            lead(doc_id, 1) OVER w AS c2_id,
+            lead(blen, 1) OVER w AS c2_len,
+            lag(doc_id, 2) OVER w AS c3_id,
+            lag(blen, 2) OVER w AS c3_len,
+            lead(doc_id, 2) OVER w AS c4_id,
+            lead(blen, 2) OVER w AS c4_len
+          FROM img
+          WINDOW w AS (PARTITION BY source ORDER BY blen, doc_id)),
+        cands AS (
+          SELECT doc_id AS anchor_id, source, blen, c1_id AS neg_id,
+            c1_len AS neg_len FROM nbr
+          UNION ALL SELECT doc_id, source, blen, c2_id, c2_len FROM nbr
+          UNION ALL SELECT doc_id, source, blen, c3_id, c3_len FROM nbr
+          UNION ALL SELECT doc_id, source, blen, c4_id, c4_len
+            FROM nbr),
+        gapped AS (
+          SELECT anchor_id, source, neg_id,
+            abs(blen - neg_len) AS len_gap
+          FROM cands WHERE neg_id IS NOT NULL)
+        SELECT anchor_id, source, neg_id, len_gap,
+          CAST(rank AS BIGINT) AS rank
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                ORDER BY len_gap, neg_id) AS rank
+              FROM gapped) x
+        WHERE rank <= 3"""))
   )
 }

@@ -2051,7 +2051,91 @@ object TextAnalysis {
           CAST(SUM(bin_tok) AS BIGINT) * 1000000 // (COUNT(*) * cap)
             AS fill_ppm,
           CAST(SUM(GREATEST(bin_tok - cap, 0)) AS BIGINT) AS overflow_tok
-        FROM bins GROUP BY lang, cap"""))
+        FROM bins GROUP BY lang, cap""")),
+
+    // ------------------------------------------------------------------
+    // Water-filling token-budget allocation — the mixture
+    // CONSTRUCTION step after txt_mixture_weights proposes targets:
+    // a global budget B = half the corpus tokens is allocated across
+    // sources toward an equal share, but no source can contribute
+    // more than it has. Classic water-fill, computed exactly in
+    // integers: sources sorted ascending by availability; a source
+    // is exhausted when its supply sits at or below the equal-split
+    // level of the budget remaining at its rank
+    // ((B − prefix) div remaining_sources); everyone else receives
+    // the common level t = (B − Σ exhausted) div (n − J), capped by
+    // availability. One corpus rollup scan, then pure window
+    // arithmetic over the ≤20-row source table — the allocator is
+    // metadata-scale at any corpus size, and the integer-div
+    // leftover is provably < n tokens (the spec pins feasibility,
+    // caps, and the common-level property).
+    Q("txt_waterfill_budget",
+      (s, d) => {
+        import s.implicits._
+        val per = Tables.documents(s, d)
+          .select($"source", size(tokens($"text")).cast("long").as("n_tok"))
+          .groupBy($"source")
+          .agg(sum($"n_tok").as("avail"))
+        val wOrd = org.apache.spark.sql.expressions.Window
+          .orderBy($"avail", $"source")
+        val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+        val marked = per
+          .withColumn("b", expr("sum(avail) over () div 2"))
+          .withColumn("n", count(lit(1)).over(wAll))
+          .withColumn("k", row_number().over(wOrd))
+          .withColumn("prefix", sum($"avail").over(wOrd) - $"avail")
+          .withColumn("exhausted",
+            when($"avail" <= expr("(b - prefix) div (n - k + 1)"), 1L)
+              .otherwise(0L))
+        marked
+          .withColumn("p_exh",
+            sum(when($"exhausted" === 1L, $"avail").otherwise(0L))
+              .over(wAll))
+          .withColumn("n_exh", sum($"exhausted").over(wAll))
+          .withColumn("level",
+            expr("(b - p_exh) div (n - n_exh)"))
+          .select($"source", $"avail",
+            when($"exhausted" === 1L, $"avail")
+              .otherwise(least($"avail", $"level")).as("alloc"),
+            $"exhausted",
+            when($"exhausted" === 1L, lit(1000000L))
+              .otherwise(expr(
+                "least(avail, level) * 1000000 div avail"))
+              .as("fill_ppm"))
+      },
+      Some("""WITH per AS (
+          SELECT source,
+            CAST(SUM(CAST(len(string_split_regex(trim(lower(text)),
+              '\s+')) AS BIGINT)) AS BIGINT) AS avail
+          FROM documents GROUP BY source),
+        marked AS (
+          SELECT source, avail,
+            CAST(SUM(avail) OVER () AS BIGINT) // 2 AS b,
+            CAST(COUNT(*) OVER () AS BIGINT) AS n,
+            CAST(ROW_NUMBER() OVER (ORDER BY avail, source) AS BIGINT)
+              AS k,
+            CAST(SUM(avail) OVER (ORDER BY avail, source) AS BIGINT)
+              - avail AS prefix
+          FROM per),
+        flagged AS (
+          SELECT *, CASE WHEN avail <=
+              (b - prefix) // (n - k + 1) THEN 1 ELSE 0 END
+              AS exhausted
+          FROM marked),
+        leveled AS (
+          SELECT *,
+            CAST(SUM(CASE WHEN exhausted = 1 THEN avail ELSE 0 END)
+              OVER () AS BIGINT) AS p_exh,
+            CAST(SUM(exhausted) OVER () AS BIGINT) AS n_exh
+          FROM flagged)
+        SELECT source, avail,
+          CASE WHEN exhausted = 1 THEN avail
+            ELSE least(avail, (b - p_exh) // (n - n_exh)) END AS alloc,
+          CAST(exhausted AS BIGINT) AS exhausted,
+          CASE WHEN exhausted = 1 THEN CAST(1000000 AS BIGINT)
+            ELSE least(avail, (b - p_exh) // (n - n_exh))
+              * 1000000 // avail END AS fill_ppm
+        FROM leveled"""))
   )
 
   /** DuckDB-side 12-bit int from 3 hex chars of a hash (same digit

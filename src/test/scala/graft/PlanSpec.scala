@@ -880,6 +880,35 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), p.take(600))
   }
 
+  test("split leakage labels pairs by hashing their own ids — no " +
+       "join back to the corpus, cells aggregate the LSH pair frame") {
+    val p = plan("dedup_split_leakage")
+    // The banded self-join is the ONLY join: split labels are pure
+    // projections over the pair frame.
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(p).size <= 1,
+      "only the band-bucket self-join may join\n" + p.take(800))
+  }
+
+  test("water-fill allocator: one corpus scan feeds a metadata-" +
+       "scale window stage — no join, no corpus-sized window") {
+    val p = plan("txt_waterfill_budget")
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p.take(800))
+    assert(!p.contains("Join"), "allocator must be joinless\n" +
+      p.take(600))
+  }
+
+  test("contrastive pairs mine sort-neighbors on one per-source " +
+       "window — never a same-source self-join") {
+    val p = plan("mm_contrastive_pairs")
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p.take(800))
+    assert(!p.contains("Join"),
+      "candidate generation must be windowed, not joined\n" +
+        p.take(600))
+    assert(p.contains("Window"), p.take(600))
+  }
+
   test("sssp rounds ride the pinned lineage-cut frame — the final " +
        "plan is one aggregation over the cached frontier, no joins") {
     // The relaxation joins execute eagerly inside pinStep (same
