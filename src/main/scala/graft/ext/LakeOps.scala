@@ -651,6 +651,121 @@ object LakeOps {
             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
             AS is_match
         FROM base b JOIN fromview f
-          ON b.prio = f.prio AND b.yq = f.yq"""))
+          ON b.prio = f.prio AND b.yq = f.yq""")),
+
+    // ------------------------------------------------------------------
+    // Partition/skew planner — the pre-shuffle sizing read a 100 TB
+    // job makes before setting spark.sql.shuffle.partitions or
+    // salting a hot key: per shuffle key (ship-month here), measured
+    // bytes (rows × the 4096 B/row fiction the compaction planner
+    // uses), the partition count that key needs at a 128 MiB target,
+    // a skew flag (key > 2× the mean key) and the salt factor a
+    // salted join should apply (ceil(bytes/target), 1 when the key
+    // fits). The global row recommends ceil(total/target) shuffle
+    // partitions. The planner output is key-count-sized — metadata
+    // scale — and everything is integer div/ceil arithmetic. On this
+    // uniform testdata no month is skewed (the spec pins both the
+    // arithmetic and that honesty); the skew-arm generator in
+    // SkewSpec exercises the flag.
+    Q("rel_partition_skew_planner",
+      (s, d) => {
+        import s.implicits._
+        val keys = Tables.lineitem(s, d)
+          .groupBy(date_trunc("month", $"l_shipdate").as("part_month"))
+          .agg(count(lit(1)).as("n_rows"))
+          .withColumn("bytes", $"n_rows" * 4096L)
+        keys
+          .withColumn("mean_bytes",
+            expr("sum(bytes) over () div count(*) over ()"))
+          .withColumn("total_bytes", expr("sum(bytes) over ()"))
+          .select($"part_month", $"n_rows", $"bytes",
+            expr("(bytes + 134217727) div 134217728")
+              .as("needed_partitions"),
+            when($"bytes" > $"mean_bytes" * 2, 1L).otherwise(0L)
+              .as("is_skewed"),
+            when($"bytes" > $"mean_bytes" * 2,
+              expr("(bytes + 134217727) div 134217728"))
+              .otherwise(1L).as("salt_factor"),
+            expr("(total_bytes + 134217727) div 134217728")
+              .as("recommended_shuffle_partitions"))
+      },
+      Some("""WITH keys AS (
+          SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP)
+              AS part_month,
+            CAST(COUNT(*) AS BIGINT) AS n_rows,
+            CAST(COUNT(*) AS BIGINT) * 4096 AS bytes
+          FROM lineitem GROUP BY 1),
+        stats AS (
+          SELECT *,
+            CAST(SUM(bytes) OVER () AS BIGINT)
+              // CAST(COUNT(*) OVER () AS BIGINT) AS mean_bytes,
+            CAST(SUM(bytes) OVER () AS BIGINT) AS total_bytes
+          FROM keys)
+        SELECT part_month, n_rows, bytes,
+          (bytes + 134217727) // 134217728 AS needed_partitions,
+          CASE WHEN bytes > mean_bytes * 2 THEN CAST(1 AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS is_skewed,
+          CASE WHEN bytes > mean_bytes * 2
+            THEN (bytes + 134217727) // 134217728
+            ELSE CAST(1 AS BIGINT) END AS salt_factor,
+          (total_bytes + 134217727) // 134217728
+            AS recommended_shuffle_partitions
+        FROM stats""")),
+
+    // ------------------------------------------------------------------
+    // Mix-shift (volume vs rate) KPI decomposition — the "why did
+    // revenue move" answer a plain month-over-month delta can't
+    // give: per (priority, month), the revenue change against the
+    // previous month splits into a VOLUME effect (order-count change
+    // at the old average ticket: (n1−n0) · (rev0·10⁶ div n0), the
+    // avg computed FIRST so the largest intermediate is rev0·10⁶ —
+    // in-range through sf1; at true 100 TB revenue the product
+    // widens to DECIMAL(38,0) like the chi2/power queries) and a
+    // RATE effect (everything else — defined as the exact residual
+    // delta·10⁶ − volume, so the decomposition sums to the true
+    // delta BY CONSTRUCTION, no drifting remainders). Revenue is
+    // exact cents; lag() rides one
+    // (priority)-partitioned month window over the ~100-row rollup.
+    // At 100 TB the rollup is one fact aggregation; the
+    // decomposition is metadata-scale window arithmetic.
+    Q("rel_mix_shift",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"prio").orderBy($"ym")
+        Tables.orders(s, d)
+          .groupBy($"o_orderpriority".as("prio"),
+            (year($"o_orderdate") * 100 + month($"o_orderdate"))
+              .cast("long").as("ym"))
+          .agg(count(lit(1)).as("n1"),
+            sum(round($"o_totalprice" * 100).cast("long")).as("rev1"))
+          .withColumn("n0", lag($"n1", 1).over(w))
+          .withColumn("rev0", lag($"rev1", 1).over(w))
+          .filter($"n0".isNotNull)
+          .withColumn("delta_cents", $"rev1" - $"rev0")
+          .withColumn("volume_effect_micro",
+            expr("(n1 - n0) * (rev0 * 1000000 div n0)"))
+          .select($"prio", $"ym", $"n0", $"n1", $"rev0", $"rev1",
+            $"delta_cents", $"volume_effect_micro",
+            ($"delta_cents" * 1000000L - $"volume_effect_micro")
+              .as("rate_effect_micro"))
+      },
+      Some("""WITH cells AS (
+          SELECT o_orderpriority AS prio,
+            CAST(year(o_orderdate) * 100 + month(o_orderdate)
+              AS BIGINT) AS ym,
+            CAST(COUNT(*) AS BIGINT) AS n1,
+            CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS rev1
+          FROM orders GROUP BY 1, 2),
+        lagged AS (
+          SELECT *, lag(n1) OVER w AS n0, lag(rev1) OVER w AS rev0
+          FROM cells
+          WINDOW w AS (PARTITION BY prio ORDER BY ym))
+        SELECT prio, ym, n0, n1, rev0, rev1,
+          rev1 - rev0 AS delta_cents,
+          (n1 - n0) * (rev0 * 1000000 // n0) AS volume_effect_micro,
+          (rev1 - rev0) * 1000000
+            - (n1 - n0) * (rev0 * 1000000 // n0) AS rate_effect_micro
+        FROM lagged WHERE n0 IS NOT NULL"""))
   )
 }

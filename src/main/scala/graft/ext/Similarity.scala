@@ -1309,7 +1309,86 @@ object Similarity {
           COUNT(CASE WHEN qcrank <= nprobe THEN 1 END) AS n_hit,
           COUNT(CASE WHEN qcrank <= nprobe THEN 1 END) * 1000000
             // COUNT(*) AS recall_ppm
-        FROM swept GROUP BY nprobe"""))
+        FROM swept GROUP BY nprobe""")),
+
+    // ------------------------------------------------------------------
+    // Hubness audit of the exact kNN graph — the embedding-health
+    // check that catches the curse-of-dimensionality failure mode
+    // retrieval evals miss: in high effective dimension a few "hub"
+    // vectors appear in everyone's top-k (huge in-degree) while
+    // "antihubs" appear in nobody's, and both distort dedup /
+    // retrieval built on the graph. The audit reports the full
+    // in-degree histogram of sim_knn_graph's k=3 label-blocked
+    // edges, including the in_deg = 0 antihub row (computed as
+    // corpus minus matched neighbors — never a second corpus pass).
+    // With n nodes and k=3 the mean in-degree is exactly 3, so
+    // hubness shows as mass above ~2× that. Ranking-free and
+    // integer-only. Scale: same blocked self-join as sim_knn_graph
+    // (the oracle shares its sf1 infeasibility; the engine side is
+    // the blocked design that completes).
+    Q("sim_hubness_audit",
+      (s, d) => {
+        import s.implicits._
+        val dq = graft.functions.NativeFunctions.floatVecDotQ _
+        val emb = Tables.embeddings(s, d)
+          .select($"vec_id", $"label", $"embedding")
+          .withColumn("qnrm", dq($"embedding", $"embedding"))
+        val w = Window.partitionBy(col("a.vec_id"))
+          .orderBy($"cos".desc, col("b.vec_id"))
+        val indeg = emb.as("a").join(emb.as("b"),
+            col("a.label") === col("b.label") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+          .withColumn("cos",
+            dq(col("a.embedding"), col("b.embedding")).cast("double") /
+            (sqrt(col("a.qnrm").cast("double")) *
+             sqrt(col("b.qnrm").cast("double"))))
+          .withColumn("rk", row_number().over(w))
+          .filter($"rk" <= 3)
+          .groupBy(col("b.vec_id").as("nid"))
+          .agg(count(lit(1)).as("in_deg"))
+        val hist = indeg.groupBy($"in_deg")
+          .agg(count(lit(1)).as("n_nodes"))
+        val anti = Tables.embeddings(s, d)
+          .agg(count(lit(1)).as("n_total"))
+          .crossJoin(broadcast(
+            indeg.agg(count(lit(1)).as("n_matched"))))
+          .select(lit(0L).as("in_deg"),
+            ($"n_total" - $"n_matched").as("n_nodes"))
+          .filter($"n_nodes" > 0)
+        hist.unionByName(anti)
+      },
+      Some(s"""WITH scored AS (
+          SELECT a.vec_id, b.vec_id AS neighbor_id,
+            CAST(${dotQSql("a.embedding", "b.embedding")} AS DOUBLE) /
+            (sqrt(CAST(${dotQSql("a.embedding", "a.embedding")}
+                AS DOUBLE)) *
+             sqrt(CAST(${dotQSql("b.embedding", "b.embedding")}
+                AS DOUBLE)))
+              AS cos
+          FROM embeddings a JOIN embeddings b
+            ON a.label = b.label AND a.vec_id <> b.vec_id),
+        edges AS (
+          SELECT neighbor_id FROM (
+            SELECT vec_id, neighbor_id,
+              ROW_NUMBER() OVER (PARTITION BY vec_id
+                ORDER BY cos DESC, neighbor_id) AS rk
+            FROM scored) t
+          WHERE rk <= 3),
+        indeg AS (
+          SELECT neighbor_id AS nid, CAST(COUNT(*) AS BIGINT)
+            AS in_deg
+          FROM edges GROUP BY 1),
+        hist AS (
+          SELECT in_deg, CAST(COUNT(*) AS BIGINT) AS n_nodes
+          FROM indeg GROUP BY 1),
+        antihubs AS (
+          SELECT CAST(0 AS BIGINT) AS in_deg,
+            (SELECT COUNT(*) FROM embeddings)
+              - (SELECT COUNT(*) FROM indeg) AS n_nodes)
+        SELECT in_deg, n_nodes FROM hist
+        UNION ALL
+        SELECT in_deg, CAST(n_nodes AS BIGINT) FROM antihubs
+        WHERE n_nodes > 0"""))
   )
 
   /** PQ codebook assignment shared by `sim_pq_encode` and

@@ -909,6 +909,37 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), p.take(600))
   }
 
+  test("hubness audit joins label blocks only — no cartesian, " +
+       "histogram via hash aggregation") {
+    val p = plan("sim_hubness_audit")
+    assert(!p.contains("CartesianProduct"),
+      "kNN edges must come from the label-blocked equi join\n" +
+        p.take(600))
+    // The only nested-loop is the antihub arm's 1-row × 1-row
+    // scalar attach; the corpus self-join must hash on label.
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      p.take(800))
+    assert("BroadcastHashJoin \\[label".r.findAllIn(p).size >= 1,
+      "label-blocked equi join expected\n" + p.take(800))
+    assert(p.contains("HashAggregate"), p.take(600))
+  }
+
+  test("partition planner: one fact scan, window arithmetic only " +
+       "over the key-count rollup, no join") {
+    val p = plan("rel_partition_skew_planner")
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p.take(800))
+    assert(!p.contains("Join"), "planner must be joinless\n" +
+      p.take(600))
+  }
+
+  test("mix-shift decomposition: one fact scan, per-priority lag " +
+       "window over the month rollup, no join") {
+    val p = plan("rel_mix_shift")
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p.take(800))
+    assert(!p.contains("Join"), p.take(600))
+    assert(p.contains("Window"), p.take(600))
+  }
+
   test("sssp rounds ride the pinned lineage-cut frame — the final " +
        "plan is one aggregation over the cached frontier, no joins") {
     // The relaxation joins execute eagerly inside pinStep (same
