@@ -2340,6 +2340,68 @@ object EventsOps {
           CASE WHEN n_click = 0 THEN CAST(0 AS BIGINT)
             ELSE n_purchase * 1000000 // n_click END
             AS conv_purchase_ppm
-        FROM cells"""))
+        FROM cells""")),
+
+    // ------------------------------------------------------------------
+    // Win-back targeting — the growth-analytics read that decides
+    // which lapsed users are worth re-engaging: users inactive for
+    // >14 days as of the corpus's own last timestamp (a
+    // deterministic "now" — wall clocks don't belong in replayable
+    // pipelines), segmented by lifetime-value decile. LTV deciles
+    // come from [[graft.core.Ranking.exactNtile]] over exact
+    // micro-value totals — the range-partitioned device, never a
+    // single-partition NTILE window over all users. Per decile:
+    // population, lapsed count, lapse rate ppm, and the decile's
+    // total value in micro-units — the table a win-back campaign is
+    // budgeted from (high-decile lapsed users first). One (user)
+    // shuffle for the rollup; everything after is decile-sized.
+    Q("ev_winback_segments",
+      (s, d) => {
+        import s.implicits._
+        val vMicro = floor($"value" * 1000000).cast("long")
+        val perUser = Tables.events(s, d)
+          .groupBy($"user_id")
+          .agg(max(unix_micros($"ts")).as("last_us"),
+            sum(vMicro).as("ltv_micro"))
+        val tiled = graft.core.Ranking.exactNtile(
+          perUser, 10, Seq($"ltv_micro", $"user_id"), "decile")
+        // "now" = the corpus max, read off the tiled frame — whose
+        // sorted RDD exactNtile already persists — so the reference
+        // point costs one cached-RDD pass, not a second parquet scan
+        // plus a second per-user shuffle.
+        val ref = tiled.agg(max($"last_us").as("ref_us"))
+        tiled.crossJoin(broadcast(ref))
+          .withColumn("lapsed",
+            when($"last_us" < $"ref_us" - lit(14L * 86400000000L), 1L)
+              .otherwise(0L))
+          .groupBy($"decile")
+          .agg(count(lit(1)).as("n_users"),
+            sum($"lapsed").as("n_lapsed"),
+            sum($"ltv_micro").as("decile_value_micro"))
+          .select($"decile", $"n_users", $"n_lapsed",
+            expr("n_lapsed * 1000000 div n_users").as("lapse_ppm"),
+            $"decile_value_micro")
+      },
+      Some("""WITH per_user AS (
+          SELECT user_id,
+            CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_us,
+            CAST(SUM(CAST(floor(value * 1000000) AS BIGINT))
+              AS BIGINT) AS ltv_micro
+          FROM events GROUP BY 1),
+        ref AS (SELECT MAX(last_us) AS ref_us FROM per_user),
+        tiled AS (
+          SELECT *, CAST(NTILE(10) OVER (ORDER BY ltv_micro, user_id)
+            AS BIGINT) AS decile
+          FROM per_user)
+        SELECT decile,
+          CAST(COUNT(*) AS BIGINT) AS n_users,
+          CAST(COUNT(CASE WHEN last_us < ref_us - 1209600000000
+            THEN 1 END) AS BIGINT) AS n_lapsed,
+          CAST(COUNT(CASE WHEN last_us < ref_us - 1209600000000
+            THEN 1 END) AS BIGINT) * 1000000
+            // CAST(COUNT(*) AS BIGINT) AS lapse_ppm,
+          CAST(SUM(ltv_micro) AS BIGINT) AS decile_value_micro
+        FROM tiled CROSS JOIN ref
+        GROUP BY decile"""))
   )
 }

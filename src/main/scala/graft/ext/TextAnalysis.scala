@@ -2135,7 +2135,92 @@ object TextAnalysis {
           CASE WHEN exhausted = 1 THEN CAST(1000000 AS BIGINT)
             ELSE least(avail, (b - p_exh) // (n - n_exh))
               * 1000000 // avail END AS fill_ppm
-        FROM leveled"""))
+        FROM leveled""")),
+
+    // ------------------------------------------------------------------
+    // Curriculum shard ordering — the trainer-side shuffle that
+    // orders training data easy→hard WITHOUT creating source runs:
+    // each doc is ranked within its source by difficulty (token
+    // count as the proxy; any integer difficulty plugs in), then
+    // shards are cut by [[graft.core.Ranking.exactNtile]] over the
+    // (rank, source, doc_id) total order — so shard 1 holds every
+    // source's easiest docs with sources interleaved inside it, the
+    // exact layout curriculum training wants (difficulty ramps
+    // across shards, no source monoculture within one). Both stages
+    // are distributed: per-source ranking is a partitioned window,
+    // the global cut is the range-partitioned ntile — no
+    // single-partition window anywhere.
+    Q("txt_curriculum_order",
+      (s, d) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"source").orderBy($"n_tok", $"doc_id")
+        val ranked = Tables.documents(s, d)
+          .select($"doc_id", $"source",
+            size(tokens($"text")).cast("long").as("n_tok"))
+          .withColumn("rank_in_source",
+            row_number().over(w).cast("long"))
+        graft.core.Ranking.exactNtile(ranked, 16,
+            Seq($"rank_in_source", $"source", $"doc_id"), "shard")
+          .select($"doc_id", $"source", $"n_tok",
+            $"rank_in_source", $"shard")
+      },
+      Some("""WITH ranked AS (
+          SELECT doc_id, source,
+            CAST(len(string_split_regex(trim(lower(text)), '\s+'))
+              AS BIGINT) AS n_tok,
+            CAST(ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY len(string_split_regex(trim(lower(text)),
+                '\s+')), doc_id) AS BIGINT) AS rank_in_source
+          FROM documents)
+        SELECT doc_id, source, n_tok, rank_in_source,
+          CAST(NTILE(16) OVER (ORDER BY rank_in_source, source,
+            doc_id) AS BIGINT) AS shard
+        FROM ranked""")),
+
+    // ------------------------------------------------------------------
+    // Template detection — boilerplate/spam farms emit thousands of
+    // docs from one template, and a content-hash dedup misses them
+    // because the fill-ins differ. The detector groups docs by
+    // their OPENER (first two normalized tokens — the slot where
+    // template text lives; both k and the ≥3 repetition threshold
+    // are knobs) and reports every opener shared by ≥3 docs:
+    // population, distinct sources (a template
+    // spanning many sources is a syndication/spam signal, one
+    // source is in-house boilerplate), and the minimum doc id as
+    // the canonical exemplar. One explode-free scan (the opener is
+    // a prefix slice, not a token explosion), one (opener) shuffle
+    // of key-sized rows. The synthetic corpus's small vocabulary
+    // makes 2-token openers collide exactly like real template
+    // farms do.
+    Q("txt_template_detection",
+      (s, d) => {
+        import s.implicits._
+        val toks = tokens($"text")
+        Tables.documents(s, d)
+          .select($"doc_id", $"source",
+            concat_ws(" ", slice(toks, 1, 2)).as("opener"))
+          .filter($"opener" =!= "")
+          .groupBy($"opener")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct($"source").as("n_sources"),
+            min($"doc_id").as("exemplar_doc"))
+          .filter($"n_docs" >= 3)
+      },
+      Some("""WITH openers AS (
+          SELECT doc_id, source,
+            array_to_string(list_slice(
+              string_split_regex(trim(lower(text)), '\s+'), 1, 2),
+              ' ') AS opener
+          FROM documents),
+        cells AS (
+          SELECT opener, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+            MIN(doc_id) AS exemplar_doc
+          FROM openers WHERE opener <> ''
+          GROUP BY 1)
+        SELECT opener, n_docs, n_sources, exemplar_doc
+        FROM cells WHERE n_docs >= 3"""))
   )
 
   /** DuckDB-side 12-bit int from 3 hex chars of a hash (same digit

@@ -940,6 +940,42 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), p.take(600))
   }
 
+  test("winback segments ride the persisted ntile frame: no parquet " +
+       "rescan, no window, one decile shuffle plus a scalar ref max") {
+    val p = plan("ev_winback_segments")
+    // Both the decile rollup AND the "now" reference point read the
+    // RDD exactNtile already persisted — rescanning events for the
+    // corpus max would cost a full second scan + per-user shuffle.
+    assert(!p.contains("FileScan parquet"),
+      "ref arm must reuse the tiled frame, not rescan events\n" +
+        p.take(600))
+    assert(!p.contains("Window"),
+      "deciles must come from exactNtile, not a global NTILE window\n" +
+        p.take(600))
+    // The only nested-loop is the 1-row ref broadcast attach.
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1, p.take(800))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(600))
+  }
+
+  test("curriculum order is the lineage-cut exactNtile frame — " +
+       "no single-partition NTILE window survives into the plan") {
+    val p = plan("txt_curriculum_order")
+    assert(p.contains("ExistingRDD"),
+      "shard cut must be the range-partitioned exactNtile\n" + p.take(400))
+    assert(!p.contains("Window") && !p.contains("Join"), p.take(400))
+  }
+
+  test("template detection: one pruned scan, explode-free opener " +
+       "slice, partial-agg'd two-level distinct rollup, no join") {
+    val p = plan("txt_template_detection")
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p.take(800))
+    assert(!p.contains("Generate"),
+      "opener must be a prefix slice, not a token explode\n" + p.take(600))
+    assert(!p.contains("Join") && !p.contains("Expand"), p.take(600))
+    assert(p.contains("HashAggregate"), p.take(600))
+  }
+
   test("sssp rounds ride the pinned lineage-cut frame — the final " +
        "plan is one aggregation over the cached frontier, no joins") {
     // The relaxation joins execute eagerly inside pinStep (same
