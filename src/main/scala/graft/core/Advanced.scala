@@ -1004,6 +1004,7 @@ object Advanced {
         val bigFrame = Tables.orders(s, d).count() > 50000000L
         val bucketed =
           if (!bigFrame) {
+            // small-regime branch only (WindowAuditSpec allowlist)
             val wN = Window.orderBy($"spend".desc, $"o_custkey")
             spend.withColumn("decile", ntile(10).over(wN).cast("long"))
           } else {

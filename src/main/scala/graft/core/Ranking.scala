@@ -28,6 +28,49 @@ import org.apache.spark.storage.StorageLevel
   */
 object Ranking {
 
+  /** Distributed exact running sums over a global total order —
+    * the same two-pass range-partitioned shape as [[exactNtile]],
+    * replacing the `SUM(x) OVER (ORDER BY ...)` single-partition
+    * WindowExec that cannot scale past one task's row budget: range
+    * sort, per-partition partial sums (numPartitions × |sums| longs
+    * to the driver), broadcast prefix offsets, second pass emits
+    * each row's inclusive cumulative. Exact (integer addition is
+    * associative) and partition-count invariant (total order ⇒ every
+    * prefix is the same set regardless of range bounds).
+    *
+    * `sums` maps source column (non-null LongType) → output name.
+    */
+  def runningSums(df: DataFrame, sortCols: Seq[Column],
+                  sums: Seq[(String, String)]): DataFrame = {
+    val ranged = df.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val rdd = ranged.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    val idx = sums.map { case (src, _) => ranged.schema.fieldIndex(src) }
+    val nSums = idx.size
+    val partials = rdd.mapPartitionsWithIndex { (i, it) =>
+      val acc = new Array[Long](nSums)
+      it.foreach { r =>
+        var j = 0; while (j < nSums) { acc(j) += r.getLong(idx(j)); j += 1 }
+      }
+      Iterator((i, acc))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partials.scanLeft(new Array[Long](nSums)) { (a, b) =>
+      Array.tabulate(nSums)(j => a(j) + b(j))
+    }
+    val bcOffsets = rdd.sparkContext.broadcast(offsets)
+    val rows = rdd.mapPartitionsWithIndex { (i, it) =>
+      val acc = bcOffsets.value(i).clone()
+      it.map { row =>
+        var j = 0
+        while (j < nSums) { acc(j) += row.getLong(idx(j)); j += 1 }
+        Row.fromSeq(row.toSeq ++ acc.toList) // toList: copy, acc mutates
+      }
+    }
+    df.sparkSession.createDataFrame(rows,
+      StructType(ranged.schema.fields ++ sums.map { case (_, out) =>
+        StructField(out, LongType, nullable = false) }))
+  }
+
   def exactNtile(df: DataFrame, n: Int, sortCols: Seq[Column],
                  out: String = "tile"): DataFrame = {
     require(n > 0, "ntile bucket count must be positive")

@@ -51,7 +51,10 @@ object Skyline {
     // Level 2: the exact global pass over the shrunken set (identical
     // to the direct formulation).
     val wp = Window.partitionBy($"price").orderBy($"size".desc)
-    val w = Window.orderBy($"price").rowsBetween(Window.unboundedPreceding, -1)
+    // level-1 already shrank the frame to the per-partition frontier;
+    // the global pass is deliberately single-partition (WindowAuditSpec).
+    val w = Window.orderBy($"price")
+      .rowsBetween(Window.unboundedPreceding, -1)
     local
       .withColumn("rk", row_number().over(wp))
       .filter($"rk" === 1).drop("rk")

@@ -1659,7 +1659,8 @@ object Dedup {
           .agg(count(lit(1)).as("n_pairs"))
         cells
           .withColumn("total", sum($"n_pairs")
-            .over(org.apache.spark.sql.expressions.Window.partitionBy()))
+            .over(org.apache.spark.sql.expressions.Window
+              .partitionBy())) // ≤ |splits|² rows (WindowAuditSpec)
           .select($"split_lo", $"split_hi", $"n_pairs",
             when($"split_lo" =!= $"split_hi", 1L).otherwise(0L)
               .as("is_leak"),

@@ -714,6 +714,8 @@ object EventsOps {
         val bigFrame = Tables.events(s, d).count() > 50000000L
         val scored =
           if (!bigFrame) {
+            // threshold-bounded branch (small regime only): the
+            // single-partition ntile is deliberate (WindowAuditSpec).
             val rW = Window.orderBy($"recency_days".asc, $"user_id")
             val fW = Window.orderBy($"frequency".desc, $"user_id")
             val mW = Window.orderBy($"monetary".desc, $"user_id")
@@ -1223,17 +1225,18 @@ object EventsOps {
     Q("ev_changepoint_cusum",
       (s, d) => {
         import s.implicits._
-        val w = org.apache.spark.sql.expressions.Window.orderBy($"day")
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy($"day") // |days| rows (WindowAuditSpec allowlist)
           .rowsBetween(org.apache.spark.sql.expressions.Window
             .unboundedPreceding, 0)
         val daily = Tables.events(s, d)
           .groupBy(to_date($"ts").as("day")).agg(count(lit(1)).as("n"))
         val tot = daily.agg(sum($"n").as("total"), count(lit(1)).as("nd"))
-        val c = daily.crossJoin(tot)
+        val c = daily.crossJoin(broadcast(tot))
           .withColumn("cusum", sum($"n" * $"nd" - $"total").over(w))
           .select($"day", $"n", $"cusum")
         val peak = c.agg(max(abs($"cusum")).as("mx"))
-        c.crossJoin(peak)
+        c.crossJoin(broadcast(peak))
           .select($"day".cast("timestamp").as("day"), $"n", $"cusum",
             when(abs($"cusum") === $"mx", 1L).otherwise(0L).as("is_peak"))
       },

@@ -281,8 +281,11 @@ object GraphOps {
     val closed = closedTriangles(pairs, deg)
     val nEdges = pairs.agg(count(lit(1)).as("n_edges"))
     val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    // explicit broadcast on the one-row sides: the planner picks it
+    // anyway today, but an explicit hint is pinnable (PlanSpec) and
+    // can't silently degrade to a shuffled BNL under AQE edge cases.
     closed.agg(count(lit(1)).as("n_triangles"))
-      .crossJoin(nEdges).crossJoin(nNodes)
+      .crossJoin(broadcast(nEdges)).crossJoin(broadcast(nNodes))
   }
 
   private def pairDegrees(pairs: DataFrame): DataFrame = {
@@ -405,7 +408,7 @@ object GraphOps {
       .groupBy(col("lbl")).agg(sum(col("deg")).as("d_c"))
       .agg(count(lit(1)).as("n_communities"),
         sum(col("d_c") * col("d_c")).as("sum_dc2"))
-    totals.crossJoin(degSq)
+    totals.crossJoin(broadcast(degSq))
       .select(col("n_communities"), col("m_directed"), col("n_within"),
         (col("n_within") * col("m_directed") - col("sum_dc2")).as("q_num"),
         ((col("n_within") * col("m_directed") - col("sum_dc2"))

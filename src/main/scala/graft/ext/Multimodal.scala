@@ -632,7 +632,7 @@ object Multimodal {
           SELECT d.doc_id,
             ['image','audio','video'][CAST(d.doc_id % 3 AS INT) + 1]
               AS kind,
-            CAST(length(d.text) AS BIGINT) AS byte_len,
+            CAST(octet_length(encode(d.text)) AS BIGINT) AS byte_len,
             CAST(len(list_filter(
               string_split_regex(lower(d.text), '[^a-z0-9]+'),
               x -> len(x) > 0)) AS BIGINT) AS n_tok,
@@ -701,8 +701,14 @@ object Multimodal {
           .select($"doc_id", $"aw_idx",
             expr("aw_idx * hop * 1000 div sr").as("t_ms"))
           .withColumn("aw_start", $"t_ms")
+        // Inner-asof semantics by construction: asofJoin carries NULLs
+        // for left rows with no window (a track whose n_samples < flen
+        // yields n_aw=0), while the DuckDB ASOF JOIN oracle is inner —
+        // drop the unmatched frames explicitly so the two sides agree
+        // on any corpus, not just one that happens to lack such docs.
         graft.core.Joins.asofJoin(
             frames, audio, "doc_id", "t_ms", Seq("aw_idx", "aw_start"))
+          .filter($"asof_aw_idx".isNotNull)
           .select($"doc_id", $"frame_idx", $"t_ms",
             $"asof_aw_idx".as("aw_idx"),
             $"asof_aw_start".as("aw_start_ms"),

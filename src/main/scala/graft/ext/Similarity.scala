@@ -494,7 +494,7 @@ object Similarity {
           .select($"embedding".as("qemb"))
         val cents = emb.filter($"vec_id" < 16)
           .select($"vec_id".as("cid"), $"embedding".as("cemb"))
-        val lut = cents.crossJoin(query)
+        val lut = cents.crossJoin(broadcast(query))
           .select($"cid", explode(sequence(lit(0), lit(7))).as("sub"),
             $"cemb", $"qemb")
           .withColumn("lut_qd", graft.functions.NativeFunctions.floatVecL2Q(

@@ -433,8 +433,11 @@ object TextAnalysis {
           .partitionBy($"lang").orderBy($"doc_id")
         Tables.documents(s, d)
           .select($"doc_id", $"lang", size(tokens($"text")).cast("long").as("n_tok"))
-          .withColumn("batch_id",
-            floor((sum($"n_tok").over(w) - $"n_tok") / lit(2000)).cast("long"))
+          // integer div mirrors the oracle's `//`; exact past 2^53
+          // where floor(double) drifts, and cumsum >= 0 so div==floor.
+          .withColumn("cum_excl", sum($"n_tok").over(w) - $"n_tok")
+          .withColumn("batch_id", expr("cum_excl div 2000"))
+          .drop("cum_excl")
       },
       Some("""SELECT doc_id, lang, n_tok,
           CAST((SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id) - n_tok)
@@ -896,21 +899,23 @@ object TextAnalysis {
     Q("txt_vocab_growth",
       (s, d) => {
         import s.implicits._
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy($"doc_id")
-          .rowsBetween(
-            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
         val toks = Tables.documents(s, d)
           .select($"doc_id", explode(tokens($"text")).as("tok"))
         val newTerms = toks
           .groupBy($"tok").agg(min($"doc_id").as("doc_id"))
           .groupBy($"doc_id").agg(count(lit(1)).as("n_new_terms"))
-        toks.groupBy($"doc_id").agg(count(lit(1)).as("n_tokens"))
-          .join(newTerms, Seq("doc_id"), "left")
-          .select($"doc_id", $"n_tokens",
-            coalesce($"n_new_terms", lit(0L)).as("n_new_terms"))
-          .withColumn("cum_tokens", sum($"n_tokens").over(w))
-          .withColumn("vocab_size", sum($"n_new_terms").over(w))
+        // The cumulative curve is one row per DOC — the one running
+        // sum in the registry whose frame scales with the corpus, so
+        // it rides the distributed two-pass prefix sum (same range-
+        // partitioned device as exactNtile), never a single-partition
+        // `SUM OVER (ORDER BY doc_id)` WindowExec.
+        graft.core.Ranking.runningSums(
+          toks.groupBy($"doc_id").agg(count(lit(1)).as("n_tokens"))
+            .join(newTerms, Seq("doc_id"), "left")
+            .select($"doc_id", $"n_tokens",
+              coalesce($"n_new_terms", lit(0L)).as("n_new_terms")),
+          Seq($"doc_id"),
+          Seq("n_tokens" -> "cum_tokens", "n_new_terms" -> "vocab_size"))
       },
       Some("""WITH toks AS (
           SELECT doc_id,
@@ -1008,7 +1013,7 @@ object TextAnalysis {
         val na = bg.groupBy($"w1").agg(count(lit(1)).as("n_a"))
         val nb = bg.groupBy($"w2").agg(count(lit(1)).as("n_b"))
         val nn = bg.agg(count(lit(1)).as("n"))
-        nab.join(na, "w1").join(nb, "w2").crossJoin(nn)
+        nab.join(na, "w1").join(nb, "w2").crossJoin(broadcast(nn))
           .select($"w1", $"w2", $"n_ab", $"n_a", $"n_b",
             expr("(n_ab * n * 1000000) div (n_a * n_b)").as("lift_ppm"))
           .orderBy($"lift_ppm".desc, $"w1", $"w2")
@@ -1093,7 +1098,7 @@ object TextAnalysis {
           .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
         val tot = per.agg(sum($"n_tokens").as("total"),
           count(lit(1)).as("n_sources"))
-        per.crossJoin(tot)
+        per.crossJoin(broadcast(tot))
           .select($"source", $"n_docs", $"n_tokens",
             expr("(n_tokens * 1000000) div total").as("share_ppm"),
             least(expr("((total div n_sources) * 1000000) div n_tokens"),
@@ -1422,12 +1427,13 @@ object TextAnalysis {
           .groupBy($"tok").agg(count(lit(1)).as("freq"))
           .groupBy($"freq").agg(count(lit(1)).as("n_types"))
         val wCum = org.apache.spark.sql.expressions.Window
-          .orderBy($"freq".desc)
+          .orderBy($"freq".desc) // freq-class frame: tiny by construction
+
           .rowsBetween(org.apache.spark.sql.expressions.Window
             .unboundedPreceding, org.apache.spark.sql.expressions.Window
             .currentRow)
         val wAll = org.apache.spark.sql.expressions.Window
-          .partitionBy()
+          .partitionBy() // tiny frame (WindowAuditSpec allowlist)
           .rowsBetween(org.apache.spark.sql.expressions.Window
             .unboundedPreceding, org.apache.spark.sql.expressions.Window
             .unboundedFollowing)
@@ -1435,7 +1441,7 @@ object TextAnalysis {
           .withColumn("cum_types", sum($"n_types").over(wCum))
           .withColumn("total_occ", sum($"freq" * $"n_types").over(wAll))
           .withColumn("total_types", sum($"n_types").over(wAll))
-          .crossJoin(Seq(100L, 1000L, 10000L).toDF("k"))
+          .crossJoin(broadcast(Seq(100L, 1000L, 10000L).toDF("k")))
           .withColumn("contrib",
             least($"n_types",
               greatest($"k" - ($"cum_types" - $"n_types"), lit(0L)))
@@ -1752,6 +1758,9 @@ object TextAnalysis {
           .groupBy($"term").agg(count(lit(1)).as("freq"))
         val total = cnt.agg(sum($"freq").as("total_tokens"))
         val top = cnt.orderBy($"freq".desc, $"term").limit(20)
+        // Single-partition window over the 20-row top is deliberate
+        // (WindowAuditSpec allowlist — a lit(0) partition key would
+        // be stripped by Catalyst's EliminateWindowPartitions).
         top
           .withColumn("rank", row_number().over(
             Window.orderBy($"freq".desc, $"term")).cast("long"))
@@ -2016,8 +2025,12 @@ object TextAnalysis {
           .select($"doc_id", $"lang",
             size(tokens($"text")).cast("long").as("n_tok"),
             explode(array(lit(512L), lit(2000L))).as("cap"))
-          .withColumn("batch_id",
-            floor((sum($"n_tok").over(w) - $"n_tok") / $"cap").cast("long"))
+          // integer div, not floor(double): exact at ANY cumulative
+          // magnitude (IEEE floor drifts past 2^53), and the cumsum
+          // is non-negative so div == floor.
+          .withColumn("cum_excl", sum($"n_tok").over(w) - $"n_tok")
+          .withColumn("batch_id", expr("cum_excl div cap"))
+          .drop("cum_excl")
           .groupBy($"lang", $"cap", $"batch_id")
           .agg(sum($"n_tok").as("bin_tok"))
         bins.groupBy($"lang", $"cap")
@@ -2076,6 +2089,8 @@ object TextAnalysis {
           .select($"source", size(tokens($"text")).cast("long").as("n_tok"))
           .groupBy($"source")
           .agg(sum($"n_tok").as("avail"))
+        // per-source frame (|sources| rows): single-partition windows
+        // are deliberate (WindowAuditSpec allowlist).
         val wOrd = org.apache.spark.sql.expressions.Window
           .orderBy($"avail", $"source")
         val wAll = org.apache.spark.sql.expressions.Window.partitionBy()

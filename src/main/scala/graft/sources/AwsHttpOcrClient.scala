@@ -49,8 +49,16 @@ class AwsHttpOcrClient(cfg: AwsHttpOcrClient.Config) extends OcrClient {
 
   @transient private lazy val mapper = new ObjectMapper()
 
-  private def creds = Credentials(cfg.accessKey, cfg.secretKey,
-    cfg.sessionToken)
+  /** Credentials are re-resolved PER REQUEST (and per retry attempt),
+    * never cached on the client: a session token can expire inside
+    * the reference's 900 s poll window (lambda_function.py:57-67), so
+    * a long-polling job must pick up a rotated token mid-flight. The
+    * static Config fields are just the default provider. */
+  private def credsNow: Credentials = cfg.credentialsProvider match {
+    case Some(p) => p.current()
+    case None => Credentials(cfg.accessKey, cfg.secretKey,
+      cfg.sessionToken)
+  }
 
   // ---------------------------------------------------------------- region
 
@@ -66,7 +74,7 @@ class AwsHttpOcrClient(cfg: AwsHttpOcrClient.Config) extends OcrClient {
     // against us-east-1 (the one request legal to sign before the
     // bucket's region is known).
     val (host, uri) = s3HostAndPath("", global = true)
-    val resp = send(signedS3Request("GET", host, uri,
+    val resp = send(() => signedS3Request("GET", host, uri,
       query = Seq("location" -> ""), body = Array.emptyByteArray,
       signRegion = "us-east-1"), retryable = true)
     if (resp.statusCode() != 200)
@@ -88,7 +96,7 @@ class AwsHttpOcrClient(cfg: AwsHttpOcrClient.Config) extends OcrClient {
     * other non-200 is an access failure. */
   private[sources] def headObject(key: String): Unit = {
     val (host, uri) = s3HostAndPath(key)
-    val resp = send(signedS3Request("HEAD", host, uri, Seq.empty,
+    val resp = send(() => signedS3Request("HEAD", host, uri, Seq.empty,
       Array.emptyByteArray, region), retryable = true)
     resp.statusCode() match {
       case 200 => ()
@@ -122,13 +130,14 @@ class AwsHttpOcrClient(cfg: AwsHttpOcrClient.Config) extends OcrClient {
                               body: Array[Byte], signRegion: String)
       : HttpRequest = {
     val t = Instant.now()
+    val c = credsNow
     val payloadHash = AwsSigV4.sha256Hex(body)
     val headers = Seq(
       "host" -> host,
       "x-amz-content-sha256" -> payloadHash,
       "x-amz-date" -> AwsSigV4.amzDate(t)) ++
-      cfg.sessionToken.map("x-amz-security-token" -> _)
-    val auth = AwsSigV4.authorization(creds, t, signRegion, "s3",
+      c.sessionToken.map("x-amz-security-token" -> _)
+    val auth = AwsSigV4.authorization(c, t, signRegion, "s3",
       method, path, query, headers, payloadHash)
     val qs = AwsSigV4.canonicalQuery(query)
     val scheme = cfg.s3Endpoint.map(e => URI.create(e).getScheme)
@@ -148,29 +157,37 @@ class AwsHttpOcrClient(cfg: AwsHttpOcrClient.Config) extends OcrClient {
 
   private def textractCall(target: String, bodyJson: String,
                            retryable: Boolean): JsonNode = {
-    val t = Instant.now()
     val body = bodyJson.getBytes(UTF_8)
     val host = cfg.textractEndpoint
       .map { ep => val u = URI.create(ep)
         u.getHost + (if (u.getPort > 0) s":${u.getPort}" else "") }
       .getOrElse(s"textract.$region.amazonaws.com")
-    val headers = Seq(
-      "content-type" -> "application/x-amz-json-1.1",
-      "host" -> host,
-      "x-amz-date" -> AwsSigV4.amzDate(t),
-      "x-amz-target" -> target) ++
-      cfg.sessionToken.map("x-amz-security-token" -> _)
-    val auth = AwsSigV4.authorization(creds, t, region, "textract",
-      "POST", "/", Seq.empty, headers, AwsSigV4.sha256Hex(body))
     val scheme = cfg.textractEndpoint.map(e => URI.create(e).getScheme)
       .getOrElse("https")
-    val req = HttpRequest.newBuilder(URI.create(s"$scheme://$host/"))
-      .timeout(Duration.ofMillis(cfg.requestTimeoutMs))
-      .POST(HttpRequest.BodyPublishers.ofByteArray(body))
-      .header("Authorization", auth)
-    headers.filterNot(_._1 == "host")
-      .foreach { case (k, v) => req.header(k, v) }
-    val resp = send(req.build(), retryable)
+    // Each attempt re-signs with a fresh timestamp AND freshly
+    // resolved credentials — a retry after a long backoff must not
+    // replay a signature whose 15-min validity (or session token)
+    // has lapsed.
+    def mkReq(): HttpRequest = {
+      val t = Instant.now()
+      val c = credsNow
+      val headers = Seq(
+        "content-type" -> "application/x-amz-json-1.1",
+        "host" -> host,
+        "x-amz-date" -> AwsSigV4.amzDate(t),
+        "x-amz-target" -> target) ++
+        c.sessionToken.map("x-amz-security-token" -> _)
+      val auth = AwsSigV4.authorization(c, t, region, "textract",
+        "POST", "/", Seq.empty, headers, AwsSigV4.sha256Hex(body))
+      val req = HttpRequest.newBuilder(URI.create(s"$scheme://$host/"))
+        .timeout(Duration.ofMillis(cfg.requestTimeoutMs))
+        .POST(HttpRequest.BodyPublishers.ofByteArray(body))
+        .header("Authorization", auth)
+      headers.filterNot(_._1 == "host")
+        .foreach { case (k, v) => req.header(k, v) }
+      req.build()
+    }
+    val resp = send(() => mkReq(), retryable)
     val text = new String(resp.body(), UTF_8)
     if (resp.statusCode() != 200) {
       val errType = try {
@@ -226,17 +243,25 @@ class AwsHttpOcrClient(cfg: AwsHttpOcrClient.Config) extends OcrClient {
 
   // ---------------------------------------------------------------- http
 
-  /** Bounded exponential backoff on throttle/5xx for idempotent
-    * calls; non-retryable requests and terminal codes pass through. */
-  private def send(req: HttpRequest, retryable: Boolean)
+  /** Bounded exponential backoff with equal jitter on throttle/5xx
+    * for idempotent calls; non-retryable requests and terminal codes
+    * pass through. The request is REBUILT (re-signed, fresh creds +
+    * timestamp) per attempt via the thunk. Jitter (half fixed, half
+    * uniform-random — "equal jitter") de-synchronizes a fleet of
+    * pollers that got throttled together, which otherwise re-storm
+    * the API in lockstep at every backoff boundary. */
+  private def send(mkReq: () => HttpRequest, retryable: Boolean)
       : HttpResponse[Array[Byte]] = {
     var attempt = 0
     while (true) {
-      val resp = http.send(req, HttpResponse.BodyHandlers.ofByteArray())
+      val resp = http.send(mkReq(),
+        HttpResponse.BodyHandlers.ofByteArray())
       val throttled = resp.statusCode() == 429 || resp.statusCode() >= 500
       if (!throttled || !retryable || attempt >= cfg.maxRetries)
         return resp
-      Thread.sleep(cfg.retryBaseDelayMs << attempt)
+      val ceil = cfg.retryBaseDelayMs << attempt
+      Thread.sleep(ceil / 2 + java.util.concurrent.ThreadLocalRandom
+        .current().nextLong(ceil / 2 + 1))
       attempt += 1
     }
     throw new IllegalStateException("unreachable")
@@ -271,8 +296,20 @@ object AwsHttpOcrClient {
                           maxRetries: Int = 3,
                           retryBaseDelayMs: Long = 200,
                           connectTimeoutMs: Long = 10000,
-                          requestTimeoutMs: Long = 60000)
+                          requestTimeoutMs: Long = 60000,
+                          credentialsProvider:
+                            Option[CredentialsProvider] = None)
       extends Serializable
+
+  /** Source of per-request credentials. Implementations wrap an STS
+    * assume-role refresher, the instance metadata service, or a
+    * rotating secret store; [[AwsHttpOcrClient]] calls `current()`
+    * on EVERY request and retry attempt, so rotation inside a long
+    * Textract poll window is picked up without restarting the job
+    * (the reference's 900 s loop outlives typical session tokens). */
+  trait CredentialsProvider extends Serializable {
+    def current(): Credentials
+  }
 
   private val regionCache = new ConcurrentHashMap[String, String]()
   private val LOCATION_RE =

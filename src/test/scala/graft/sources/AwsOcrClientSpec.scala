@@ -178,6 +178,82 @@ class AwsOcrClientSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("mid-poll credential rotation: the provider is re-read per " +
+       "request, so every post-rotation signature uses the new secret") {
+    AwsHttpOcrClient.clearRegionCache()
+    val server = new AwsReplayServer(SK, "us-west-2")
+    try {
+      val ak2 = "AKIDROTATED"
+      val sk2 = "rotatedSecretKeyForTheSecondSessionXYZ"
+      server.secrets.put(AK, SK)
+      server.secrets.put(ak2, sk2)
+      // rotates after the Nth current() call — mid-poll
+      val provider = new AwsHttpOcrClient.CredentialsProvider {
+        val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+        override def current(): AwsSigV4.Credentials =
+          if (calls.incrementAndGet() <= 3)
+            AwsSigV4.Credentials(AK, SK, Some("session-1"))
+          else AwsSigV4.Credentials(ak2, sk2, Some("session-2"))
+      }
+      val client = new AwsHttpOcrClient(AwsHttpOcrClient.Config(
+        bucket = "farm-bucket", region = Some("us-west-2"),
+        accessKey = "unused", secretKey = "unused",
+        s3Endpoint = Some(server.endpoint),
+        textractEndpoint = Some(server.endpoint),
+        retryBaseDelayMs = 1,
+        credentialsProvider = Some(provider)))
+      val job = client.startJob("rawfarmdata/ok.png") // head + start = 2 creds reads
+      var st = client.jobStatus(job)                  // 3rd read (old creds)
+      var polls = 0
+      while (st == "IN_PROGRESS" && polls < 10) {     // rotation hits here
+        st = client.jobStatus(job)
+        polls += 1
+      }
+      assert(st == "SUCCEEDED", st)
+      val (blocks, tok) = client.fetchPage(job, None)
+      assert(blocks.nonEmpty && tok.contains("tok-page-2"))
+      // both identities actually hit the wire, and every signature —
+      // including all post-rotation ones — verified against the
+      // secret belonging to ITS access key
+      val seen = server.akidsSeen.asScalaSeq.distinct
+      assert(seen.contains(AK) && seen.contains(ak2), seen.toString)
+      assert(server.sigViolations.isEmpty,
+        server.sigViolations.toArray.mkString("\n"))
+    } finally server.stop()
+  }
+
+  test("throttle storm: each retry is re-signed and jitter-backed; " +
+       "depth within maxRetries succeeds, beyond it surfaces") {
+    AwsHttpOcrClient.clearRegionCache()
+    val server = new AwsReplayServer(SK, "us-west-2")
+    try {
+      def client(maxRetries: Int) = new AwsHttpOcrClient(
+        AwsHttpOcrClient.Config(
+          bucket = "farm-bucket", region = Some("us-west-2"),
+          accessKey = AK, secretKey = SK,
+          s3Endpoint = Some(server.endpoint),
+          textractEndpoint = Some(server.endpoint),
+          maxRetries = maxRetries, retryBaseDelayMs = 1))
+      // depth 3 storm, 5 retries allowed: survives
+      server.throttleStorm.set(3)
+      val before = server.requestLog.size
+      assert(client(5).jobStatus("job-fail") == "FAILED")
+      val attempts = server.requestLog.size - before
+      assert(attempts == 4, s"3 throttled + 1 success, got $attempts")
+      // depth 10 storm, 2 retries: surfaces as ThrottlingException
+      server.throttleStorm.set(10)
+      val e = intercept[RuntimeException] {
+        client(2).jobStatus("job-fail")
+      }
+      assert(e.getMessage.contains("ThrottlingException"), e.getMessage)
+      server.throttleStorm.set(0)
+      // every attempt (throttled or not) carried a VALID signature —
+      // i.e. retries re-signed rather than replaying stale requests
+      assert(server.sigViolations.isEmpty,
+        server.sigViolations.toArray.mkString("\n"))
+    } finally server.stop()
+  }
+
   test("fromOptions demands bucket and credentials") {
     intercept[IllegalArgumentException] {
       AwsHttpOcrClient.fromOptions(Map("awsAccessKey" -> AK,

@@ -36,6 +36,15 @@ final class AwsReplayServer(secretKey: String, bucketRegion: String) {
   val headCalls = new ConcurrentLinkedQueue[String]()
   private val okStatusPolls = new AtomicInteger(0)
   private val okThrottles = new AtomicInteger(0)
+  /** Per-access-key secrets for rotation tests: a request signed by
+    * an access key present here is verified against ITS secret;
+    * unknown keys fall back to the constructor secret. */
+  val secrets = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** Access keys observed in Authorization scopes, in order. */
+  val akidsSeen = new ConcurrentLinkedQueue[String]()
+  /** When > 0, every Textract GetDocumentTextDetection responds 429
+    * and decrements — a throttle storm of that depth. */
+  val throttleStorm = new AtomicInteger(0)
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
   server.setExecutor(null)
@@ -82,8 +91,11 @@ final class AwsReplayServer(secretKey: String, bucketRegion: String) {
     val m = re.findFirstMatchIn(auth).getOrElse {
       sigViolations.add(s"malformed Authorization: $auth"); return
     }
-    val (dateStamp, region, service, signedHeaders, gotSig) =
-      (m.group(2), m.group(3), m.group(4), m.group(5), m.group(6))
+    val (akid, dateStamp, region, service, signedHeaders, gotSig) =
+      (m.group(1), m.group(2), m.group(3), m.group(4), m.group(5),
+        m.group(6))
+    akidsSeen.add(akid)
+    val secretForKey = Option(secrets.get(akid)).getOrElse(secretKey)
     val amzDate = Option(ex.getRequestHeaders.getFirst("x-amz-date"))
       .getOrElse { sigViolations.add("missing x-amz-date"); return }
     if (!amzDate.startsWith(dateStamp))
@@ -109,7 +121,7 @@ final class AwsReplayServer(secretKey: String, bucketRegion: String) {
     val t = java.time.LocalDateTime.parse(amzDate,
       java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss'Z'"))
       .toInstant(java.time.ZoneOffset.UTC)
-    val expect = AwsSigV4.signature(secretKey, t, region, service, cr)
+    val expect = AwsSigV4.signature(secretForKey, t, region, service, cr)
     if (expect != gotSig)
       sigViolations.add(s"signature mismatch for ${ex.getRequestMethod} " +
         s"${ex.getRequestURI} (service=$service region=$region)")
@@ -144,6 +156,11 @@ final class AwsReplayServer(secretKey: String, bucketRegion: String) {
           .get("Name").asText()
         val job = "job-" + key.split("/").last.stripSuffix(".png")
         respond(ex, 200, s"""{"JobId":"$job"}""".getBytes(UTF_8))
+      case "Textract.GetDocumentTextDetection"
+          if throttleStorm.get() > 0 =>
+        throttleStorm.decrementAndGet()
+        respond(ex, 429,
+          """{"__type":"ThrottlingException"}""".getBytes(UTF_8))
       case "Textract.GetDocumentTextDetection" =>
         val job = node.get("JobId").asText()
         val maxResults = Option(node.get("MaxResults")).map(_.asInt())

@@ -147,6 +147,192 @@ class StreamingRestartSpec extends AnyFunSuite {
       s"restart broke latest-wins merge: $got")
   }
 
+  test("windowedTopK: heap state buffered before the crash is in the " +
+       "closed window's top-k, emitted exactly once") {
+    val in = tmp("wtk_in"); val out = tmp("wtk_out"); val ck = tmp("wtk_ck")
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("ord", LongType),
+      StructField("value", LongType)))
+    def src = spark.readStream.schema(schema)
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss").json(in)
+    def query() = StreamingOps.windowedTopK(src, k = 2)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ck).outputMode("append").start()
+    // batch 1: two rows land in the 10:00 window; the query dies with
+    // the window open (its serialized heap holds both pairs)
+    writeJson(in, "b1.json", Seq(
+      """{"ts":"2024-01-01 10:05:00","ord":10,"value":1}""",
+      """{"ts":"2024-01-01 10:10:00","ord":30,"value":2}"""))
+    runOnce(query())
+    // batch 2: a higher-ord row joins the window, then the watermark
+    // advances past close
+    writeJson(in, "b2.json", Seq(
+      """{"ts":"2024-01-01 10:20:00","ord":40,"value":3}""",
+      """{"ts":"2024-01-01 13:30:00","ord":0,"value":0}"""))
+    runOnce(query())
+    val rows = spark.read.parquet(out).collect()
+      .filter(_.getAs[java.sql.Timestamp]("window_start").toString
+        .startsWith("2024-01-01 10:00"))
+    assert(rows.length == 1, s"exactly one close: ${rows.mkString(",")}")
+    val top = rows.head.getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(top == Seq((40L, 3L), (30L, 2L)),
+      s"pre-restart heap entries lost: $top")
+  }
+
+  test("windowedHeavyHitters: the SpaceSaving sketch survives " +
+       "restart; counts include pre-crash increments") {
+    val in = tmp("whh_in"); val out = tmp("whh_out"); val ck = tmp("whh_ck")
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType),
+      StructField("event_type", StringType)))
+    def src = spark.readStream.schema(schema)
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss").json(in)
+    def query() = StreamingOps.windowedHeavyHitters(src, k = 2)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ck).outputMode("append").start()
+    writeJson(in, "b1.json", Seq(
+      """{"ts":"2024-01-01 10:05:00","event_type":"click"}""",
+      """{"ts":"2024-01-01 10:10:00","event_type":"click"}""",
+      """{"ts":"2024-01-01 10:15:00","event_type":"view"}"""))
+    runOnce(query()) // sketch state: click=2, view=1; window open
+    writeJson(in, "b2.json", Seq(
+      """{"ts":"2024-01-01 10:20:00","event_type":"click"}""",
+      """{"ts":"2024-01-01 13:30:00","event_type":"late"}"""))
+    runOnce(query())
+    val rows = spark.read.parquet(out).collect()
+      .filter(_.getAs[java.sql.Timestamp]("window_start").toString
+        .startsWith("2024-01-01 10:00"))
+    assert(rows.length == 1, s"exactly one close: ${rows.mkString(",")}")
+    val top = rows.head.getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(top == Seq(("click", 3L), ("view", 1L)),
+      s"pre-restart sketch counts lost: $top")
+  }
+
+  test("ewmaTrendStream: the prior-history list crosses the restart — " +
+       "the post-restart flag's ewma_q is computed from pre-crash obs") {
+    import spark.implicits._
+    val in = tmp("ew_in"); val out = tmp("ew_out"); val ck = tmp("ew_ck")
+    val schema = StructType(Seq(
+      StructField("key", StringType), StructField("ts", TimestampType),
+      StructField("n", LongType)))
+    def query() = StreamingOps.ewmaTrendStream(
+      spark.readStream.schema(schema)
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss").json(in)
+        .as[StreamingOps.Observation], window = 2)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ck).outputMode("append").start()
+    // warmup history [3, 2] (most recent first), then crash — window=2
+    // weights are 5,4 with denom 25
+    writeJson(in, "b1.json", Seq(
+      """{"key":"t0","ts":"2024-01-01 10:01:00","n":2}""",
+      """{"key":"t0","ts":"2024-01-01 10:02:00","n":3}"""))
+    runOnce(query())
+    assert(spark.read.parquet(out).isEmpty, "warmup must stay silent")
+    writeJson(in, "b2.json", Seq(
+      """{"key":"t0","ts":"2024-01-01 10:03:00","n":10}"""))
+    runOnce(query())
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[Long]("n"),
+        r.getAs[Long]("ewma_q"), r.getAs[Boolean]("above_trend")))
+    // ewma_q = 3·5 + 2·4 = 23 is derivable ONLY from pre-crash state
+    assert(got.toSeq == Seq(("t0", 10L, 23L, true)), got.mkString(","))
+  }
+
+  test("anomalyStream: running (n, Σx, Σx²) survives restart — the " +
+       "post-crash outlier is z-scored against pre-crash statistics") {
+    import spark.implicits._
+    val in = tmp("an_in"); val out = tmp("an_out"); val ck = tmp("an_ck")
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("value", DoubleType)))
+    def query() = StreamingOps.anomalyStream(
+      spark.readStream.schema(schema)
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss").json(in)
+        .as[StreamingOps.Event], minN = 4, threshold = 3.0)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ck).outputMode("append").start()
+    writeJson(in, "b1.json", Seq(
+      """{"user_id":1,"ts":"2024-01-01 10:00:00","value":10.0}""",
+      """{"user_id":1,"ts":"2024-01-01 10:01:00","value":11.0}""",
+      """{"user_id":1,"ts":"2024-01-01 10:02:00","value":10.0}""",
+      """{"user_id":1,"ts":"2024-01-01 10:03:00","value":11.0}""",
+      """{"user_id":1,"ts":"2024-01-01 10:04:00","value":10.0}"""))
+    runOnce(query()) // state: n=5 for user 1; nothing emitted
+    assert(spark.read.parquet(out).isEmpty, "warmup must not flag")
+    // post-restart: outlier for user 1 (flags only if n>=minN priors
+    // survived), same value for key-2 with no history (must stay
+    // silent — state is per-key)
+    writeJson(in, "b2.json", Seq(
+      """{"user_id":1,"ts":"2024-01-01 10:05:00","value":50.0}""",
+      """{"user_id":2,"ts":"2024-01-01 10:05:00","value":50.0}"""))
+    runOnce(query())
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Double]("value")))
+    assert(got.toSeq == Seq((1L, 50.0)),
+      s"pre-restart stats lost or leaked across keys: ${got.mkString(",")}")
+  }
+
+  test("fingerprintStream: per-group (count, checksum) state survives " +
+       "restart; post-restart table equals the batch checksum of ALL " +
+       "ingested rows") {
+    import spark.implicits._
+    val in = tmp("fp_in"); val ck = tmp("fp_ck")
+    val schema = StructType(Seq(
+      StructField("grp", StringType), StructField("id", LongType),
+      StructField("payload", StringType)))
+    def query(name: String) = StreamingOps.fingerprintStream(
+        spark.readStream.schema(schema).json(in),
+        groupCols = Seq("grp"), keyCols = Seq("id", "payload"))
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ck).outputMode("complete").start()
+    val b1 = (1L to 30L).map(i => s"""{"grp":"g${i % 2}","id":$i,"payload":"v$i"}""")
+    val b2 = (31L to 50L).map(i => s"""{"grp":"g${i % 2}","id":$i,"payload":"v$i"}""")
+    writeJson(in, "b1.json", b1)
+    runOnce(query("fp_r1"))
+    writeJson(in, "b2.json", b2)
+    runOnce(query("fp_r2")) // fresh query, same checkpoint: complete-
+                            // mode memory sink recovers from state
+    val got = spark.table("fp_r2").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).toBigInteger.longValueExact())).toSet
+    val expected = StreamingOps.fingerprintStream(
+        spark.read.schema(schema).json(in),
+        groupCols = Seq("grp"), keyCols = Seq("id", "payload"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).toBigInteger.longValueExact())).toSet
+    assert(got == expected,
+      s"restart broke the running checksum: $got vs $expected")
+  }
+
+  test("prioritySampleStream: the bottom-k priority heap survives " +
+       "restart; the sample equals the batch sample over all batches") {
+    import spark.implicits._
+    val in = tmp("ps_in"); val ck = tmp("ps_ck")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def query(name: String) = StreamingOps.prioritySampleStream(
+        spark.readStream.schema(schema).json(in), k = 3)
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ck).outputMode("complete").start()
+    def doc(i: Long) = s"""{"doc_id":$i,"text":"${"w " * (i % 7 + 1).toInt}"}"""
+    writeJson(in, "b1.json", (1L to 10L).map(doc))
+    runOnce(query("ps_r1"))
+    writeJson(in, "b2.json", (11L to 20L).map(doc))
+    runOnce(query("ps_r2"))
+    val got = spark.table("ps_r2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = graft.ext.TextAnalysis
+      .withSamplePriority(spark.read.schema(schema).json(in))
+      .orderBy(col("prio"), col("doc_id")).limit(3)
+      .collect().map(r => (r.getAs[Long]("prio"), r.getAs[Long]("doc_id")))
+      .toSet
+    assert(got == expected,
+      s"restart broke the sample heap: $got vs $expected")
+  }
+
   test("clickAttributionOuter: an unmatched purchase buffered before " +
        "the crash emits its null wing after restart; the matched row " +
        "emits exactly once") {

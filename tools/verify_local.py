@@ -23,8 +23,13 @@ array_join/array_to_string export before it ships.
 
 Usage: python3 tools/verify_local.py [sfdir] [outdir]
        python3 tools/verify_local.py --selftest
-(Run `sbt "runMain graft.Verify <sfdir> <outdir>"` first; honors the
- SPARK_GRAFT_ONLY subset via the filtered oracle_sql.json it writes.)
+(Run `sbt "runMain graft.Verify <sfdir> <outdir>"` first. Verify
+ always writes the COMPLETE oracle map — even under SPARK_GRAFT_ONLY,
+ so a filtered re-dump into a shared outdir can't clobber it — and an
+ oracle entry whose <outdir>/<name> parquet dir is absent is reported
+ as SKIP (no dump), not FAIL. So `SPARK_GRAFT_ONLY=q sbt ... Verify`
+ followed by a plain verify_local compares just q; VERIFY_ONLY=q
+ additionally silences the SKIP lines.)
 """
 import os, sys, json, traceback
 import duckdb
@@ -176,8 +181,14 @@ def main():
     for name in sorted(skip & oracle.keys()):
         print(f"SKIP {name} (VERIFY_SKIP)")
     oracle = {k: v for k, v in oracle.items() if k not in skip}
-    fails, passes = [], 0
+    fails, passes, skipped = [], 0, 0
     for name, sql in sorted(oracle.items()):
+        # Verify writes the complete oracle map but only the SELECTED
+        # queries' parquet dirs under SPARK_GRAFT_ONLY — an absent dump
+        # means "not dumped this run", not a failure.
+        if not os.path.isdir(os.path.join(outdir, name)):
+            skipped += 1
+            continue
         try:
             sdf_raw = pd.read_parquet(f"{outdir}/{name}")
             odf_raw = con.execute(sql).df()
@@ -194,7 +205,7 @@ def main():
     for name, msg in fails:
         print(f"FAIL {name}: {msg[:800]}")
     print(f"\n{passes} passed, {len(fails)} failed, "
-          f"{len(oracle)} total oracles")
+          f"{skipped} skipped (no dump), {len(oracle)} total oracles")
     return 1 if fails else 0
 
 
