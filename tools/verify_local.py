@@ -164,6 +164,13 @@ def main():
     sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
     con = duckdb.connect()
+    # VERIFY_MEMLIMIT=<e.g. 48GB>: bound DuckDB's memory and spill to
+    # disk instead of letting a super-linear oracle OOM-kill the whole
+    # sweep (observed at sf1: one replay reached 130 GB RSS).
+    mem = os.environ.get("VERIFY_MEMLIMIT")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
+        con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{sfdir}/{t}.parquet')")
@@ -181,6 +188,16 @@ def main():
     for name in sorted(skip & oracle.keys()):
         print(f"SKIP {name} (VERIFY_SKIP)")
     oracle = {k: v for k, v in oracle.items() if k not in skip}
+    # VERIFY_TIMEOUT=<seconds>: interrupt any single ORACLE query that
+    # runs longer (large-sf insurance against a super-quadratic replay
+    # hanging the whole sweep); the query reports as a TIMEOUT, which
+    # fails the gate unless it was VERIFY_SKIPped.
+    timeout_s = float(os.environ.get("VERIFY_TIMEOUT", "0") or 0)
+    # VERIFY_JSON=<path>: also write a driver-CORRECTNESS-style JSON
+    # artifact {name: {rows_match, schema_match, hash_match,
+    # spark_rows, oracle_rows, err}}.
+    json_path = os.environ.get("VERIFY_JSON")
+    results = {}
     fails, passes, skipped = [], 0, 0
     for name, sql in sorted(oracle.items()):
         # Verify writes the complete oracle map but only the SELECTED
@@ -189,14 +206,35 @@ def main():
         if not os.path.isdir(os.path.join(outdir, name)):
             skipped += 1
             continue
+        timer = None
         try:
             sdf_raw = pd.read_parquet(f"{outdir}/{name}")
+            if timeout_s > 0:
+                import threading
+                timer = threading.Timer(timeout_s, con.interrupt)
+                timer.start()
             odf_raw = con.execute(sql).df()
         except Exception:
-            fails.append((name, "ERROR: " + traceback.format_exc(limit=3)
-                          .strip().replace("\n", " | ")))
+            err = ("ERROR: " + traceback.format_exc(limit=3)
+                   .strip().replace("\n", " | "))
+            if "interrupt" in err.lower():
+                err = f"TIMEOUT: oracle exceeded {timeout_s:.0f}s"
+            fails.append((name, err))
+            results[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "spark_rows": None,
+                             "oracle_rows": None, "err": err[:300]}
             continue
+        finally:
+            if timer is not None:
+                timer.cancel()
         r = compare(name, sdf_raw, odf_raw)
+        results[name] = {
+            "rows_match": r is None or not (r or "").startswith("row count"),
+            "schema_match": r is None or not (r or "").startswith("schema"),
+            "hash_match": r is None,
+            "spark_rows": int(len(sdf_raw)),
+            "oracle_rows": int(len(odf_raw)),
+            "err": None if r is None else r[:300]}
         if r is None:
             passes += 1
             print(f"PASS {name} ({len(sdf_raw)} rows)")
@@ -204,6 +242,10 @@ def main():
             fails.append((name, r))
     for name, msg in fails:
         print(f"FAIL {name}: {msg[:800]}")
+    if json_path:
+        with open(json_path, "w") as f:
+            json.dump(results, f, indent=2, sort_keys=True)
+        print(f"wrote {json_path}")
     print(f"\n{passes} passed, {len(fails)} failed, "
           f"{skipped} skipped (no dump), {len(oracle)} total oracles")
     return 1 if fails else 0
