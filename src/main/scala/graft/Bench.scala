@@ -128,6 +128,14 @@ object Bench {
         // while the cleanup it buys needs only periodic cadence.
         if (!sys.env.contains("SPARK_GRAFT_NOCLEAN")) {
           spark.sqlContext.clearCache()
+          // Raw RDD persists (Ranking.exactNtile/runningSums pin their
+          // range-sorted RDD) are NOT in the CacheManager and would
+          // otherwise wait on GC + ContextCleaner — with gc only every
+          // 16th query, up to 16 queries' blocks could accumulate.
+          // Explicitly drop them: the returned frame stays computable
+          // (lineage recomputes), and the next query never reuses them.
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
           qIdx += 1
           if (qIdx % 16 == 0) System.gc()
         }

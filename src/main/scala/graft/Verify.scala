@@ -63,7 +63,11 @@ object Verify {
       // Dataset.persist lives in the CacheManager (strong refs, not
       // GC-cleaned) — drop each query's pins so a 250+-query dump
       // doesn't accrete cached frames (see Bench for the reasoning).
+      // Raw RDD persists (Ranking) bypass the CacheManager; drop them
+      // explicitly too rather than waiting on GC + ContextCleaner.
       spark.sqlContext.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -9,9 +9,12 @@ import org.apache.spark.sql.execution.window.WindowExec
   * registered query whose INITIAL physical plan contains a
   * WindowExec with an empty partition spec — the "Moving all data
   * to a single partition" shape. Every hit must be a deliberately
-  * tiny frame; deliberate sites carry a lit(0) partition key so
-  * this report (and the bench log) stays empty and a REAL
-  * unpartitioned window can never hide in warning noise.
+  * tiny frame. NOTE: a constant partition key does NOT suppress the
+  * shape — Spark 4's EliminateWindowPartitions strips foldable
+  * partition expressions — so the benign sites still appear here
+  * (and still WARN in bench logs). The enforced guarantee is
+  * WindowAuditSpec's documented-tiny allowlist; this main is the
+  * ad-hoc inspection tool for it.
   */
 object WindowAudit {
   def main(args: Array[String]): Unit = {

@@ -24,7 +24,14 @@ import org.apache.spark.storage.StorageLevel
   *
   * The sorted RDD is persisted (MEMORY_AND_DISK) because the count
   * pass and the rank pass both traverse it — without the persist the
-  * range sort would run twice.
+  * range sort would run twice. Lifecycle: the returned DataFrame
+  * keeps the persisted RDD reachable, so blocks are NOT dropped here
+  * (unpersisting before the caller materializes would re-run the
+  * sort). Long-lived drivers must release them between queries —
+  * Bench and Verify both call
+  * `sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))`
+  * in their per-query cleanup; ad-hoc sessions fall back to
+  * GC + ContextCleaner.
   */
 object Ranking {
 

@@ -75,14 +75,14 @@ object GraphOps {
 
   /** Undirected bipartite interaction graph from the testdata star
     * schema: customer ↔ supplier whenever a lineitem links them.
-    * Ids are parity-disambiguated (customer 2k, supplier 2k+1). */
+    * Ids are parity-disambiguated (customer 2k, supplier 2k+1).
+    * Read from the persisted [[GraphIndex]] layout — the distinct
+    * (c, s) pairs are stored once; parity mapping and symmetrization
+    * are narrow projections over the scan. */
   private def interactionEdges(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val e0 = Tables.lineitem(s, d).select($"l_orderkey", $"l_suppkey")
-      .join(Tables.orders(s, d).select($"o_orderkey", $"o_custkey"),
-        $"l_orderkey" === $"o_orderkey")
-      .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
-      .distinct()
+    val e0 = GraphIndex.interaction(s, d)
+      .select(($"c" * 2).as("src"), ($"s" * 2 + 1).as("dst"))
     e0.unionAll(e0.select($"dst".as("src"), $"src".as("dst")))
   }
 
@@ -347,17 +347,13 @@ object GraphOps {
 
   /** Symmetric support-thresholded co-purchase graph — the same pair
     * build as `gr_triangle_count` (parts sharing >= 2 distinct
-    * orders), materialized in both directions as (src, dst). */
+    * orders), materialized in both directions as (src, dst). Read
+    * from the persisted [[GraphIndex]] layout: the (a, b, w) pairs
+    * are stored once; symmetrization is a projection + union over
+    * the scan, never a repeated lineitem self-join. */
   private def copurchaseSym(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val li = Tables.lineitem(s, d).select($"l_orderkey", $"l_partkey")
-    val pairs = li
-      .join(li.select($"l_orderkey".as("ok2"), $"l_partkey".as("pk2")),
-        $"l_orderkey" === $"ok2" && $"l_partkey" < $"pk2")
-      .groupBy($"l_partkey".as("a"), $"pk2".as("b"))
-      .agg(count(lit(1)).as("support"))
-      .filter($"support" >= 2)
-      .select($"a", $"b")
+    val pairs = GraphIndex.copurchase(s, d).select($"a", $"b")
     pairs.unionAll(pairs.select($"b".as("a"), $"a".as("b")))
       .toDF("src", "dst")
   }
@@ -467,15 +463,7 @@ object GraphOps {
     Q("gr_triangle_count",
       (s, d) => {
         import s.implicits._
-        val li = Tables.lineitem(s, d).select($"l_orderkey", $"l_partkey")
-        val pairs = li
-          .join(li.select($"l_orderkey".as("ok2"), $"l_partkey".as("pk2")),
-            $"l_orderkey" === $"ok2" && $"l_partkey" < $"pk2")
-          .groupBy($"l_partkey".as("a"), $"pk2".as("b"))
-          .agg(count(lit(1)).as("support"))
-          .filter($"support" >= 2)
-          .select($"a", $"b")
-        triangleCount(pairs)
+        triangleCount(GraphIndex.copurchase(s, d).select($"a", $"b"))
       },
       Some("""WITH pairs AS (
           SELECT l1.l_partkey AS a, l2.l_partkey AS b
@@ -840,15 +828,7 @@ object GraphOps {
     Q("gr_local_clustering",
       (s, d) => {
         import s.implicits._
-        val li = Tables.lineitem(s, d).select($"l_orderkey", $"l_partkey")
-        val pairs = li
-          .join(li.select($"l_orderkey".as("ok2"), $"l_partkey".as("pk2")),
-            $"l_orderkey" === $"ok2" && $"l_partkey" < $"pk2")
-          .groupBy($"l_partkey".as("a"), $"pk2".as("b"))
-          .agg(count(lit(1)).as("support"))
-          .filter($"support" >= 2)
-          .select($"a", $"b")
-        localClustering(pairs)
+        localClustering(GraphIndex.copurchase(s, d).select($"a", $"b"))
       },
       Some("""WITH pairs AS (
           SELECT l1.l_partkey AS a, l2.l_partkey AS b
@@ -937,12 +917,7 @@ object GraphOps {
     Q("gr_hits",
       (s, d) => {
         import s.implicits._
-        val e = pin(Tables.lineitem(s, d)
-          .select($"l_orderkey", $"l_suppkey")
-          .join(Tables.orders(s, d).select($"o_orderkey", $"o_custkey"),
-            $"l_orderkey" === $"o_orderkey")
-          .select($"o_custkey".as("c"), $"l_suppkey".as("s"))
-          .distinct())
+        val e = pin(GraphIndex.interaction(s, d))
         // Pin the RAW aggregation (it is referenced twice: by its own
         // max and by the normalized projection) — an unpinned frame
         // would run the half-step's join+agg once per reference.
@@ -1256,13 +1231,7 @@ object GraphOps {
     Q("gr_louvain_move",
       (s, d) => {
         import s.implicits._
-        val li = Tables.lineitem(s, d).select($"l_orderkey", $"l_partkey")
-        val pairs = li
-          .join(li.select($"l_orderkey".as("ok2"), $"l_partkey".as("pk2")),
-            $"l_orderkey" === $"ok2" && $"l_partkey" < $"pk2")
-          .groupBy($"l_partkey".as("a"), $"pk2".as("b"))
-          .agg(count(lit(1)).as("w"))
-          .filter($"w" >= 2)
+        val pairs = GraphIndex.copurchase(s, d)
         val edges = pairs.select($"a".as("src"), $"b".as("dst"), $"w")
           .unionAll(pairs.select($"b".as("src"), $"a".as("dst"), $"w"))
         val deg = edges.groupBy($"src".as("id")).agg(sum($"w").as("k"))

@@ -55,13 +55,22 @@ class WindowAuditSpec extends AnyFunSuite {
       case w: WindowExec if w.partitionSpec.isEmpty => true
       case a: AdaptiveSparkPlanExec if unpartitioned(a.initialPlan) => true
     }.isDefined
+    val failed = scala.collection.mutable.ListBuffer.empty[(String, String)]
     val hits = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val bad =
           try unpartitioned(fn(spark, sfDir).queryExecution.executedPlan)
-          catch { case _: Throwable => false } // analysis errors ≠ this pin
+          catch { // a query that cannot PLAN must fail loudly, not
+                  // silently pass this pin (testdata-vintage drift)
+            case e: Throwable =>
+              failed += name -> e.getMessage.take(120); false
+          }
         if (bad) Some(name) else None
     }.toSet
+    assert(failed.isEmpty,
+      s"${failed.size} queries failed to plan at sf0.001 (window pin " +
+        s"cannot be checked): ${failed.map { case (n, m) => s"$n: $m" }
+          .mkString("; ")}")
     assert((hits -- allowlist).isEmpty,
       s"NEW unpartitioned WindowExec (single-task at scale) in: " +
         s"${(hits -- allowlist).toSeq.sorted.mkString(", ")} — " +

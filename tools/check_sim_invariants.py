@@ -43,6 +43,17 @@ def main():
     con.sql(f"CREATE VIEW emb AS SELECT * FROM "
             f"read_parquet('{sfdir}/embeddings.parquet')")
 
+    # Derive the embedding dimension from the corpus (never hardcode:
+    # a testdata regeneration with a new dim must error here, not
+    # silently score a prefix) and require it uniform.
+    dmin, dmax = con.sql(
+        "SELECT MIN(len(embedding)), MAX(len(embedding)) FROM emb"
+    ).fetchone()
+    if dmin != dmax:
+        print(f"FAIL: non-uniform embedding dims [{dmin}, {dmax}]")
+        return 1
+    dim = int(dmin)
+
     self_loops = con.sql(
         "SELECT COUNT(*) FROM knn WHERE vec_id = neighbor_id").fetchone()[0]
     cross_block = con.sql("""
@@ -91,13 +102,13 @@ def main():
         SELECT vec_id,
           (SELECT SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) *
              CAST(embedding[i] AS DOUBLE) * 1000000000.0) AS BIGINT))
-           FROM generate_series(1, 64) t(i)) AS qn
+           FROM generate_series(1, {dim}) t(i)) AS qn
         FROM emb),
       scored AS (
         SELECT q.vec_id, b.vec_id AS neighbor_id,
           CAST((SELECT SUM(CAST(floor(CAST(q.embedding[i] AS DOUBLE) *
              CAST(b.embedding[i] AS DOUBLE) * 1000000000.0) AS BIGINT))
-           FROM generate_series(1, 64) t(i)) AS DOUBLE) /
+           FROM generate_series(1, {dim}) t(i)) AS DOUBLE) /
           (sqrt(CAST(na.qn AS DOUBLE)) * sqrt(CAST(nb.qn AS DOUBLE)))
             AS cos
         FROM q JOIN emb b ON b.label = q.label AND b.vec_id <> q.vec_id

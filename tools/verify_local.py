@@ -207,13 +207,20 @@ def main():
             skipped += 1
             continue
         timer = None
+        # done-flag guards the interrupt: without it the timer can fire
+        # AFTER the oracle query returns but BEFORE timer.cancel(),
+        # leaving a pending interrupt that spuriously cancels the NEXT
+        # query (reported as a false TIMEOUT on an unrelated name).
+        done = [False]
         try:
             sdf_raw = pd.read_parquet(f"{outdir}/{name}")
             if timeout_s > 0:
                 import threading
-                timer = threading.Timer(timeout_s, con.interrupt)
+                timer = threading.Timer(
+                    timeout_s, lambda: None if done[0] else con.interrupt())
                 timer.start()
             odf_raw = con.execute(sql).df()
+            done[0] = True
         except Exception:
             err = ("ERROR: " + traceback.format_exc(limit=3)
                    .strip().replace("\n", " | "))
@@ -227,6 +234,15 @@ def main():
         finally:
             if timer is not None:
                 timer.cancel()
+                # If the timer HAD fired in the gap between the query
+                # returning and cancel(), an interrupt may still be
+                # pending on the connection — drain it on a throwaway
+                # statement so it cannot cancel the next oracle query.
+                if timer.finished.is_set():
+                    try:
+                        con.execute("SELECT 1")
+                    except Exception:
+                        pass
         r = compare(name, sdf_raw, odf_raw)
         results[name] = {
             "rows_match": r is None or not (r or "").startswith("row count"),
