@@ -184,12 +184,15 @@ def main():
     cent_ids = ids[ids < 16]
     corder = np.argsort(cent_ids, kind="stable")
     cents, cent_ids = cents[corder], cent_ids[corder]
-    # Compute on the BASE corpus and reuse rows for the +100000 twins:
-    # a twin is the SAME vector, and Spark's per-row scalar expression
-    # ties it with its base EXACTLY — but BLAS remainder kernels can
-    # differ by 1 ulp between row positions, which would break the
-    # exact-tie fall-through in the removal rule.
-    ccos_base = emb_n @ cents.T                  # (n, 16)
+    # Compute over UNIQUE vectors and fan the rows back out: any two
+    # bit-identical vectors (the +100000 augmentation twins AND exact
+    # duplicates between distinct base ids, which replicated large-sf
+    # corpora contain) must get bit-identical centroid cosines, or the
+    # removal rule's exact-tie fall-through (ca == cb -> vec_id order)
+    # diverges from Spark's per-row scalar expression. BLAS remainder
+    # kernels can split identical rows by 1 ulp across row positions.
+    uniq, inv = np.unique(emb_n, axis=0, return_inverse=True)
+    ccos_base = (uniq @ cents.T)[inv]            # (n, 16)
     ccos = np.vstack([ccos_base, ccos_base[dup]])  # (n_aug, 16)
     # (cos desc, cid asc) argmax with margin certification
     best = np.argmax(ccos, axis=1)               # first max -> lowest cid
