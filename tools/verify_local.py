@@ -170,7 +170,12 @@ def main():
     mem = os.environ.get("VERIFY_MEMLIMIT")
     if mem:
         con.execute(f"SET memory_limit='{mem}'")
-        con.execute("SET temp_directory='/tmp/duckdb_spill'")
+        # Per-process spill dir: concurrent shard runs sharing one
+        # temp_directory delete each other's spill files (observed:
+        # IOException + process abort when two sharded sf1 compares
+        # ran side by side).
+        con.execute(
+            f"SET temp_directory='/tmp/duckdb_spill_{os.getpid()}'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{sfdir}/{t}.parquet')")
