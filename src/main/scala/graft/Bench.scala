@@ -66,6 +66,15 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // This host stalls the whole VM for minutes at a time (see the
+      // sweep comment below) and a 48g sf1 heap can take >2 min in a
+      // single full GC; either starves the in-process heartbeater
+      // past the default 120 s window and the executor then KILLS a
+      // healthy run ("Exit as unable to send heartbeats", observed
+      // at sf1). Local mode has no real liveness question — driver
+      // and executor share the JVM — so widen the windows.
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "60s")
       .withExtensions(new functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

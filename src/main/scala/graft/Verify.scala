@@ -43,6 +43,11 @@ object Verify {
       // column. Micros round-trips identically on both sides.
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
+      // Same widening as Bench: host-wide stalls / large-heap full
+      // GCs can starve the in-process heartbeater past 120 s and a
+      // healthy sf1 dump then self-destructs mid-sweep.
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "60s")
       .withExtensions(new functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
