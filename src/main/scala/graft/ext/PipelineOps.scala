@@ -40,12 +40,6 @@ object PipelineOps {
     * token-array column named `t`. Guarded to >= 2 tokens: Spark's
     * `sequence(1, 0)` would count DOWN (and fabricate a null bigram)
     * where DuckDB's generate_series(1, 0) is empty. */
-  private def bigrams(t: String): Column =
-    when(size(col(t)) >= 2,
-      expr(s"transform(sequence(1, size($t) - 1), " +
-        s"i -> concat($t[i-1], '|', $t[i]))"))
-      .otherwise(typedLit(Seq.empty[String]))
-
   /** The 16 deterministic coarse centroids shared with sim_ann_ivf /
     * sim_ivf_assign (the corpus's 16 lowest-id vectors). */
   private def centroids(emb: DataFrame): DataFrame =
@@ -147,11 +141,12 @@ object PipelineOps {
     * would explode quadratically at scale). */
   private def lexRanks(s: SparkSession, d: String,
                        emb: DataFrame): DataFrame = {
-    val corpusBg = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val corpusBg = TextIndex.bigrams(s, d)
+      .filter(col("w2").isNotNull)
       .join(emb.select(col("vec_id")), col("doc_id") === col("vec_id"),
         "left_semi")
-      .withColumn("t", TextAnalysis.tokens(col("text")))
-      .select(col("doc_id"), explode(bigrams("t")).as("bg"))
+      .select(col("doc_id"),
+        concat(col("w1"), lit("|"), col("w2")).as("bg"))
       .distinct()
     val qbg = corpusBg.filter(col("doc_id") % 97 === 0)
       .select(col("doc_id").as("qid"), col("bg"))
@@ -585,13 +580,14 @@ object PipelineOps {
     Q("txt_dsir_weights",
       (s, d) => {
         import s.implicits._
-        val bg = Tables.documents(s, d)
-          .select($"doc_id", $"lang", $"text")
-          .withColumn("t", TextAnalysis.tokens($"text"))
-          .select($"doc_id", $"lang", explode(bigrams("t")).as("bg"))
-        val hashed = bg.select($"doc_id", $"lang",
-          (conv(substring(md5($"bg"), 1, 4), 16, 10).cast("long") % 64)
-            .as("bucket"))
+        // Strict pipe-joined bigrams from the persisted TextIndex
+        // (w2 IS NOT NULL ≡ the size >= 2 guard of the inline
+        // transform) — `hashed` feeds both aggregations below.
+        val hashed = TextIndex.bigrams(s, d)
+          .filter($"w2".isNotNull)
+          .select($"doc_id", $"lang",
+            (conv(substring(md5(concat($"w1", lit("|"), $"w2")), 1, 4),
+              16, 10).cast("long") % 64).as("bucket"))
         val wt = hashed.groupBy($"bucket")
           .agg(((sum(when($"lang" === "en", 1L).otherwise(0L)) + 1L)
               * 1000000L).as("num"),

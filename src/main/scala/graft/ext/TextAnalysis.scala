@@ -30,9 +30,6 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "und", "das", "ist"),
     "fr" -> Seq("le", "les", "et", "des", "une"))
 
-  private def stopCount(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => t.isInCollection(words)))
-
   private def stopCountSql(words: Seq[String]): String = {
     val list = words.map(w => s"'$w'").mkString(", ")
     s"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x IN ($list)))"
@@ -44,14 +41,15 @@ object TextAnalysis {
     Q("txt_token_stats",
       (s, d) => {
         import s.implicits._
-        val toks = tokens($"text")
-        Tables.documents(s, d).select(
+        // Projection of the persisted TextIndex profile — each stored
+        // column is the inline expression this query used to compute.
+        TextIndex.docstats(s, d).select(
           $"doc_id",
-          size(toks).as("n_tokens"),
-          subwordCount($"text").as("n_subwords"),
-          length($"text").as("len_chars"),
-          length(regexp_replace($"text", "\\s", "")).as("len_nonspace"),
-          array_max(transform(toks, t => length(t))).as("max_token_len"))
+          $"n_toks".as("n_tokens"),
+          $"n_subwords",
+          $"len_chars",
+          $"len_nonspace",
+          $"max_token_len")
       },
       Some("""SELECT doc_id,
         len(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens,
@@ -69,20 +67,19 @@ object TextAnalysis {
     Q("txt_quality_score",
       (s, d) => {
         import s.implicits._
-        val len = length($"text").cast("double")
-        val nPunct = (length($"text") -
-          length(regexp_replace($"text", "[.,!?;:()-]", ""))).cast("double")
-        val nDigit = (length($"text") -
-          length(regexp_replace($"text", "[0-9]", ""))).cast("double")
-        val nTokens = size(tokens($"text"))
-        val meanTokLen = length(regexp_replace($"text", "\\s", ""))
-          .cast("double") / nTokens.cast("double")
-        Tables.documents(s, d).select(
+        // Ratios stay per-query single IEEE divisions of the stored
+        // exact integer counts (bit-identical to the inline form).
+        val len = $"len_chars".cast("double")
+        val nPunct = $"n_punct".cast("double")
+        val nDigit = $"n_digit".cast("double")
+        val meanTokLen = $"len_nonspace".cast("double") /
+          $"n_toks".cast("double")
+        TextIndex.docstats(s, d).select(
           $"doc_id",
           (nPunct / len).as("punct_ratio"),
           (nDigit / len).as("digit_ratio"),
           meanTokLen.as("mean_token_len"),
-          (nTokens >= 10 && nTokens <= 100000 &&
+          ($"n_toks" >= 10 && $"n_toks" <= 100000 &&
             (nPunct / len) < 0.2).as("quality_ok"))
       },
       Some("""SELECT doc_id,
@@ -105,13 +102,10 @@ object TextAnalysis {
     Q("txt_langid",
       (s, d) => {
         import s.implicits._
-        val toks = tokens($"text")
-        val scored = Tables.documents(s, d).select(
-          $"doc_id", $"lang",
-          stopCount(toks, stopwords("en")).as("s_en"),
-          stopCount(toks, stopwords("es")).as("s_es"),
-          stopCount(toks, stopwords("de")).as("s_de"),
-          stopCount(toks, stopwords("fr")).as("s_fr"))
+        // Stopword-hit counts project from the persisted TextIndex
+        // profile (same filter-count expressions at build time).
+        val scored = TextIndex.docstats(s, d).select(
+          $"doc_id", $"lang", $"s_en", $"s_es", $"s_de", $"s_fr")
         val best = greatest($"s_en", $"s_es", $"s_de", $"s_fr")
         scored.withColumn("lang_pred",
             when(best === 0, "und")
@@ -217,23 +211,23 @@ object TextAnalysis {
     Q("txt_gopher_quality",
       (s, d) => {
         import s.implicits._
-        val base = Tables.documents(s, d)
-          .select($"doc_id", $"text", tokens($"text").as("toks"))
-        val bigrams = base
-          .select($"doc_id", $"toks", explode(
-            sequence(lit(1), greatest(size($"toks") - 1, lit(1)))).as("i"))
-          .select($"doc_id", concat_ws(" ",
-            element_at($"toks", $"i"), element_at($"toks", $"i" + 1)).as("bg"))
-        val rep = bigrams.groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
+        // Both inputs project from the persisted TextIndex: the
+        // stored bigram stream keeps the unigram-fallback row
+        // (concat_ws skips the NULL w2 exactly like the inline
+        // element_at past the end), and the scalar profile carries
+        // the integer counts the ratios divide.
+        val rep = TextIndex.bigrams(s, d)
+          .select($"doc_id", concat_ws(" ", $"w1", $"w2").as("bg"))
+          .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
           .groupBy($"doc_id")
           .agg(max($"c").as("top_bg"), sum($"c").as("n_bg"))
-        val nWords = size($"toks")
-        val meanWordLen = length(regexp_replace($"text", "\\s", ""))
-          .cast("double") / nWords.cast("double")
-        val symbolRatio = length(regexp_replace($"text", "[a-zA-Z0-9\\s]", ""))
-          .cast("double") / length($"text").cast("double")
-        val stopFrac = size(filter($"toks", t => t.isInCollection(stopwords("en"))))
-          .cast("double") / nWords.cast("double")
+        val base = TextIndex.docstats(s, d)
+        val nWords = $"n_toks"
+        val meanWordLen = $"len_nonspace".cast("double") /
+          nWords.cast("double")
+        val symbolRatio = $"n_sym".cast("double") /
+          $"len_chars".cast("double")
+        val stopFrac = $"s_en".cast("double") / nWords.cast("double")
         base.join(rep, "doc_id")
           .select($"doc_id", nWords.as("n_words"),
             meanWordLen.as("mean_word_len"),
@@ -328,8 +322,8 @@ object TextAnalysis {
     Q("txt_term_stats",
       (s, d) => {
         import s.implicits._
-        Tables.documents(s, d)
-          .select($"doc_id", explode(tokens($"text")).as("term"))
+        TextIndex.tokens(s, d)
+          .select($"doc_id", $"tok".as("term"))
           .groupBy($"term")
           .agg(countDistinct($"doc_id").as("df"),
                count(lit(1)).as("tf_total"))
@@ -363,8 +357,8 @@ object TextAnalysis {
           .partitionBy($"doc_id")
           .orderBy(($"tf".cast("double") / $"df".cast("double")).desc,
             $"term".asc)
-        Tables.documents(s, d)
-          .select($"doc_id", explode(tokens($"text")).as("term"))
+        TextIndex.tokens(s, d)
+          .select($"doc_id", $"tok".as("term"))
           .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
           .withColumn("df", count(lit(1)).over(wTerm))
           .withColumn("rnk", row_number().over(wDoc))
@@ -431,8 +425,8 @@ object TextAnalysis {
         import s.implicits._
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy($"lang").orderBy($"doc_id")
-        Tables.documents(s, d)
-          .select($"doc_id", $"lang", size(tokens($"text")).cast("long").as("n_tok"))
+        TextIndex.docstats(s, d)
+          .select($"doc_id", $"lang", $"n_toks".cast("long").as("n_tok"))
           // integer div mirrors the oracle's `//`; exact past 2^53
           // where floor(double) drifts, and cumsum >= 0 so div==floor.
           .withColumn("cum_excl", sum($"n_tok").over(w) - $"n_tok")
@@ -488,16 +482,13 @@ object TextAnalysis {
     Q("txt_contamination",
       (s, d) => {
         import s.implicits._
-        def grams(df: DataFrame): DataFrame = df
-          .select($"doc_id", tokens($"text").as("t"))
-          .filter(size($"t") >= 8)
-          .select($"doc_id", $"t",
-            explode(sequence(lit(1), size($"t") - 7)).as("i"))
-          .select($"doc_id",
-            md5(concat_ws(" ", slice($"t", $"i", lit(8)))).as("g"))
-        val all = Tables.documents(s, d)
-        val bench = grams(all.filter($"doc_id" < 50)).select($"g").distinct()
-        grams(all.filter($"doc_id" >= 50))
+        // Both sides read the stored distinct 8-shingle frame: the
+        // inline form's duplicate grams within a doc collapsed under
+        // DISTINCT (bench) / countDistinct (corpus) anyway, so the
+        // distinct store is output-identical.
+        val all = TextIndex.hgrams8(s, d)
+        val bench = all.filter($"doc_id" < 50).select($"g").distinct()
+        all.filter($"doc_id" >= 50)
           .join(broadcast(bench), "g")
           .groupBy($"doc_id")
           .agg(countDistinct($"g").as("n_shared_grams"))
@@ -563,15 +554,11 @@ object TextAnalysis {
     Q("txt_bigram_lm",
       (s, d) => {
         import s.implicits._
-        val base = Tables.documents(s, d)
-          .select($"lang", tokens($"text").as("toks"))
-          .filter(size($"toks") >= 2)
-        val bigrams = base
-          .select($"lang", $"toks",
-            explode(sequence(lit(1), size($"toks") - 1)).as("i"))
-          .select($"lang",
-            element_at($"toks", $"i").as("w1"),
-            element_at($"toks", $"i" + 1).as("w2"))
+        // Strict bigrams from the persisted TextIndex: w2 IS NOT NULL
+        // is exactly the size >= 2 filter + i <= n-1 explode.
+        val bigrams = TextIndex.bigrams(s, d)
+          .filter($"w2".isNotNull)
+          .select($"lang", $"w1", $"w2")
         val bg = bigrams.groupBy($"lang", $"w1", $"w2")
           .agg(count(lit(1)).as("c_bigram"))
         val wLeft = Window.partitionBy($"lang", $"w1")
@@ -739,8 +726,7 @@ object TextAnalysis {
         import s.implicits._
         val bucket = conv(substring(md5($"tok"), 1, 4), 16, 10)
           .cast("int") % 32
-        Tables.documents(s, d)
-          .select($"doc_id", explode(tokens($"text")).as("tok"))
+        TextIndex.tokens(s, d)
           .select($"doc_id", bucket.as("bucket"))
           .groupBy($"doc_id", $"bucket")
           .agg(count(lit(1)).as("tf"))
@@ -808,8 +794,7 @@ object TextAnalysis {
         import s.implicits._
         val bucket = conv(substring(md5($"tok"), 1, 4), 16, 10)
           .cast("int") % 32
-        val feats = Tables.documents(s, d)
-          .select($"doc_id", explode(tokens($"text")).as("tok"))
+        val feats = TextIndex.tokens(s, d)
           .select($"doc_id", bucket.as("bucket"))
           .groupBy($"doc_id", $"bucket")
           .agg(count(lit(1)).as("tf"))
@@ -862,8 +847,8 @@ object TextAnalysis {
     Q("txt_chunk_manifest",
       (s, d) => {
         import s.implicits._
-        Tables.documents(s, d)
-          .select($"doc_id", size(tokens($"text")).cast("long").as("n_tok"))
+        TextIndex.docstats(s, d)
+          .select($"doc_id", $"n_toks".cast("long").as("n_tok"))
           .filter($"n_tok" > 0)
           .select($"doc_id", $"n_tok",
             explode(sequence(lit(0L), expr("(n_tok - 1) div 48")))
@@ -899,8 +884,7 @@ object TextAnalysis {
     Q("txt_vocab_growth",
       (s, d) => {
         import s.implicits._
-        val toks = Tables.documents(s, d)
-          .select($"doc_id", explode(tokens($"text")).as("tok"))
+        val toks = TextIndex.tokens(s, d).select($"doc_id", $"tok")
         val newTerms = toks
           .groupBy($"tok").agg(min($"doc_id").as("doc_id"))
           .groupBy($"doc_id").agg(count(lit(1)).as("n_new_terms"))
@@ -1001,13 +985,13 @@ object TextAnalysis {
     Q("txt_pmi_collocations",
       (s, d) => {
         import s.implicits._
-        val bg = Tables.documents(s, d)
-          .select($"doc_id", tokens($"text").as("toks"))
-          .filter(size($"toks") >= 2)
-          .select(explode(sequence(lit(1), size($"toks") - 1)).as("i"),
-            $"toks")
-          .select(element_at($"toks", $"i").as("w1"),
-            element_at($"toks", $"i" + 1).as("w2"))
+        // Strict bigrams from the persisted TextIndex — `bg` feeds
+        // four aggregations below; each reads the narrow columnar
+        // store instead of re-exploding the corpus (Catalyst does
+        // not dedupe the repeated subtree).
+        val bg = TextIndex.bigrams(s, d)
+          .filter($"w2".isNotNull)
+          .select($"w1", $"w2")
         val nab = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("n_ab"))
           .filter($"n_ab" >= 5)
         val na = bg.groupBy($"w1").agg(count(lit(1)).as("n_a"))
@@ -1092,8 +1076,8 @@ object TextAnalysis {
     Q("txt_mixture_weights",
       (s, d) => {
         import s.implicits._
-        val per = Tables.documents(s, d)
-          .select($"source", size(tokens($"text")).cast("long").as("n_tok"))
+        val per = TextIndex.docstats(s, d)
+          .select($"source", $"n_toks".cast("long").as("n_tok"))
           .groupBy($"source")
           .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
         val tot = per.agg(sum($"n_tokens").as("total"),
@@ -1135,8 +1119,8 @@ object TextAnalysis {
       (s, d) => {
         import s.implicits._
         val w = Window.partitionBy($"h")
-        Tables.documents(s, d)
-          .select($"source", md5($"text").as("h")).distinct()
+        TextIndex.docstats(s, d)
+          .select($"source", $"content_hash".as("h")).distinct()
           .withColumn("ns", count(lit(1)).over(w))
           .groupBy($"source")
           .agg(count(lit(1)).as("n_contents"),
@@ -1202,9 +1186,8 @@ object TextAnalysis {
         val wIsl = W.partitionBy($"doc_id", $"island")
         val wDoc = W.partitionBy($"doc_id")
           .orderBy($"score_ppm".desc, $"word")
-        Tables.documents(s, d)
-          .select($"doc_id", posexplode(tokens($"text")))
-          .withColumnRenamed("col", "tok")
+        TextIndex.tokens(s, d)
+          .select($"doc_id", $"pos", $"tok")
           .withColumn("stop",
             when($"tok".isInCollection(stopList), 1L).otherwise(0L))
           .withColumn("island", sum($"stop").over(wPos))
@@ -1262,8 +1245,8 @@ object TextAnalysis {
     Q("txt_bpe_merge_count",
       (s, d) => {
         import s.implicits._
-        val vocab = Tables.documents(s, d)
-          .select(explode(tokens($"text")).as("w"))
+        val vocab = TextIndex.tokens(s, d)
+          .select($"tok".as("w"))
           .groupBy($"w").agg(count(lit(1)).as("freq"))
           .filter(length($"w") >= 2)
         vocab
@@ -1302,23 +1285,20 @@ object TextAnalysis {
     Q("txt_repetition_ratio",
       (s, d) => {
         import s.implicits._
-        val base = Tables.documents(s, d)
-          .select($"doc_id", tokens($"text").as("toks"))
-          .filter(size($"toks") >= 2)
-          .select($"doc_id", size($"toks").as("n_toks"),
-            explode(sequence(lit(1), size($"toks"))).as("i"), $"toks")
-        val keyed = base.select($"doc_id", $"n_toks",
-          explode(array(
-            struct(lit("uni").as("kind"),
-              element_at($"toks", $"i").as("key")),
-            struct(lit("bi").as("kind"),
-              when($"i" < $"n_toks",
-                concat_ws(" ", element_at($"toks", $"i"),
-                  element_at($"toks", $"i" + 1))).as("key"))))
-            .as("kk"))
-          .filter($"kk.key".isNotNull)
+        // Both kinds read the persisted TextIndex streams; the
+        // n_toks >= 2 guard (inline: size >= 2 before the explode)
+        // keeps one-token docs out of BOTH sides, and w2 IS NOT NULL
+        // is the strict-bigram restriction.
+        val keyed = TextIndex.tokens(s, d)
+          .filter($"n_toks" >= 2)
+          .select($"doc_id", $"n_toks", lit("uni").as("kind"),
+            $"tok".as("key"))
+          .unionByName(TextIndex.bigrams(s, d)
+            .filter($"w2".isNotNull)
+            .select($"doc_id", $"n_toks", lit("bi").as("kind"),
+              concat_ws(" ", $"w1", $"w2").as("key")))
         keyed
-          .groupBy($"doc_id", $"n_toks", $"kk.kind", $"kk.key")
+          .groupBy($"doc_id", $"n_toks", $"kind", $"key")
           .agg(count(lit(1)).as("c"))
           .groupBy($"doc_id", $"n_toks")
           .agg(max(when($"kind" === "uni", $"c")).as("max_uni"),
@@ -1367,15 +1347,7 @@ object TextAnalysis {
     Q("txt_ngram_novelty",
       (s, d) => {
         import s.implicits._
-        val grams = Tables.documents(s, d)
-          .select($"doc_id", tokens($"text").as("toks"))
-          .filter(size($"toks") >= 3)
-          .select($"doc_id",
-            explode(sequence(lit(1), size($"toks") - 2)).as("i"), $"toks")
-          .select($"doc_id", concat_ws(" ",
-            element_at($"toks", $"i"), element_at($"toks", $"i" + 1),
-            element_at($"toks", $"i" + 2)).as("gram"))
-          .distinct()
+        val grams = TextIndex.grams3(s, d)
         val wG = org.apache.spark.sql.expressions.Window
           .partitionBy($"gram")
         grams
@@ -1422,8 +1394,7 @@ object TextAnalysis {
     Q("txt_vocab_coverage",
       (s, d) => {
         import s.implicits._
-        val classes = Tables.documents(s, d)
-          .select(explode(tokens($"text")).as("tok"))
+        val classes = TextIndex.tokens(s, d)
           .groupBy($"tok").agg(count(lit(1)).as("freq"))
           .groupBy($"freq").agg(count(lit(1)).as("n_types"))
         val wCum = org.apache.spark.sql.expressions.Window
@@ -1499,15 +1470,13 @@ object TextAnalysis {
         import s.implicits._
         val bucket = conv(substring(md5(concat_ws(" ", $"w1", $"w2")),
           1, 3), 16, 10).cast("int")
-        val grams = Tables.documents(s, d)
-          .select($"doc_id", $"source", tokens($"text").as("toks"))
-          .filter(size($"toks") >= 2)
-          .select($"doc_id", $"source",
-            explode(sequence(lit(1), size($"toks") - 1)).as("i"),
-            $"toks")
-          .select($"doc_id", $"source",
-            element_at($"toks", $"i").as("w1"),
-            element_at($"toks", $"i" + 1).as("w2"))
+        // Strict bigrams from the persisted TextIndex — referenced
+        // twice below (model + join-back: Catalyst does not dedupe
+        // the repeated subtree), so the store is read twice as a
+        // narrow columnar scan instead of re-exploding the corpus
+        // twice.
+        val grams = TextIndex.bigrams(s, d)
+          .filter($"w2".isNotNull)
           .select($"doc_id", $"source", bucket.as("bucket"))
         val model = grams.groupBy($"bucket")
           .agg(count(lit(1)).as("cc"),
@@ -1597,8 +1566,7 @@ object TextAnalysis {
         import s.implicits._
         val bucket = conv(substring(md5($"tok"), 1, 4), 16, 10)
           .cast("int") % 32
-        val counts = Tables.documents(s, d)
-          .select($"source", explode(tokens($"text")).as("tok"))
+        val counts = TextIndex.tokens(s, d)
           .select($"source", bucket.cast("long").as("bucket"))
           .groupBy($"source", $"bucket")
           .agg(count(lit(1)).as("n"))
@@ -1669,21 +1637,17 @@ object TextAnalysis {
       (s, d) => {
         import s.implicits._
         val wHash = Window.partitionBy($"content_hash")
-        val flagged = Tables.documents(s, d)
-          .select($"doc_id", $"text", tokens($"text").as("toks"),
-            md5($"text").as("content_hash"))
-          .withColumn("n_words", size($"toks"))
+        // Every rule input projects from the persisted TextIndex
+        // profile (same exact integer counts, same IEEE divisions);
+        // the content-hash shuffle for the dedup flag is unchanged.
+        val flagged = TextIndex.docstats(s, d)
+          .withColumn("n_words", $"n_toks")
           .withColumn("mean_wl",
-            length(regexp_replace($"text", "\\s", "")).cast("double")
-              / $"n_words".cast("double"))
+            $"len_nonspace".cast("double") / $"n_words".cast("double"))
           .withColumn("sym_ratio",
-            length(regexp_replace($"text", "[a-zA-Z0-9\\s]", ""))
-              .cast("double") / length($"text").cast("double"))
+            $"n_sym".cast("double") / $"len_chars".cast("double"))
           .withColumn("stop_hits",
-            stopCount($"toks", stopwords("en")) +
-            stopCount($"toks", stopwords("es")) +
-            stopCount($"toks", stopwords("de")) +
-            stopCount($"toks", stopwords("fr")))
+            $"s_en" + $"s_es" + $"s_de" + $"s_fr")
           .withColumn("f1", $"n_words" >= 30)
           .withColumn("f2", $"mean_wl" >= 3.0 && $"mean_wl" <= 10.0)
           .withColumn("f3", $"sym_ratio" < 0.1)
@@ -1752,8 +1716,8 @@ object TextAnalysis {
     Q("txt_zipf_check",
       (s, d) => {
         import s.implicits._
-        val cnt = Tables.documents(s, d)
-          .select(explode(tokens($"text")).as("term"))
+        val cnt = TextIndex.tokens(s, d)
+          .select($"tok".as("term"))
           .filter(length($"term") > 0)
           .groupBy($"term").agg(count(lit(1)).as("freq"))
         val total = cnt.agg(sum($"freq").as("total_tokens"))
@@ -1798,10 +1762,10 @@ object TextAnalysis {
     Q("txt_fertility_by_lang",
       (s, d) => {
         import s.implicits._
-        Tables.documents(s, d)
+        TextIndex.docstats(s, d)
           .select($"lang",
-            size(tokens($"text")).cast("long").as("n_words"),
-            subwordCount($"text").cast("long").as("n_subwords"))
+            $"n_toks".cast("long").as("n_words"),
+            $"n_subwords".cast("long").as("n_subwords"))
           .withColumn("doc_fert_ppm",
             expr("n_subwords * 1000000 div n_words"))
           .groupBy($"lang")
@@ -1910,9 +1874,8 @@ object TextAnalysis {
     Q("txt_length_histogram",
       (s, d) => {
         import s.implicits._
-        Tables.documents(s, d)
-          .select($"source",
-            size(tokens($"text")).cast("long").as("n_toks"))
+        TextIndex.docstats(s, d)
+          .select($"source", $"n_toks".cast("long").as("n_toks"))
           .withColumn("bucket",
             (length(bin(greatest($"n_toks", lit(1L)))) - 1).cast("long"))
           .groupBy($"source", $"bucket")
@@ -1954,13 +1917,13 @@ object TextAnalysis {
       (s, d) => {
         import s.implicits._
         val wHash = Window.partitionBy($"content_hash")
-        val nWords = size(tokens($"text"))
-        val meanWl = length(regexp_replace($"text", "\\s", ""))
-          .cast("double") / nWords.cast("double")
-        val symRatio = length(regexp_replace($"text", "[a-zA-Z0-9\\s]", ""))
-          .cast("double") / length($"text").cast("double")
-        val cells = Tables.documents(s, d)
-          .select($"doc_id", $"text", md5($"text").as("content_hash"),
+        // Flags project from the persisted TextIndex profile (same
+        // integer counts, same single IEEE divisions).
+        val nWords = $"n_toks"
+        val meanWl = $"len_nonspace".cast("double") / nWords.cast("double")
+        val symRatio = $"n_sym".cast("double") / $"len_chars".cast("double")
+        val cells = TextIndex.docstats(s, d)
+          .select($"doc_id", $"content_hash",
             (nWords >= 30 && meanWl >= 3.0 && meanWl <= 10.0 &&
               symRatio < 0.1).as("quality_ok"))
           .withColumn("is_dup",
@@ -2021,9 +1984,9 @@ object TextAnalysis {
         import s.implicits._
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy($"lang", $"cap").orderBy($"doc_id")
-        val bins = Tables.documents(s, d)
+        val bins = TextIndex.docstats(s, d)
           .select($"doc_id", $"lang",
-            size(tokens($"text")).cast("long").as("n_tok"),
+            $"n_toks".cast("long").as("n_tok"),
             explode(array(lit(512L), lit(2000L))).as("cap"))
           // integer div, not floor(double): exact at ANY cumulative
           // magnitude (IEEE floor drifts past 2^53), and the cumsum
@@ -2085,8 +2048,8 @@ object TextAnalysis {
     Q("txt_waterfill_budget",
       (s, d) => {
         import s.implicits._
-        val per = Tables.documents(s, d)
-          .select($"source", size(tokens($"text")).cast("long").as("n_tok"))
+        val per = TextIndex.docstats(s, d)
+          .select($"source", $"n_toks".cast("long").as("n_tok"))
           .groupBy($"source")
           .agg(sum($"n_tok").as("avail"))
         // per-source frame (|sources| rows): single-partition windows
@@ -2170,9 +2133,9 @@ object TextAnalysis {
         import s.implicits._
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy($"source").orderBy($"n_tok", $"doc_id")
-        val ranked = Tables.documents(s, d)
+        val ranked = TextIndex.docstats(s, d)
           .select($"doc_id", $"source",
-            size(tokens($"text")).cast("long").as("n_tok"))
+            $"n_toks".cast("long").as("n_tok"))
           .withColumn("rank_in_source",
             row_number().over(w).cast("long"))
         graft.core.Ranking.exactNtile(ranked, 16,
@@ -2211,10 +2174,13 @@ object TextAnalysis {
     Q("txt_template_detection",
       (s, d) => {
         import s.implicits._
-        val toks = tokens($"text")
-        Tables.documents(s, d)
+        // The two-token opener is the stored bigram stream's i = 1
+        // row (every doc has one; concat_ws skips the NULL w2 of a
+        // one-token doc exactly like slice(toks, 1, 2) shortens).
+        TextIndex.bigrams(s, d)
+          .filter($"i" === 1)
           .select($"doc_id", $"source",
-            concat_ws(" ", slice(toks, 1, 2)).as("opener"))
+            concat_ws(" ", $"w1", $"w2").as("opener"))
           .filter($"opener" =!= "")
           .groupBy($"opener")
           .agg(count(lit(1)).as("n_docs"),
@@ -2262,15 +2228,10 @@ object TextAnalysis {
     */
   private def surprisalScores(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val base = Tables.documents(s, d)
-      .select($"doc_id", $"lang", tokens($"text").as("toks"))
-      .filter(size($"toks") >= 2)
-    val dbg = base
-      .select($"doc_id", $"lang", $"toks",
-        explode(sequence(lit(1), size($"toks") - 1)).as("i"))
-      .select($"doc_id", $"lang",
-        element_at($"toks", $"i").as("w1"),
-        element_at($"toks", $"i" + 1).as("w2"))
+    // Strict bigrams from the persisted TextIndex (w2 IS NOT NULL ≡
+    // the size >= 2 filter + i <= n-1 explode of the inline form).
+    val dbg = TextIndex.bigrams(s, d)
+      .filter($"w2".isNotNull)
       .groupBy($"doc_id", $"lang", $"w1", $"w2")
       .agg(count(lit(1)).as("c_doc"))
     val wBigram = Window.partitionBy($"lang", $"w1", $"w2")

@@ -96,10 +96,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.sliding("Generate".length).count(_ == "Generate") == 1, p.take(400))
   }
 
-  test("bigram surprisal is joinless: model via windows, one explode") {
+  test("bigram surprisal is joinless: model via windows, zero explodes " +
+       "(bigrams read from the persisted TextIndex)") {
     val p = plan("txt_bigram_surprisal")
     assert(!p.contains("Join"), p.take(400))
-    assert(p.sliding("Generate".length).count(_ == "Generate") == 1, p.take(400))
+    assert(p.sliding("Generate".length).count(_ == "Generate") == 0,
+      "the stored bigram stream replaces the corpus explode\n" + p.take(400))
+    assert(p.contains("graft-text-index") || p.contains("text-"),
+      "must scan the persisted bigram frame\n" + p.take(400))
   }
 
   test("EXISTS/NOT EXISTS decorrelate to semi and anti joins") {
@@ -260,13 +264,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("HashAggregate"), "min tracked inside the expression")
   }
 
-  test("bigram LM is joinless: left-unigram count via window, no re-explode") {
+  test("bigram LM is joinless: left-unigram count via window, no explode " +
+       "(bigrams read from the persisted TextIndex)") {
     val p = plan("txt_bigram_lm")
     assert(!p.contains("Join"),
       "c_left must come from a window over the collapsed bigram table")
-    // One Generate only — the corpus is exploded exactly once.
     val generates = p.linesIterator.count(_.contains("Generate"))
-    assert(generates == 1, s"expected a single explode, got $generates")
+    assert(generates == 0,
+      s"the stored bigram stream replaces the explode, got $generates")
   }
 
   test("anomaly z-score window reuses the hourly rollup partitioning") {
@@ -561,7 +566,8 @@ class PlanSpec extends AnyFunSuite {
        "collapsed frame") {
     val p = plan("txt_zipf_check")
     assert(p.contains("TakeOrderedAndProject"), p.take(600))
-    assert(p.contains("Generate"), "token explode should be a Generate")
+    assert(!p.contains("Generate"),
+      "tokens read from the persisted TextIndex — no explode\n" + p.take(600))
   }
 
   test("LSH recall joins buckets and broadcast query sets — no bare " +
