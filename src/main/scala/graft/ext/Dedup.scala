@@ -624,10 +624,10 @@ object Dedup {
     Q("dedup_span_exact",
       (s, d) => {
         import s.implicits._
-        corpus(s, d)
-          .select($"doc_id",
-            explode(graft.functions.NativeFunctions.rollingHashAll(
-              norm($"text"), 8)).as("span_hash"))
+        // The stored span stream replaces the corpus explode — one
+        // groupBy on the persisted (doc_id, h) multiset.
+        DedupIndex.spans(s, d)
+          .select($"doc_id", $"h".as("span_hash"))
           .groupBy($"span_hash")
           .agg(countDistinct($"doc_id").as("n_docs"),
             count(lit(1)).as("n_occ"))
@@ -666,17 +666,13 @@ object Dedup {
     Q("dedup_span_ratio",
       (s, d) => {
         import s.implicits._
-        val wSpan = org.apache.spark.sql.expressions.Window
-          .partitionBy($"span_hash")
-        corpus(s, d)
-          .select($"doc_id",
-            explode(graft.functions.NativeFunctions.rollingHashAll(
-              norm($"text"), 8)).as("span_hash"))
-          .withColumn("is_dup",
-            min($"doc_id").over(wSpan) =!= max($"doc_id").over(wSpan))
+        // The stored `cross` flag IS the min≠max window — the ratio
+        // collapses the persisted stream with one doc_id aggregation
+        // and no span-hash exchange at query time.
+        DedupIndex.spans(s, d)
           .groupBy($"doc_id")
           .agg(count(lit(1)).as("n_spans"),
-            count(when($"is_dup", 1)).as("n_dup_spans"))
+            count(when($"cross", 1)).as("n_dup_spans"))
           .withColumn("dup_permille",
             expr("(1000 * n_dup_spans) div n_spans"))
       },
@@ -910,18 +906,12 @@ object Dedup {
     Q("dedup_span_scrub",
       (s, d) => {
         import s.implicits._
-        val wSpan = org.apache.spark.sql.expressions.Window
-          .partitionBy($"h")
         val normed = corpus(s, d).select($"doc_id", norm($"text").as("norm"))
-        val spans = normed
-          .select($"doc_id", posexplode(
-            graft.functions.NativeFunctions.rollingHashAll($"norm", 8)))
-          .toDF("doc_id", "pos0", "h")
-          .select($"doc_id", ($"pos0" + 1).as("i"), $"h")
-        val dup = spans
-          .withColumn("cross",
-            min($"doc_id").over(wSpan) =!= max($"doc_id").over(wSpan))
-          .filter($"cross")
+        // The stored span stream carries the cross-doc flag — the
+        // scrub starts from the persisted dup windows directly (no
+        // corpus explode, no span-hash window exchange at query
+        // time; the text scan below feeds only the final rewrite).
+        val dup = DedupIndex.spans(s, d).filter($"cross")
         val nDup = dup.groupBy($"doc_id")
           .agg(count(lit(1)).as("n_dup_windows"))
         // Merge overlapping/adjacent windows into ISLANDS (consecutive

@@ -42,6 +42,11 @@ import graft.Tables
   *     inverted index with per-doc counts; `ge3` marks docs with at
   *     least 3 tokens (dedup_containment excludes shorter docs,
   *     dedup_ngram_jaccard keeps their partial gram).
+  *   - `spans/` (doc_id, i, h, cross): the positional 8-char
+  *     rolling-hash window stream with the cross-document flag
+  *     (min≠max doc over the hash) precomputed — the span family
+  *     (dedup_span_exact / _ratio / _scrub) projects from it with
+  *     no per-query corpus explode and no span-hash window exchange.
   *
   * At 100 TB the signature frame is ~1 row per document (tiny next
   * to the text), and the gram/shingle stores are corpus-sized but
@@ -57,7 +62,7 @@ import graft.Tables
 object DedupIndex {
 
   /** Bumped whenever the stored schema/derivation changes. */
-  private val FormatVersion = 1
+  private val FormatVersion = 2
 
   private def root: String = sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR",
     s"${sys.props("java.io.tmpdir")}/graft-dedup-index")
@@ -160,7 +165,27 @@ object DedupIndex {
       .select($"doc_id", $"gram", $"n", $"ge3")
   }
 
-  /** Build all four frames under a fresh tmp dir, then atomically
+  /** In-session build of the positional 8-char rolling-hash span
+    * stream with the cross-document flag precomputed (the min≠max
+    * doc window over the span hash — the one expensive exchange the
+    * three span queries shared per-query before this frame). `i` is
+    * the 1-based window start in the normalized text; the (doc_id,
+    * i, h) multiset equals every consumer's inline posexplode/
+    * explode of RollingHashAll. */
+  private[ext] def buildSpans(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wSpan = org.apache.spark.sql.expressions.Window
+      .partitionBy($"h")
+    Dedup.corpus(s, d)
+      .select($"doc_id", posexplode(
+        graft.functions.NativeFunctions.rollingHashAll(norm($"text"), 8)))
+      .toDF("doc_id", "pos0", "h")
+      .select($"doc_id", ($"pos0" + 1).as("i"), $"h")
+      .withColumn("cross",
+        min($"doc_id").over(wSpan) =!= max($"doc_id").over(wSpan))
+  }
+
+  /** Build all five frames under a fresh tmp dir, then atomically
     * rename into place (marker file written last; a lost rename race
     * falls back to the winner's dir). */
   private def ensure(s: SparkSession, sfDir: String): File = synchronized {
@@ -183,6 +208,9 @@ object DedupIndex {
     buildGrams3(s, sfDir)
       .repartition(8, col("gram")).sortWithinPartitions("gram", "doc_id")
       .write.mode("overwrite").parquet(s"$tmp/grams3")
+    buildSpans(s, sfDir)
+      .repartition(8, col("doc_id")).sortWithinPartitions("doc_id", "i")
+      .write.mode("overwrite").parquet(s"$tmp/spans")
     new File(tmp, "_GRAFT_OK").createNewFile()
     if (!tmp.renameTo(dir)) {
       if (!ok.exists()) {
@@ -220,4 +248,9 @@ object DedupIndex {
   def grams3(s: SparkSession, sfDir: String): DataFrame =
     if (disabled) buildGrams3(s, sfDir)
     else s.read.parquet(s"${ensure(s, sfDir)}/grams3")
+
+  /** The stored positional span-hash stream (doc_id, i, h, cross). */
+  def spans(s: SparkSession, sfDir: String): DataFrame =
+    if (disabled) buildSpans(s, sfDir)
+    else s.read.parquet(s"${ensure(s, sfDir)}/spans")
 }

@@ -89,11 +89,13 @@ class PlanSpec extends AnyFunSuite {
       p.take(400))
   }
 
-  test("span dup-ratio flags cross-doc spans with windows, no join-back") {
+  test("span dup-ratio reads the stored cross flag: no window, no join, " +
+       "no explode at query time") {
     val p = plan("dedup_span_ratio")
-    assert(p.contains("Window") && !p.contains("Join"), p.take(400))
-    // one explode of the rolling-hash array, nothing else generates
-    assert(p.sliding("Generate".length).count(_ == "Generate") == 1, p.take(400))
+    assert(!p.contains("Window") && !p.contains("Join"), p.take(400))
+    assert(p.sliding("Generate".length).count(_ == "Generate") == 0,
+      "the persisted span stream replaces the rolling-hash explode\n" +
+        p.take(400))
   }
 
   test("bigram surprisal is joinless: model via windows, zero explodes " +

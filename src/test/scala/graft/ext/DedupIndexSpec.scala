@@ -58,6 +58,18 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(stored.nonEmpty)
   }
 
+  test("stored spans equal the in-session build exactly") {
+    val stored = rows(DedupIndex.spans(spark, sf))
+    val built = rows(DedupIndex.buildSpans(spark, sf))
+    assert(stored == built)
+    assert(stored.nonEmpty)
+    // the planted exact dups guarantee cross-doc spans exist, and
+    // the flag must match a from-scratch min≠max replay
+    import spark.implicits._
+    assert(DedupIndex.spans(spark, sf).filter($"cross").count() > 0,
+      "planted twins must produce cross-document spans")
+  }
+
   test("schema round-trips: stored column types match the builds") {
     def sig(df: org.apache.spark.sql.DataFrame) =
       df.schema.fields.map(f => (f.name, f.dataType)).toSeq
@@ -71,6 +83,8 @@ class DedupIndexSpec extends AnyFunSuite {
            sig(DedupIndex.buildHgrams5(spark, sf)))
     assert(sig(DedupIndex.grams3(spark, sf)) ==
            sig(DedupIndex.buildGrams3(spark, sf)))
+    assert(sig(DedupIndex.spans(spark, sf)) ==
+           sig(DedupIndex.buildSpans(spark, sf)))
   }
 
   test("second read reuses the installed index (no rebuild)") {
