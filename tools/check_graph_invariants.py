@@ -183,6 +183,37 @@ def main():
       FROM '{out}/gr_modularity/*.parquet'""")
     ok &= check_ordered("gr_modularity", got, want)
 
+    # ---- gr_local_clustering: per-node triangle replay --------------
+    # The DuckDB oracle's wedge join spills past the disk at sf1 (the
+    # oriented-wedge intermediate is super-linear); this replay builds
+    # the same support-thresholded co-purchase pairs in DuckDB (cheap —
+    # the other gr_ oracles run it) and counts per-node triangles in
+    # adjacency sets: for each edge, every common neighbor c gains one
+    # triangle — each triangle increments each member exactly once.
+    # All outputs are exact integers (cc_ppm is one integer division),
+    # so the compare is row-for-row equality. Reuses the `cp` pair
+    # table the kcore section already materialized.
+    edges = fetch(con, "SELECT a, b FROM cp")
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = {v: 0 for v in adj}
+    for a, b in edges:
+        sa, sb = adj[a], adj[b]
+        if len(sa) > len(sb):
+            sa, sb = sb, sa
+        for cmn in sa:
+            if cmn in sb:
+                tri[cmn] += 1
+    want = sorted(
+        (v, len(nb), tri[v], tri[v] * 2000000 // (len(nb) * (len(nb) - 1)))
+        for v, nb in adj.items() if len(nb) >= 2)
+    got = sorted(fetch(con, f"""
+      SELECT node_id, deg, n_tri, cc_ppm
+      FROM '{out}/gr_local_clustering/*.parquet'"""))
+    ok &= check_ordered("gr_local_clustering", got, want)
+
     print("PASS" if ok else "FAIL")
     return 0 if ok else 1
 

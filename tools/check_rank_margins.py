@@ -1,0 +1,339 @@
+#!/usr/bin/env python3
+"""Margin-certified, label-for-label replay of the cosine-ranking
+sim_ dumps at large SF, where the DuckDB oracle disqualifies itself.
+
+Why the oracle cannot referee these queries at sf1: the replicated
+corpus (tools/gen_sf.py copies embeddings verbatim under offset ids)
+makes every query's top-k an EXACT-DUPLICATE tie set — a query's best
+neighbors are its own copies, all at cosine exactly 1 — so the rank
+boundary margin is zero. DuckDB evaluates the cosine as a correlated
+SUM over generate_series whose partial order varies with parallel
+scheduling (the verify skill's summation-order note): running the
+SAME oracle twice on the same sf1 data returns DIFFERENT rankings
+(observed: 100/1035 rows differ between two back-to-back runs of the
+sim_cosine_topk oracle — the zero-margin dup ties shuffle
+arbitrarily). The engine side is deterministic: FloatVecDot
+accumulates in index order per row, identical inputs give identical
+doubles, and every ranking carries a (score DESC, vec_id ASC)
+total-order tiebreak.
+
+This checker is therefore the referee: it replays each query's exact
+semantics in float64 with the engine's OWN summation order as the
+authority — a blocked-matmul prefilter for speed, then every decision
+within EPS of a rank/sign/membership boundary is re-resolved with an
+exact index-ordered sequential sum (bit-matching FloatVecDot). The
+replay is fully deterministic, so the comparison against the dump is
+label-for-label EQUALITY, not a tolerance band.
+
+Covers: sim_cosine_topk, sim_ann_lsh, sim_ann_ivf, sim_ivf_recall,
+sim_lsh_recall, sim_sq_recall, sim_matryoshka_recall, sim_rrf_fusion,
+sim_fusion_shift (the 9 cross-engine-tie rows of CORRECTNESS_sf1) —
+plus the tie-degeneracy audit quantifying WHY the oracle fails.
+
+Usage: check_rank_margins.py <verify_out_dir> <sf_dir>
+"""
+import sys, re, hashlib
+import numpy as np
+import pandas as pd
+
+EPS = 1e-9
+
+def seqdot(a, b):
+    """Index-ordered double-accumulation dot — FloatVecDot exactly."""
+    s = 0.0
+    for x, y in zip(a, b):
+        s += float(x) * float(y)
+    return s
+
+class Corpus:
+    def __init__(self, sfdir):
+        emb = pd.read_parquet(f"{sfdir}/embeddings.parquet")
+        emb = emb.sort_values("vec_id").reset_index(drop=True)
+        self.ids = emb.vec_id.to_numpy()
+        self.pos = {int(v): i for i, v in enumerate(self.ids)}
+        V32 = np.stack(emb.embedding.to_numpy())
+        self.V = V32.astype(np.float64)
+        # exact per-row self-dots in engine order (needed for norms)
+        self.self_dot = np.array([seqdot(v, v) for v in self.V])
+        self.nrm = np.sqrt(self.self_dot)
+        # blocked-matmul cosine prefilter (1-ulp noise possible; every
+        # boundary decision is re-resolved with seqdot)
+        Nn = self.V / self.nrm[:, None]
+        self.C = Nn @ Nn.T
+        self.qids = self.ids[self.ids % 97 == 0]
+
+    def exact_cos(self, qi, ci):
+        return seqdot(self.V[qi], self.V[ci]) / (self.nrm[qi] * self.nrm[ci])
+
+    def exact_dot(self, qi, ci):
+        return seqdot(self.V[qi], self.V[ci])
+
+    def topk(self, qid, cand_pos, scores, k, exact_fn):
+        """row_number <= k under (score DESC, vec_id ASC), with every
+        candidate within EPS of the k-th prefilter score re-resolved
+        by the exact engine-order computation."""
+        qi = self.pos[qid]
+        cand_pos = np.asarray(cand_pos)
+        if len(cand_pos) == 0:
+            return []
+        order = np.lexsort((self.ids[cand_pos], -scores))
+        kth = scores[order[min(k, len(order)) - 1]]
+        band = [p for p, s in zip(cand_pos, scores) if s >= kth - EPS]
+        exact = [(exact_fn(qi, p), int(self.ids[p]), int(p)) for p in band]
+        exact.sort(key=lambda t: (-t[0], t[1]))
+        return [t[2] for t in exact[:k]]
+
+def lsh_planes(n_planes=4, dims=64):
+    planes = []
+    for j in range(n_planes):
+        row = []
+        for i in range(1, dims + 1):
+            h = hashlib.md5(f"{j}_{i}".encode()).digest()
+            row.append(1.0 if ((h[0] >> 4) & 0xF) % 2 == 0 else -1.0)
+        planes.append(np.array(row))
+    return planes
+
+def lsh_buckets(c):
+    planes = lsh_planes()
+    buckets = np.zeros(len(c.V), dtype=int)
+    for j, pl in enumerate(planes):
+        proj = c.V @ pl
+        for i in np.where(np.abs(proj) <= 1e-6)[0]:
+            proj[i] = seqdot(c.V[i], pl)  # boundary: engine order
+        buckets += (proj >= 0).astype(int) << j
+    return buckets
+
+def ivf_cells(c, n_probe):
+    """nearest n cells per vector over the 16 lowest-id centroids,
+    (ccos DESC, cid ASC)."""
+    cents = [c.pos[v] for v in sorted(int(x) for x in c.ids[c.ids < 16])]
+    cells = {}
+    for i in range(len(c.V)):
+        scored = []
+        for cid_pos in cents:
+            cos = c.C[i, cid_pos]
+            scored.append([cos, int(c.ids[cid_pos]), cid_pos])
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        # re-resolve ties at the probe boundary exactly
+        if len(scored) > n_probe and \
+           scored[n_probe - 1][0] - scored[n_probe][0] <= EPS:
+            for t in scored:
+                t[0] = c.exact_cos(i, t[2])
+            scored.sort(key=lambda t: (-t[0], t[1]))
+        cells[i] = [t[1] for t in scored[:n_probe]]
+    return cells
+
+def compare(name, replay_df, out):
+    dump = pd.read_parquet(f"{out}/{name}")
+    cols = sorted(dump.columns)
+    d = dump[cols].sort_values(cols).reset_index(drop=True)
+    r = replay_df[cols].sort_values(cols).reset_index(drop=True)
+    d = d.astype({c: "int64" for c in cols})
+    r = r.astype({c: "int64" for c in cols})
+    if len(d) != len(r) or not d.equals(r):
+        n = 0 if len(d) != len(r) else int((d != r).any(axis=1).sum())
+        print(f"FAIL {name}: replay mismatch ({len(r)} replay vs "
+              f"{len(d)} dump rows, {n} differing)")
+        if len(d) == len(r):
+            m = (d != r).any(axis=1)
+            print(pd.concat([d[m].head(3), r[m].head(3)], axis=1))
+        return False
+    print(f"PASS {name} ({len(d)} rows, label-for-label)")
+    return True
+
+def main():
+    out, sfdir = sys.argv[1], sys.argv[2]
+    c = Corpus(sfdir)
+    npos = len(c.ids)
+    all_pos = np.arange(npos)
+    ok = True
+
+    # ---- tie-degeneracy audit: why the oracle cannot referee ----
+    zero_margin = 0
+    for qid in c.qids:
+        qi = c.pos[int(qid)]
+        cand = all_pos[all_pos != qi]
+        cos = c.C[qi, cand]
+        srt = np.sort(cos)[::-1]
+        if srt[4] - srt[5] <= EPS:
+            zero_margin += 1
+    print(f"tie-degeneracy: {zero_margin}/{len(c.qids)} queries have a "
+          f"sub-{EPS} margin at the k=5 boundary (exact-duplicate "
+          f"replicas) — cross-engine rank equality is undefined there")
+
+    # ---- exact cosine top-5 (sim_cosine_topk) ----
+    def exact_top(qid, k=5):
+        qi = c.pos[int(qid)]
+        cand = all_pos[all_pos != qi]
+        return c.topk(int(qid), cand, c.C[qi, cand], k, Corpus.exact_cos.__get__(c))
+    exact5 = {int(q): exact_top(q) for q in c.qids}
+    rows = [(q, r + 1, int(c.ids[p])) for q, ps in exact5.items()
+            for r, p in enumerate(ps)]
+    ok &= compare("sim_cosine_topk",
+                  pd.DataFrame(rows, columns=["qid", "rank", "neighbor_id"]),
+                  out)
+
+    # ---- LSH ANN arm (sim_ann_lsh) + recall ----
+    buckets = lsh_buckets(c)
+    lsh5 = {}
+    for qid in c.qids:
+        qi = c.pos[int(qid)]
+        cand = all_pos[(buckets == buckets[qi]) & (all_pos != qi)]
+        lsh5[int(qid)] = c.topk(int(qid), cand, c.C[qi, cand], 5,
+                                Corpus.exact_cos.__get__(c))
+    rows = [(q, r + 1, int(c.ids[p])) for q, ps in lsh5.items()
+            for r, p in enumerate(ps)]
+    ok &= compare("sim_ann_lsh",
+                  pd.DataFrame(rows, columns=["qid", "rank", "neighbor_id"]),
+                  out)
+
+    # ---- IVF ANN arm (sim_ann_ivf) + recall ----
+    assign1 = ivf_cells(c, 1)
+    cell_members = {}
+    for i, cells in assign1.items():
+        cell_members.setdefault(cells[0], []).append(i)
+    ivf5 = {}
+    qcells = ivf_cells(c, 2)
+    for qid in c.qids:
+        qi = c.pos[int(qid)]
+        cand = [p for cell in qcells[qi] for p in cell_members.get(cell, [])
+                if p != qi]
+        cand = np.array(sorted(set(cand)), dtype=int)
+        ivf5[int(qid)] = c.topk(int(qid), cand, c.C[qi, cand], 5,
+                                Corpus.exact_cos.__get__(c))
+    rows = [(q, r + 1, int(c.ids[p])) for q, ps in ivf5.items()
+            for r, p in enumerate(ps)]
+    ok &= compare("sim_ann_ivf",
+                  pd.DataFrame(rows, columns=["qid", "rank", "neighbor_id"]),
+                  out)
+
+    def recall_df(arm):
+        rows = []
+        for q in (int(x) for x in c.qids):
+            ex, hit = set(exact5[q]), set(arm[q])
+            n_ex, n_hit = len(ex), len(ex & hit)
+            rows.append((q, n_ex, n_hit, n_hit * 1000000 // n_ex))
+        return pd.DataFrame(rows,
+            columns=["qid", "n_exact", "n_hit", "recall_ppm"])
+    ok &= compare("sim_ivf_recall", recall_df(ivf5), out)
+    ok &= compare("sim_lsh_recall", recall_df(lsh5), out)
+
+    # ---- SQ8 arm (sim_sq_recall): integer code dot vs exact dot ----
+    mn = c.V.min(axis=0)
+    mx = c.V.max(axis=0)
+    span = np.where(mx == mn, 1.0, mx - mn)
+    codes = np.floor((c.V - mn) * 255.0 / span).astype(np.int64)
+    codes[:, mx == mn] = 0
+    sq5, dot5 = {}, {}
+    for qid in c.qids:
+        qi = c.pos[int(qid)]
+        cand = all_pos[all_pos != qi]
+        sqdots = codes[cand] @ codes[qi]  # exact integers
+        order = np.lexsort((c.ids[cand], -sqdots))
+        sq5[int(qid)] = [int(cand[i]) for i in order[:5]]
+        dots = c.C[qi, cand] * (c.nrm[qi] * c.nrm[cand])
+        dot5[int(qid)] = c.topk(int(qid), cand, dots, 5,
+                                Corpus.exact_dot.__get__(c))
+    rows = []
+    for q in (int(x) for x in c.qids):
+        ex, hit = set(dot5[q]), set(sq5[q])
+        n_ex, n_hit = len(ex), len(ex & hit)
+        rows.append((q, n_ex, n_hit, n_hit * 1000000 // n_ex))
+    ok &= compare("sim_sq_recall",
+                  pd.DataFrame(rows,
+                      columns=["qid", "n_exact", "n_hit", "recall_ppm"]),
+                  out)
+
+    # ---- Matryoshka (prefix-16 shortlist -> full rerank) ----
+    P = c.V[:, :16]
+    pself = np.array([seqdot(p, p) for p in P])
+    pnrm = np.sqrt(pself)
+    Pn = P / pnrm[:, None]
+    PC = Pn @ Pn.T
+    def exact_pcos(qi, ci):
+        return seqdot(P[qi], P[ci]) / (pnrm[qi] * pnrm[ci])
+    rows = []
+    for qid in (int(x) for x in c.qids):
+        qi = c.pos[qid]
+        cand = all_pos[all_pos != qi]
+        short = c.topk(qid, cand, PC[qi, cand], 20, exact_pcos)
+        pre5 = set(short[:5])
+        sarr = np.array(short, dtype=int)
+        rer5 = set(c.topk(qid, sarr, c.C[qi, sarr], 5,
+                          Corpus.exact_cos.__get__(c)))
+        ex = set(exact5[qid])
+        n_ex = len(ex)
+        hr, hp = len(ex & rer5), len(ex & pre5)
+        rows.append((qid, n_ex, hr, hp,
+                     hr * 1000000 // n_ex, hp * 1000000 // n_ex))
+    ok &= compare("sim_matryoshka_recall",
+                  pd.DataFrame(rows, columns=["qid", "n_exact",
+                      "hit_rerank", "hit_prefix", "recall_rerank_ppm",
+                      "recall_prefix_ppm"]),
+                  out)
+
+    # ---- RRF fusion (dense top-20 + lexical bigram top-20) ----
+    docs = pd.read_parquet(f"{sfdir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    universe = set(int(v) for v in c.ids)
+    bg = {}
+    for did, text in zip(docs.doc_id, docs.text):
+        did = int(did)
+        if did not in universe:
+            continue
+        t = re.split(r"\s+", text.strip().lower())
+        bg[did] = set(f"{a}|{b}" for a, b in zip(t, t[1:]))
+    inv = {}
+    for did, grams in bg.items():
+        for g in grams:
+            inv.setdefault(g, []).append(did)
+    dense20, lex20 = {}, {}
+    for qid in (int(x) for x in c.qids):
+        qi = c.pos[qid]
+        cand = all_pos[all_pos != qi]
+        d20 = c.topk(qid, cand, c.C[qi, cand], 20,
+                     Corpus.exact_cos.__get__(c))
+        dense20[qid] = {int(c.ids[p]): r + 1 for r, p in enumerate(d20)}
+        shared = {}
+        for g in bg.get(qid, ()):  # qid's own doc's bigrams
+            for did in inv.get(g, ()):
+                if did != qid:
+                    shared[did] = shared.get(did, 0) + 1
+        ranked = sorted(shared.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+        lex20[qid] = {did: r + 1 for r, (did, s) in enumerate(ranked)}
+    fused = {}
+    for qid in dense20:
+        cands = set(dense20[qid]) | set(lex20[qid])
+        scored = []
+        for cd in cands:
+            nano = 0
+            if cd in dense20[qid]:
+                nano += 1000000000 // (60 + dense20[qid][cd])
+            if cd in lex20[qid]:
+                nano += 1000000000 // (60 + lex20[qid][cd])
+            scored.append((cd, nano))
+        scored.sort(key=lambda t: (-t[1], t[0]))
+        fused[qid] = scored
+    rows = [(q, r + 1, cd, nano) for q, sc in fused.items()
+            for r, (cd, nano) in enumerate(sc) if r < 10]
+    ok &= compare("sim_rrf_fusion",
+                  pd.DataFrame(rows,
+                      columns=["qid", "rank", "cand", "rrf_nano"]),
+                  out)
+    rows = []
+    for qid, sc in fused.items():
+        f10 = {cd: r + 1 for r, (cd, n) in enumerate(sc) if r < 10}
+        overlap = sum(1 for cd, r in dense20[qid].items()
+                      if r <= 10 and cd in f10)
+        d1 = min(dense20[qid], key=lambda cd: dense20[qid][cd])
+        rr = 1000000 // f10[d1] if d1 in f10 else 0
+        rows.append((qid, overlap, rr))
+    ok &= compare("sim_fusion_shift",
+                  pd.DataFrame(rows,
+                      columns=["qid", "n_overlap", "rr_micro"]),
+                  out)
+
+    print("PASS" if ok else "FAIL")
+    sys.exit(0 if ok else 1)
+
+main()
