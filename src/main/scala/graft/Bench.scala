@@ -58,6 +58,21 @@ object Bench {
     "gr_assortativity", "gr_local_clustering", "txt_domain_affinity",
     "ev_ewma_trend", "dedup_span_scrub", "ev_forecast_backtest")
 
+  /** 1-minute loadavg (-1 if unavailable) — captured before, between
+    * and after the sweeps so ambient-load drift attribution (this
+    * host has a documented external-stall band) is automatic from
+    * the artifact instead of forensic. */
+  private def load1: Double =
+    try java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    catch { case _: Throwable => -1.0 }
+
+  /** Host uptime in seconds (-1 outside Linux). */
+  private def uptimeSec: Double =
+    try new String(Files.readAllBytes(Paths.get("/proc/uptime")),
+      StandardCharsets.UTF_8).split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -151,8 +166,19 @@ object Bench {
         name -> (if (ok) sec else -1.0)
       }
     }
+    val load0 = load1
     val s1 = sweep()
+    val loadMid = load1
     val s2 = sweep()
+    val loadEnd = load1
+    // Host-state sidecar fields: round-7 saw +25% family drift with
+    // zero code change; the artifact now carries enough to attribute
+    // that to ambient load without a re-run.
+    def hfmt(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val host = s""""host":{"load1_start":${hfmt(load0)},""" +
+      s""""load1_mid":${hfmt(loadMid)},"load1_end":${hfmt(loadEnd)},""" +
+      s""""uptime_s":${hfmt(uptimeSec)}}"""
     val results = selected.keys.toSeq.map { n =>
       val (a, b) = (s1(n), s2(n))
       n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
@@ -171,7 +197,7 @@ object Bench {
     // Complete per-query map → file (too long for the output window).
     val fullJson = results.map { case (k, v) => s""""$k":$v""" }
       .mkString(s"""{"metric":"total","value":$total,"unit":"sec","queries":{""",
-        ",", s"""},"errors":$errors,"sf":"$sfDir"}""")
+        ",", s"""},"errors":$errors,$host,"sf":"$sfDir"}""")
     // A filtered local run must not clobber the round's full map.
     if (only.isEmpty)
       try Files.write(Paths.get("BENCH_FULL.json"),
@@ -196,7 +222,7 @@ object Bench {
         .map { case (k, v) => s""""$k":${fmt(v, 3)}""" }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,""" +
         s""""groups":$groups,"n":${results.size},"n_errors":${failed.size},""" +
-        s""""errors":$errorsCapped,"sf":"$sfDir"}"""
+        s""""errors":$errorsCapped,$host,"sf":"$sfDir"}"""
     }
     var kept = wanted
     while (line(kept).length > 1700 && kept.nonEmpty) kept = kept.dropRight(1)

@@ -824,15 +824,30 @@ object Relational {
     Q("rel_median_abs_deviation",
       (s, d) => {
         import s.implicits._
+        // Scale switch (the rel_winsorized_stats pattern above): the
+        // exact `percentile` buffers every group value in one
+        // aggregation buffer — ~2M doubles per returnflag at sf1, a
+        // per-task OOM at 100×. Past the conf threshold BOTH passes
+        // (the group median and the deviation median) come from the
+        // mergeable approx_percentile sketch instead — bounded
+        // buffer, identical two-pass broadcast plan shape. Oracle
+        // scales run the exact path; PlanSpec forces the big-frame
+        // regime and pins that no exact percentile survives.
+        val exactMax = s.conf.get(
+          "spark.graft.mad.exactMaxRows", "100000000").toLong
+        val bigFrame = Tables.lineitem(s, d).count() > exactMax
+        def pct(c: String) =
+          if (!bigFrame) s"percentile($c, 0.5D)"
+          else s"approx_percentile($c, 0.5D, 10000)"
         val med = Tables.lineitem(s, d)
           .groupBy($"l_returnflag")
-          .agg(expr("percentile(l_extendedprice, 0.5)").as("med"))
+          .agg(expr(pct("l_extendedprice")).cast("double").as("med"))
         Tables.lineitem(s, d)
           .join(broadcast(med), Seq("l_returnflag"))
           .withColumn("dev", abs($"l_extendedprice" - $"med"))
           .groupBy($"l_returnflag")
           .agg(max($"med").as("median_price"),
-            expr("percentile(dev, 0.5)").as("mad"),
+            expr(pct("dev")).cast("double").as("mad"),
             count(lit(1)).as("n_rows"))
       },
       Some("""WITH med AS (

@@ -418,11 +418,10 @@ object Dedup {
         // (doc, token) rows carry a 16-bit token hash value and each
         // bit contributes ±1 to its position's vote. Map-side partial
         // aggregation collapses to one row per doc before the shuffle.
-        val toks = corpus(s, d)
-          .select($"doc_id", explode(split(norm($"text"), " ")).as("tok"))
-          .distinct()
-          .selectExpr("doc_id",
-            "cast(conv(substr(md5(tok), 1, 4), 16, 10) as int) AS v16")
+        // The vote stream (distinct-token explode + 16-bit hash) is
+        // the persisted DedupIndex frame — only the aggregation runs
+        // per query.
+        val toks = DedupIndex.toks16(s, d)
         val votes = (0 until 16).map(p =>
           sum(expr(s"2 * ((shiftright(v16, ${15 - p})) & 1) - 1"))
             .as(s"vote$p"))
@@ -541,8 +540,11 @@ object Dedup {
         // bytes of text apiece. Lookup side is broadcastable here;
         // at scale it degrades gracefully to a doc_id hash join.
         val pairs = DedupIndex.candidates(s, d)
-        val pfx = corpus(s, d)
-          .select($"doc_id", substring(norm($"text"), 1, 64).as("pfx"))
+        // Prefixes project from the stored normalized text (the
+        // signature frame's nrm column) — no per-query normalization
+        // pass over the corpus.
+        val pfx = DedupIndex.signatures(s, d)
+          .select($"doc_id", substring($"nrm", 1, 64).as("pfx"))
         pairs
           .join(pfx.select($"doc_id".as("doc_a"), $"pfx".as("pfx_a")), "doc_a")
           .join(pfx.select($"doc_id".as("doc_b"), $"pfx".as("pfx_b")), "doc_b")
@@ -581,7 +583,8 @@ object Dedup {
           .unionByName(star.select($"dst".as("src"), $"src".as("dst")))
         val wCluster = org.apache.spark.sql.expressions.Window
           .partitionBy($"cluster_id")
-        corpus(s, d).select($"doc_id")
+        // the corpus doc list IS the signature frame's key column
+        DedupIndex.signatures(s, d).select($"doc_id")
           .join(connectedComponents(edges), Seq("doc_id"), "left")
           .withColumn("cluster_id", coalesce($"cluster_id", $"doc_id"))
           .withColumn("cluster_size", count(lit(1)).over(wCluster))
@@ -906,7 +909,10 @@ object Dedup {
     Q("dedup_span_scrub",
       (s, d) => {
         import s.implicits._
-        val normed = corpus(s, d).select($"doc_id", norm($"text").as("norm"))
+        // the rewrite input is the STORED normalized text — the one
+        // remaining per-query corpus scan this query had
+        val normed = DedupIndex.signatures(s, d)
+          .select($"doc_id", $"nrm".as("norm"))
         // The stored span stream carries the cross-doc flag — the
         // scrub starts from the persisted dup windows directly (no
         // corpus explode, no span-hash window exchange at query
@@ -1381,13 +1387,22 @@ object Dedup {
       (s, d) => {
         import s.implicits._
         val grpHash = md5(($"doc_id" % 100000).cast("string"))
-        val base = corpus(s, d)
-          .filter(substring(grpHash, 1, 1) === "0" &&
-            substring(grpHash, 2, 1) < "8")
+        val sampled = substring(grpHash, 1, 1) === "0" &&
+          substring(grpHash, 2, 1) < "8"
+        val base = corpus(s, d).filter(sampled)
         def jaccards(k: Int): DataFrame = {
-          val hg = base.select($"doc_id",
-            explode(array_distinct(graft.functions.NativeFunctions
-              .rollingHashAll(norm($"text"), k))).as("h"))
+          // k = 5 is EXACTLY the persisted DedupIndex shingle
+          // universe (per-doc distinct rolling hashes): read it and
+          // filter to the sample — per-doc gram sets are unchanged
+          // under doc sampling. The 4 and 6 arms are the sweep's
+          // novel work and derive in-session.
+          val hg =
+            if (k == 5)
+              DedupIndex.hgrams5(s, d).filter(sampled)
+                .select($"doc_id", $"h")
+            else base.select($"doc_id",
+              explode(array_distinct(graft.functions.NativeFunctions
+                .rollingHashAll(norm($"text"), k))).as("h"))
           val sizes = hg.groupBy($"doc_id").agg(count(lit(1)).as("n"))
           val pairs = sizes.select($"doc_id".as("doc_a"), $"n".as("n_a"))
             .join(broadcast(sizes.select($"doc_id".as("doc_b"),

@@ -42,6 +42,10 @@ import graft.Tables
   *     inverted index with per-doc counts; `ge3` marks docs with at
   *     least 3 tokens (dedup_containment excludes shorter docs,
   *     dedup_ngram_jaccard keeps their partial gram).
+  *   - `toks16/` (doc_id, v16): dedup_simhash's vote stream — one
+  *     row per distinct (doc, token) with the token's leading 16 md5
+  *     bits; the explode+distinct shuffle happens once, the per-run
+  *     residue is a single 16-vote aggregation.
   *   - `spans/` (doc_id, i, h, cross): the positional 8-char
   *     rolling-hash window stream with the cross-document flag
   *     (min≠max doc over the hash) precomputed — the span family
@@ -62,7 +66,7 @@ import graft.Tables
 object DedupIndex {
 
   /** Bumped whenever the stored schema/derivation changes. */
-  private val FormatVersion = 2
+  private val FormatVersion = 3
 
   private def root: String = sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR",
     s"${sys.props("java.io.tmpdir")}/graft-dedup-index")
@@ -98,8 +102,16 @@ object DedupIndex {
     trim(regexp_replace(lower(text), "\\s+", " "))
 
   /** In-session build of the signature frame — also the write
-    * source. One corpus pass: md5, normalized length and the fused
-    * one-pass MinHash signature all ride the same projection. */
+    * source. One corpus pass: md5, normalized text (+ its length)
+    * and the fused one-pass MinHash signature all ride the same
+    * projection. The full `nrm` column is stored too — the one
+    * corpus-sized column of the frame, but parquet is columnar so
+    * the banding/eval consumers that read only (doc_id, h1..h4)
+    * never touch its bytes, while the rewrite/verify consumers
+    * (dedup_span_scrub's scrub input, dedup_fuzzy_verify's prefixes,
+    * dedup_shingle_sweep's sample) read the normalization ONCE per
+    * corpus instead of re-deriving it per query — exactly what a
+    * production pipeline stores next to its signatures. */
   private[ext] def buildSignatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d).select($"doc_id", $"text")
@@ -114,12 +126,27 @@ object DedupIndex {
     corpus
       .withColumn("content_hash", md5($"text"))
       .withColumn("nrm", norm($"text"))
-      .select($"doc_id", $"base", $"content_hash",
+      .select($"doc_id", $"base", $"content_hash", $"nrm",
         length($"nrm").as("len"),
         graft.functions.NativeFunctions.minHashSig($"nrm", 5).as("sig"))
-      .select($"doc_id", $"base", $"content_hash", $"len",
+      .select($"doc_id", $"base", $"content_hash", $"nrm", $"len",
         $"sig".getItem(0).as("h1"), $"sig".getItem(1).as("h2"),
         $"sig".getItem(2).as("h3"), $"sig".getItem(3).as("h4"))
+  }
+
+  /** In-session build of the distinct-token 16-bit-hash stream —
+    * dedup_simhash's aggregation input, verbatim: one row per
+    * DISTINCT (doc_id, token), carrying the token's leading-16-bit
+    * md5 value (two tokens hashing alike keep both rows — each is a
+    * vote). The explode + distinct shuffle is the query's cost; the
+    * stored frame leaves only the 16-vote aggregation per run. */
+  private[ext] def buildToks16(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Dedup.corpus(s, d)
+      .select($"doc_id", explode(split(norm($"text"), " ")).as("tok"))
+      .distinct()
+      .selectExpr("doc_id",
+        "cast(conv(substr(md5(tok), 1, 4), 16, 10) as int) AS v16")
   }
 
   /** In-session build of the distinct LSH candidate pairs over the
@@ -185,54 +212,52 @@ object DedupIndex {
         min($"doc_id").over(wSpan) =!= max($"doc_id").over(wSpan))
   }
 
-  /** Build all five frames under a fresh tmp dir, then atomically
-    * rename into place (marker file written last; a lost rename race
-    * falls back to the winner's dir). */
+  /** Build all frames under a fresh tmp dir, then atomically rename
+    * into place ([[IndexUtil.install]] — marker last, race losers and
+    * failed builds deleted). Write parallelism from
+    * `spark.graft.index.writePartitions` ([[IndexUtil.writeParts]]). */
   private def ensure(s: SparkSession, sfDir: String): File = synchronized {
-    val dir = indexDir(sfDir)
-    val ok = new File(dir, "_GRAFT_OK")
-    if (ok.exists()) return dir
-    val tmp = new File(root, s"${dir.getName}.tmp-${System.nanoTime()}")
-    buildSignatures(s, sfDir)
-      .repartition(4, col("doc_id")).sortWithinPartitions("doc_id")
-      .write.mode("overwrite").parquet(s"$tmp/signatures")
-    // Candidates derive from the just-written signatures (one read,
-    // not a second MinHash pass).
-    Dedup.lshCandidates(s.read.parquet(s"$tmp/signatures")
-        .select("doc_id", "h1", "h2", "h3", "h4"))
-      .repartition(4, col("doc_a")).sortWithinPartitions("doc_a", "doc_b")
-      .write.mode("overwrite").parquet(s"$tmp/candidates")
-    buildHgrams5(s, sfDir)
-      .repartition(8, col("h")).sortWithinPartitions("h", "doc_id")
-      .write.mode("overwrite").parquet(s"$tmp/hgrams5")
-    buildGrams3(s, sfDir)
-      .repartition(8, col("gram")).sortWithinPartitions("gram", "doc_id")
-      .write.mode("overwrite").parquet(s"$tmp/grams3")
-    buildSpans(s, sfDir)
-      .repartition(8, col("doc_id")).sortWithinPartitions("doc_id", "i")
-      .write.mode("overwrite").parquet(s"$tmp/spans")
-    new File(tmp, "_GRAFT_OK").createNewFile()
-    if (!tmp.renameTo(dir)) {
-      if (!ok.exists()) {
-        def rm(f: File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete()
-        }
-        rm(dir)
-        if (!tmp.renameTo(dir))
-          throw new IllegalStateException(
-            s"cannot install dedup index at $dir")
-      }
-    }
-    dir
+    IndexUtil.install(new File(root), indexDir(sfDir), { tmp =>
+      val p = IndexUtil.writeParts(s, 8)
+      val pSmall = IndexUtil.writeParts(s, 4)
+      buildSignatures(s, sfDir)
+        .repartition(pSmall, col("doc_id")).sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(s"$tmp/signatures")
+      // Candidates derive from the just-written signatures (one read,
+      // not a second MinHash pass).
+      Dedup.lshCandidates(s.read.parquet(s"$tmp/signatures")
+          .select("doc_id", "h1", "h2", "h3", "h4"))
+        .repartition(pSmall, col("doc_a")).sortWithinPartitions("doc_a", "doc_b")
+        .write.mode("overwrite").parquet(s"$tmp/candidates")
+      buildHgrams5(s, sfDir)
+        .repartition(p, col("h")).sortWithinPartitions("h", "doc_id")
+        .write.mode("overwrite").parquet(s"$tmp/hgrams5")
+      buildGrams3(s, sfDir)
+        .repartition(p, col("gram")).sortWithinPartitions("gram", "doc_id")
+        .write.mode("overwrite").parquet(s"$tmp/grams3")
+      buildSpans(s, sfDir)
+        .repartition(p, col("doc_id")).sortWithinPartitions("doc_id", "i")
+        .write.mode("overwrite").parquet(s"$tmp/spans")
+      buildToks16(s, sfDir)
+        .repartition(pSmall, col("doc_id")).sortWithinPartitions("doc_id", "v16")
+        .write.mode("overwrite").parquet(s"$tmp/toks16")
+    })
   }
 
-  /** The stored signature frame (doc_id, base, content_hash, len,
-    * h1..h4) over the planted-dup corpus, read from the persisted
-    * layout (built on first use). */
+  /** The stored signature frame (doc_id, base, content_hash, nrm,
+    * len, h1..h4) over the planted-dup corpus, read from the
+    * persisted layout (built on first use). `nrm` is corpus-sized —
+    * consumers that don't project it never read its bytes
+    * (columnar). */
   def signatures(s: SparkSession, sfDir: String): DataFrame =
     if (disabled) buildSignatures(s, sfDir)
     else s.read.parquet(s"${ensure(s, sfDir)}/signatures")
+
+  /** The stored distinct-token 16-bit hash stream (doc_id, v16) —
+    * one row per distinct (doc, token). */
+  def toks16(s: SparkSession, sfDir: String): DataFrame =
+    if (disabled) buildToks16(s, sfDir)
+    else s.read.parquet(s"${ensure(s, sfDir)}/toks16")
 
   /** The stored distinct LSH candidate pairs (doc_a, doc_b). */
   def candidates(s: SparkSession, sfDir: String): DataFrame =

@@ -101,36 +101,23 @@ object GraphIndex {
   }
 
   /** Build both frames under a fresh tmp dir, then atomically rename
-    * into place. Synchronized: queries run sequentially in this
-    * engine's drivers, but a stray concurrent caller must not race
-    * the same JVM; cross-JVM races resolve via the rename. */
+    * into place ([[IndexUtil.install]] — marker last, race losers and
+    * failed builds deleted). Synchronized: queries run sequentially
+    * in this engine's drivers, but a stray concurrent caller must not
+    * race the same JVM; cross-JVM races resolve via the rename. Write
+    * parallelism comes from `spark.graft.index.writePartitions`
+    * ([[IndexUtil.writeParts]]) so a big build is not pinned to the
+    * local default. */
   private def ensure(s: SparkSession, sfDir: String): File = synchronized {
-    val dir = indexDir(sfDir)
-    val ok = new File(dir, "_GRAFT_OK")
-    if (ok.exists()) return dir
-    val tmp = new File(root, s"${dir.getName}.tmp-${System.nanoTime()}")
-    buildCopurchase(s, sfDir)
-      .repartition(8, col("a")).sortWithinPartitions("a", "b")
-      .write.mode("overwrite").parquet(s"$tmp/copurchase")
-    buildInteraction(s, sfDir)
-      .repartition(8, col("c")).sortWithinPartitions("c", "s")
-      .write.mode("overwrite").parquet(s"$tmp/interaction")
-    new File(tmp, "_GRAFT_OK").createNewFile()
-    if (!tmp.renameTo(dir)) {
-      // Lost the cross-process race (or leftover dir): use the
-      // winner's index if complete, else clear and retry once.
-      if (!ok.exists()) {
-        def rm(f: File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete()
-        }
-        rm(dir)
-        if (!tmp.renameTo(dir))
-          throw new IllegalStateException(
-            s"cannot install graph index at $dir")
-      }
-    }
-    dir
+    IndexUtil.install(new File(root), indexDir(sfDir), { tmp =>
+      val p = IndexUtil.writeParts(s, 8)
+      buildCopurchase(s, sfDir)
+        .repartition(p, col("a")).sortWithinPartitions("a", "b")
+        .write.mode("overwrite").parquet(s"$tmp/copurchase")
+      buildInteraction(s, sfDir)
+        .repartition(p, col("c")).sortWithinPartitions("c", "s")
+        .write.mode("overwrite").parquet(s"$tmp/interaction")
+    })
   }
 
   /** The stored (a, b, w) co-purchase frame (a < b, w = support >= 2),

@@ -16,6 +16,10 @@ import graft.{Q, Tables}
   * Scale posture: payload bytes stay columnar and are never collected;
   * feature extraction is a narrow mapPartitions (no shuffle); batch
   * size bounds per-task peak memory independent of partition size.
+  * The decode output and the banded pHash candidate pairs are
+  * persisted per corpus fingerprint ([[MmIndex]]) — a production
+  * pipeline decodes each payload once and every downstream planner
+  * reads the feature store, never the decoder.
   */
 object Multimodal {
 
@@ -99,7 +103,7 @@ object Multimodal {
     // plumbing itself is what's under test; determinism is also
     // pinned by MultimodalSpec.
     Q("mm_decode_features",
-      (s, d) => decodeFeatures(mediaFromDocuments(s, d)).toDF(),
+      (s, d) => MmIndex.features(s, d),
       Some("""WITH decoded AS (
           SELECT doc_id,
             (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
@@ -134,7 +138,7 @@ object Multimodal {
     Q("mm_frame_sample",
       (s, d) => {
         import s.implicits._
-        decodeFeatures(mediaFromDocuments(s, d)).toDF()
+        MmIndex.features(s, d)
           .filter($"kind" === "video")
           .select($"doc_id", $"n_frames".cast("long").as("n_frames"),
             explode(sequence(lit(0L), $"n_frames".cast("long") - 1, lit(4L)))
@@ -158,7 +162,7 @@ object Multimodal {
     Q("mm_resize_plan",
       (s, d) => {
         import s.implicits._
-        decodeFeatures(mediaFromDocuments(s, d)).toDF()
+        MmIndex.features(s, d)
           .filter($"kind" === "image")
           .select($"doc_id",
             (lit(16L) + $"byte_len".cast("long") % 1024).as("src_w"),
@@ -243,7 +247,7 @@ object Multimodal {
     Q("mm_audio_windows",
       (s, d) => {
         import s.implicits._
-        decodeFeatures(mediaFromDocuments(s, d)).toDF()
+        MmIndex.features(s, d)
           .filter($"kind" === "audio")
           .select($"doc_id",
             element_at(
@@ -299,7 +303,7 @@ object Multimodal {
         import s.implicits._
         val W = org.apache.spark.sql.expressions.Window
           .partitionBy($"doc_id").orderBy($"frame_idx")
-        decodeFeatures(mediaFromDocuments(s, d)).toDF()
+        MmIndex.features(s, d)
           .filter($"kind" === "video")
           .select($"doc_id", $"n_frames".cast("long").as("n_frames"))
           .join(Tables.documents(s, d).select($"doc_id", $"text"), "doc_id")
@@ -352,7 +356,7 @@ object Multimodal {
     * true pair while the join stays bucket-local at any corpus size.
     * Band values are md5 nibbles and thus never NULL — the all-NULL
     * bucket weld the lexical LSH path filters against cannot arise. */
-  private def phashPairs(s: SparkSession, d: String): DataFrame = {
+  private[ext] def phashPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val alphabet = "0123456789abcdef"
     val hashed = Tables.documents(s, d).select(
@@ -408,7 +412,7 @@ object Multimodal {
     Q("mm_phash_hamming",
       (s, d) => {
         import s.implicits._
-        phashPairs(s, d)
+        MmIndex.phpairs(s, d)
           .withColumn("hamming",
             expr("CAST(bit_count(ph_a ^ ph_b) AS BIGINT)"))
           .filter($"hamming" <= 3)
@@ -469,7 +473,7 @@ object Multimodal {
     Q("mm_dedup_verdict",
       (s, d) => {
         import s.implicits._
-        val pairs = phashPairs(s, d)
+        val pairs = MmIndex.phpairs(s, d)
           .withColumn("hamming", expr("CAST(bit_count(ph_a ^ ph_b) AS BIGINT)"))
           .filter($"hamming" <= 3)
           .select($"doc_a", $"doc_b")
@@ -523,7 +527,7 @@ object Multimodal {
     Q("mm_tile_plan",
       (s, d) => {
         import s.implicits._
-        decodeFeatures(mediaFromDocuments(s, d)).toDF()
+        MmIndex.features(s, d)
           .filter($"kind" === "image")
           .select($"doc_id", $"width".cast("long").as("width"),
             $"height".cast("long").as("height"))
@@ -589,7 +593,7 @@ object Multimodal {
         import s.implicits._
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy($"kind").orderBy($"doc_id")
-        val feats = decodeFeatures(mediaFromDocuments(s, d)).toDF()
+        val feats = MmIndex.features(s, d)
           .select($"doc_id", $"kind",
             $"byte_len".cast("long").as("byte_len"),
             $"width".cast("long").as("width"),
@@ -674,7 +678,7 @@ object Multimodal {
     Q("mm_av_align",
       (s, d) => {
         import s.implicits._
-        val media = decodeFeatures(mediaFromDocuments(s, d)).toDF()
+        val media = MmIndex.features(s, d)
           .filter($"kind" === "video")
           .select($"doc_id", $"byte_len".cast("long").as("bl"),
             $"n_frames".cast("long").as("n_frames"))

@@ -36,10 +36,6 @@ object PipelineOps {
 
   import Similarity.{cosine, dotSql}
 
-  /** Bigrams of the whitespace token stream as `tokA|tokB`, from the
-    * token-array column named `t`. Guarded to >= 2 tokens: Spark's
-    * `sequence(1, 0)` would count DOWN (and fabricate a null bigram)
-    * where DuckDB's generate_series(1, 0) is empty. */
   /** The 16 deterministic coarse centroids shared with sim_ann_ivf /
     * sim_ivf_assign (the corpus's 16 lowest-id vectors). */
   private def centroids(emb: DataFrame): DataFrame =

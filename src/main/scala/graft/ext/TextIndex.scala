@@ -58,7 +58,7 @@ import graft.Tables
 object TextIndex {
 
   /** Bumped whenever the stored schema/derivation changes. */
-  private val FormatVersion = 1
+  private val FormatVersion = 2
 
   private def root: String = sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR",
     s"${sys.props("java.io.tmpdir")}/graft-text-index")
@@ -88,12 +88,18 @@ object TextIndex {
   private def disabled: Boolean =
     sys.env.contains("SPARK_GRAFT_NO_TEXT_INDEX")
 
-  /** In-session build of the positional token stream. */
+  /** In-session build of the positional token stream. Zero-token
+    * docs are dropped FIRST: Spark's `sequence(1, 0)` counts DOWN to
+    * [1, 0] (it does not return empty like DuckDB's generate_series)
+    * and `element_at(toks, 0)` then throws — unreachable while the
+    * tokenizer never yields an empty array for non-null text, but
+    * the guard keeps the frame correct if that ever changes. */
   private[ext] def buildTokens(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
       .select($"doc_id", $"lang", $"source",
         TextAnalysis.tokens($"text").as("toks"))
+      .filter(size($"toks") > 0)
       .select($"doc_id", $"lang", $"source", size($"toks").as("n_toks"),
         explode(sequence(lit(1), size($"toks"))).as("pos"), $"toks")
       .select($"doc_id", $"lang", $"source", $"n_toks", $"pos",
@@ -109,6 +115,9 @@ object TextIndex {
     Tables.documents(s, d)
       .select($"doc_id", $"lang", $"source",
         TextAnalysis.tokens($"text").as("toks"))
+      // same zero-token guard as buildTokens: element_at(toks, 1)
+      // on an empty array would throw under ANSI semantics
+      .filter(size($"toks") > 0)
       .select($"doc_id", $"lang", $"source", size($"toks").as("n_toks"),
         explode(sequence(lit(1), greatest(size($"toks") - 1, lit(1))))
           .as("i"), $"toks")
@@ -179,42 +188,29 @@ object TextIndex {
   }
 
   /** Build all five frames under a fresh tmp dir, then atomically
-    * rename into place (marker file written last; a lost rename race
-    * falls back to the winner's dir). */
+    * rename into place ([[IndexUtil.install]] — marker last, race
+    * losers and failed builds deleted). Write parallelism from
+    * `spark.graft.index.writePartitions` ([[IndexUtil.writeParts]]). */
   private def ensure(s: SparkSession, sfDir: String): File = synchronized {
-    val dir = indexDir(sfDir)
-    val ok = new File(dir, "_GRAFT_OK")
-    if (ok.exists()) return dir
-    val tmp = new File(root, s"${dir.getName}.tmp-${System.nanoTime()}")
-    buildTokens(s, sfDir)
-      .repartition(8, col("doc_id")).sortWithinPartitions("doc_id", "pos")
-      .write.mode("overwrite").parquet(s"$tmp/tokens")
-    buildBigrams(s, sfDir)
-      .repartition(8, col("doc_id")).sortWithinPartitions("doc_id", "i")
-      .write.mode("overwrite").parquet(s"$tmp/bigrams")
-    buildGrams3(s, sfDir)
-      .repartition(8, col("gram")).sortWithinPartitions("gram", "doc_id")
-      .write.mode("overwrite").parquet(s"$tmp/grams3")
-    buildHgrams8(s, sfDir)
-      .repartition(8, col("g")).sortWithinPartitions("g", "doc_id")
-      .write.mode("overwrite").parquet(s"$tmp/hgrams8")
-    buildDocstats(s, sfDir)
-      .repartition(4, col("doc_id")).sortWithinPartitions("doc_id")
-      .write.mode("overwrite").parquet(s"$tmp/docstats")
-    new File(tmp, "_GRAFT_OK").createNewFile()
-    if (!tmp.renameTo(dir)) {
-      if (!ok.exists()) {
-        def rm(f: File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete()
-        }
-        rm(dir)
-        if (!tmp.renameTo(dir))
-          throw new IllegalStateException(
-            s"cannot install text index at $dir")
-      }
-    }
-    dir
+    IndexUtil.install(new File(root), indexDir(sfDir), { tmp =>
+      val p = IndexUtil.writeParts(s, 8)
+      buildTokens(s, sfDir)
+        .repartition(p, col("doc_id")).sortWithinPartitions("doc_id", "pos")
+        .write.mode("overwrite").parquet(s"$tmp/tokens")
+      buildBigrams(s, sfDir)
+        .repartition(p, col("doc_id")).sortWithinPartitions("doc_id", "i")
+        .write.mode("overwrite").parquet(s"$tmp/bigrams")
+      buildGrams3(s, sfDir)
+        .repartition(p, col("gram")).sortWithinPartitions("gram", "doc_id")
+        .write.mode("overwrite").parquet(s"$tmp/grams3")
+      buildHgrams8(s, sfDir)
+        .repartition(p, col("g")).sortWithinPartitions("g", "doc_id")
+        .write.mode("overwrite").parquet(s"$tmp/hgrams8")
+      buildDocstats(s, sfDir)
+        .repartition(IndexUtil.writeParts(s, 4), col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(s"$tmp/docstats")
+    })
   }
 
   /** The stored positional token stream (doc_id, lang, source,

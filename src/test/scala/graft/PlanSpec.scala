@@ -66,6 +66,29 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.winsorize.exactMaxRows")
   }
 
+  test("median-abs-deviation above the exact-row threshold buffers no " +
+       "per-group values: sketch percentiles only, same output shape") {
+    // Same conf-gated big-frame switch as rel_winsorized_stats: both
+    // percentile passes (group median + deviation median) must come
+    // from the mergeable approx_percentile sketch — the exact
+    // `percentile` aggregate buffers every group value per task.
+    spark.conf.set("spark.graft.mad.exactMaxRows", "0")
+    try {
+      val p = plan("rel_median_abs_deviation")
+      assert(p.contains("approx_percentile"), p.take(600))
+      assert(!p.replace("approx_percentile", "§").contains("percentile("),
+        "exact percentile (full per-group value buffering) planned " +
+          "above the threshold")
+      // both regimes agree on group structure
+      val approx = SparkEntry.queries("rel_median_abs_deviation")(spark, sf)
+        .collect().map(r => r.getString(0) -> r.getAs[Long]("n_rows")).toMap
+      spark.conf.unset("spark.graft.mad.exactMaxRows")
+      val exact = SparkEntry.queries("rel_median_abs_deviation")(spark, sf)
+        .collect().map(r => r.getString(0) -> r.getAs[Long]("n_rows")).toMap
+      assert(approx == exact)
+    } finally spark.conf.unset("spark.graft.mad.exactMaxRows")
+  }
+
   test("as-of join is the joinless window-carry form") {
     val p = plan("rel_asof_join")
     assert(p.contains("Window"), p.take(400))

@@ -31,12 +31,32 @@ sim_fusion_shift (the 9 cross-engine-tie rows of CORRECTNESS_sf1) —
 plus the tie-degeneracy audit quantifying WHY the oracle fails.
 
 Usage: check_rank_margins.py <verify_out_dir> <sf_dir>
+
+PRECONDITION (scripted, not a convention): because this replay makes
+the engine's own semantics the referee at large SF, it must first be
+proven against a dump the DuckDB ORACLE certified — a small-SF
+(sf0.01) run. A small-SF PASS writes a marker recording this file's
+own hash; a large-SF run REFUSES to start unless that marker exists
+and matches the current file (any edit to the replay re-arms the
+requirement). This closes the self-referential-verification loop the
+round-7 ADVICE flagged: a shared engine/replay bug cannot pass
+silently at sf1 without first passing the oracle-refereed scale.
 """
-import sys, re, hashlib
+import os, sys, re, hashlib
 import numpy as np
 import pandas as pd
 
 EPS = 1e-9
+
+# vectors at or below this count = oracle-feasible small SF
+# (sf0.001 = 20, sf0.01 = 200; sf0.1 = 2000 and sf1 = 20000 are not)
+SMALL_SF_MAX_VECTORS = 1000
+MARKER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      ".rank_margins_smallsf_pass")
+
+def _self_hash():
+    with open(os.path.abspath(__file__), "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
 
 def seqdot(a, b):
     """Index-ordered double-accumulation dot — FloatVecDot exactly."""
@@ -145,6 +165,19 @@ def main():
     out, sfdir = sys.argv[1], sys.argv[2]
     c = Corpus(sfdir)
     npos = len(c.ids)
+    small_sf = npos <= SMALL_SF_MAX_VECTORS
+    if not small_sf:
+        want = _self_hash()
+        have = None
+        if os.path.exists(MARKER):
+            with open(MARKER) as f:
+                have = f.read().strip()
+        if have != want:
+            print(f"REFUSED: large-SF replay ({npos} vectors) requires a "
+                  f"prior small-SF PASS of THIS checker version against an "
+                  f"oracle-green dump.\nRun first: python3 {sys.argv[0]} "
+                  f"<sf0.01_verify_out> /root/testdata/sf0.01")
+            sys.exit(2)
     all_pos = np.arange(npos)
     ok = True
 
@@ -333,6 +366,10 @@ def main():
                       columns=["qid", "n_overlap", "rr_micro"]),
                   out)
 
+    if ok and small_sf:
+        with open(MARKER, "w") as f:
+            f.write(_self_hash())
+        print(f"small-SF PASS marker written: {MARKER}")
     print("PASS" if ok else "FAIL")
     sys.exit(0 if ok else 1)
 
