@@ -20,12 +20,18 @@ import org.apache.spark.sql.functions.col
   *     this frame, 8 of the 14 mm_ queries re-ran the decode
   *     mapPartitions per query (at sf1 the decode is the family's
   *     dominant narrow cost).
-  *   - `phpairs/` (doc_a, doc_b, ph_a, ph_b): the banded 16-bit
-  *     stub-pHash candidate pairs within modality
-  *     ([[Multimodal.phashPairs]]) — the nibble-band self-join +
-  *     distinct whose pair mass dominates mm_dedup_verdict /
-  *     mm_phash_hamming at sf1 (4.5M pairs on the replicated corpus).
-  *     Candidate-sized by the pigeonhole banding, never all-pairs.
+  *   - `phpairs/` (doc_a, doc_b, ph_a, ph_b, hamming): the VERIFIED
+  *     perceptual near-dup pairs — banded 16-bit stub-pHash
+  *     candidates within modality ([[Multimodal.phashPairs]])
+  *     hamming-verified to <= 3 AT BUILD TIME. The raw candidate set
+  *     is deliberately NOT stored: a 16-bit hash saturates on any
+  *     50k+ corpus (bucket sizes grow linearly with corpus size, so
+  *     unverified candidates grow quadratically — ~10^8 rows at sf1),
+  *     while every consumer (mm_phash_hamming, mm_dedup_verdict)
+  *     reads only the <= 3 survivors (~4.5M at sf1). Production
+  *     pipelines store verified near-dup edges for the same reason:
+  *     the verify step is cheap per candidate and collapses the
+  *     stored frame by orders of magnitude.
   *
   * Payload BYTES are never stored or shuffled — the feature frame is
   * ~1 row per document, the pair frame candidate-sized. Freshness and
@@ -37,7 +43,7 @@ import org.apache.spark.sql.functions.col
 object MmIndex {
 
   /** Bumped whenever the stored schema/derivation changes. */
-  private val FormatVersion = 1
+  private val FormatVersion = 2
 
   private def root: String = sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR",
     s"${sys.props("java.io.tmpdir")}/graft-mm-index")
@@ -72,9 +78,15 @@ object MmIndex {
   private[ext] def buildFeatures(s: SparkSession, d: String): DataFrame =
     Multimodal.decodeFeatures(Multimodal.mediaFromDocuments(s, d)).toDF()
 
-  /** In-session build of the banded pHash candidate pairs. */
-  private[ext] def buildPhPairs(s: SparkSession, d: String): DataFrame =
+  /** In-session build of the verified (hamming <= 3) pHash pair
+    * frame — candidates from the banded self-join, verified before
+    * anything is stored. */
+  private[ext] def buildPhPairs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.expr
     Multimodal.phashPairs(s, d)
+      .withColumn("hamming", expr("CAST(bit_count(ph_a ^ ph_b) AS BIGINT)"))
+      .filter(expr("hamming <= 3"))
+  }
 
   /** Build both frames under a fresh tmp dir, then atomically rename
     * into place ([[IndexUtil.install]]). Write parallelism from
@@ -98,8 +110,8 @@ object MmIndex {
     if (disabled) buildFeatures(s, sfDir)
     else s.read.parquet(s"${ensure(s, sfDir)}/features")
 
-  /** The stored banded pHash candidate pairs (doc_a, doc_b, ph_a,
-    * ph_b), within modality, doc_a < doc_b. */
+  /** The stored verified pHash near-dup pairs (doc_a, doc_b, ph_a,
+    * ph_b, hamming <= 3), within modality, doc_a < doc_b. */
   def phpairs(s: SparkSession, sfDir: String): DataFrame =
     if (disabled) buildPhPairs(s, sfDir)
     else s.read.parquet(s"${ensure(s, sfDir)}/phpairs")

