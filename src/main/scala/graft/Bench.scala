@@ -199,8 +199,15 @@ object Bench {
       .mkString(s"""{"metric":"total","value":$total,"unit":"sec","queries":{""",
         ",", s"""},"errors":$errors,$host,"sf":"$sfDir"}""")
     // A filtered local run must not clobber the round's full map.
+    // SPARK_GRAFT_BENCH_OUT redirects the full dump so builder sweeps
+    // land in their own file (e.g. BENCH_BUILDER_r9.json) — the driver
+    // overwrites BENCH_FULL.json every round, which clobbered the
+    // round-8 builder artifact cited by BASELINE.md (survives only in
+    // git 16167a5). Evidence cited by docs must not share a filename
+    // with anything the driver regenerates.
     if (only.isEmpty)
-      try Files.write(Paths.get("BENCH_FULL.json"),
+      try Files.write(
+        Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")),
         fullJson.getBytes(StandardCharsets.UTF_8))
       catch { case e: Throwable => System.err.println(s"[bench] full dump failed: $e") }
 

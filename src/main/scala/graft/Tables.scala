@@ -43,6 +43,21 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  private val rowCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Row count of `<dir>/<name>.parquet`, cached per path for the
+    * lifetime of the process. Regime switches (exact-vs-sketch
+    * percentile in rel_winsorized_stats / rel_median_abs_deviation)
+    * consult this on every query construction; without the cache each
+    * construction charged a full count job to the query's measured
+    * time. Testdata dirs are immutable within a run, so a plain
+    * per-path memo is safe.
+    */
+  def rowCount(s: SparkSession, dir: String, name: String): Long =
+    rowCountCache.computeIfAbsent(
+      s"$dir/$name.parquet", p => apply(s, dir, name).count())
 }
 
 /** One engine query: the Spark plan builder plus (when SQL-expressible)

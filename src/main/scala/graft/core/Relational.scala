@@ -703,7 +703,7 @@ object Relational {
         // (full per-group value buffering) survives in its plan.
         val exactMax = s.conf.get(
           "spark.graft.winsorize.exactMaxRows", "100000000").toLong
-        val bigFrame = Tables.lineitem(s, d).count() > exactMax
+        val bigFrame = Tables.rowCount(s, d, "lineitem") > exactMax
         val pctExpr =
           if (!bigFrame) "percentile(l_extendedprice, array(0.01D, 0.99D))"
           else "approx_percentile(l_extendedprice, array(0.01D, 0.99D), 10000)"
@@ -835,7 +835,7 @@ object Relational {
         // regime and pins that no exact percentile survives.
         val exactMax = s.conf.get(
           "spark.graft.mad.exactMaxRows", "100000000").toLong
-        val bigFrame = Tables.lineitem(s, d).count() > exactMax
+        val bigFrame = Tables.rowCount(s, d, "lineitem") > exactMax
         def pct(c: String) =
           if (!bigFrame) s"percentile($c, 0.5D)"
           else s"approx_percentile($c, 0.5D, 10000)"

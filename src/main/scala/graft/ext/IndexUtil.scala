@@ -64,7 +64,11 @@ private[ext] object IndexUtil {
           rm(dir) // stale partial dir without a marker: clear + retry
           if (!tmp.renameTo(dir)) {
             rm(tmp)
-            throw new IllegalStateException(s"cannot install index at $dir")
+            // A concurrent process may have installed a complete index
+            // between our rm(dir) and the retry rename — fall back to
+            // the winner's dir rather than failing a valid install.
+            if (!ok.exists())
+              throw new IllegalStateException(s"cannot install index at $dir")
           }
         }
       }

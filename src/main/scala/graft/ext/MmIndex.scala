@@ -51,7 +51,13 @@ object MmIndex {
   /** md5 over (relative path, length, mtime) of every file under
     * documents.parquet — any regeneration changes it. The "mm-v"
     * prefix keeps the namespace disjoint from the other index
-    * families when they share SPARK_GRAFT_INDEX_DIR. */
+    * families when they share SPARK_GRAFT_INDEX_DIR.
+    *
+    * SCOPE: deliberately walks ONLY documents.parquet, because every
+    * frame this index stores (decode features, verified pHash pairs)
+    * derives from `documents` alone. If a future mm frame ever reads
+    * another table, that table MUST be added to this walk or its
+    * regeneration would silently reuse a stale index. */
   private[ext] def fingerprint(sfDir: String): String = {
     val md = MessageDigest.getInstance("MD5")
     md.update(s"mm-v$FormatVersion".getBytes("UTF-8"))

@@ -62,24 +62,36 @@ SKIP_NOTES = {
 
 
 def main():
+    if len(sys.argv) < 3:
+        sys.exit("usage: assemble_sf1_correctness.py VERIFY_JSON... TARGET "
+                 "(need at least one input artifact)")
     outs = sys.argv[1:-1]
     target = sys.argv[-1]
     merged = {}
     for p in outs:
         merged.update(json.load(open(p)))
+    # Only annotate queries ABSENT from every artifact. A skip-listed
+    # query that has a real verify row keeps it: a green row is
+    # stronger evidence than the checker note, and a FAILING row must
+    # surface as UNRESOLVED instead of being masked by the annotation.
     for name, note in SKIP_NOTES.items():
-        merged[name] = {"rows_match": None, "schema_match": None,
-                        "hash_match": None, "spark_rows": None,
-                        "oracle_rows": None, "err": note}
+        if name not in merged:
+            merged[name] = {"rows_match": None, "schema_match": None,
+                            "hash_match": None, "spark_rows": None,
+                            "oracle_rows": None, "err": note}
     merged = dict(sorted(merged.items()))
     unresolved = [k for k, v in merged.items()
-                  if v.get("err") and k not in SKIP_NOTES]
+                  if v.get("err") and not (k in SKIP_NOTES
+                                           and v["err"] == SKIP_NOTES[k])]
     n_pass = sum(1 for v in merged.values() if v.get("hash_match"))
+    n_note = sum(1 for k, v in merged.items()
+                 if k in SKIP_NOTES and v.get("err") == SKIP_NOTES[k])
     json.dump(merged, open(target, "w"), indent=1, sort_keys=True)
     print(f"{target}: {len(merged)} rows, {n_pass} hash-pass, "
-          f"{len(SKIP_NOTES)} checker-annotated, "
+          f"{n_note} checker-annotated, "
           f"{len(unresolved)} UNRESOLVED: {unresolved}")
     sys.exit(1 if unresolved else 0)
 
 
-main()
+if __name__ == "__main__":
+    main()
