@@ -90,28 +90,28 @@ object GraphOps {
     // One iteration of the integer PageRank as a CTE pair; unrolled
     // three times below (DuckDB `//` = Spark `div` on positives).
     def iter(i: Int) = s"""
-        c$i AS (
+        c$i AS MATERIALIZED (
           SELECT e.dst AS id, SUM(r.r // e.outdeg) AS c
           FROM em e
           JOIN r${i - 1} r ON e.src = r.id
           GROUP BY e.dst),
-        r$i AS (
+        r$i AS MATERIALIZED (
           SELECT p.id, nn.base + (85 * COALESCE(c$i.c, 0)) // 100 AS r
           FROM r${i - 1} p LEFT JOIN c$i ON p.id = c$i.id, nn)"""
-    s"""WITH e0 AS (
+    s"""WITH e0 AS MATERIALIZED (
           SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-        edges AS (
+        edges AS MATERIALIZED (
           SELECT src, dst FROM e0
           UNION ALL SELECT dst AS src, src AS dst FROM e0),
-        deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
-        em AS (SELECT e.src, e.dst, d.outdeg
+        deg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+        em AS MATERIALIZED (SELECT e.src, e.dst, d.outdeg
                FROM edges e JOIN deg d ON e.src = d.src),
-        nn AS (
+        nn AS MATERIALIZED (
           SELECT 1000000000000 // COUNT(*) AS unit,
                  (15 * (1000000000000 // COUNT(*))) // 100 AS base
           FROM deg),
-        r0 AS (SELECT src AS id, nn.unit AS r FROM deg, nn),
+        r0 AS MATERIALIZED (SELECT src AS id, nn.unit AS r FROM deg, nn),
         ${iter(1)},
         ${iter(2)},
         ${iter(3)}
@@ -125,37 +125,37 @@ object GraphOps {
     // [[prOracle]]'s iteration with restart mass confined to seeds;
     // the is_seed flag rides each r_i CTE.
     def iter(i: Int) = s"""
-        c$i AS (
+        c$i AS MATERIALIZED (
           SELECT e.dst AS id, SUM(r.r // e.outdeg) AS c
           FROM em e
           JOIN r${i - 1} r ON e.src = r.id
           WHERE r.r > 0
           GROUP BY e.dst),
-        r$i AS (
+        r$i AS MATERIALIZED (
           SELECT p.id, p.is_seed,
             p.is_seed * ns.base + (85 * COALESCE(c$i.c, 0)) // 100 AS r
           FROM r${i - 1} p LEFT JOIN c$i ON p.id = c$i.id, ns)"""
-    s"""WITH e0 AS (
+    s"""WITH e0 AS MATERIALIZED (
           SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-        edges AS (
+        edges AS MATERIALIZED (
           SELECT src, dst FROM e0
           UNION ALL SELECT dst AS src, src AS dst FROM e0),
-        deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
-        em AS (SELECT e.src, e.dst, d.outdeg
+        deg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+        em AS MATERIALIZED (SELECT e.src, e.dst, d.outdeg
                FROM edges e JOIN deg d ON e.src = d.src),
-        seeds AS (
+        seeds AS MATERIALIZED (
           SELECT DISTINCT c_custkey * 2 AS id FROM customer
           WHERE c_nationkey = 0),
-        nodes AS (
+        nodes AS MATERIALIZED (
           SELECT d.src AS id,
             CASE WHEN s.id IS NULL THEN 0 ELSE 1 END AS is_seed
           FROM deg d LEFT JOIN seeds s ON d.src = s.id),
-        ns AS (
+        ns AS MATERIALIZED (
           SELECT 1000000000000 // SUM(is_seed) AS unit,
                  (15 * (1000000000000 // SUM(is_seed))) // 100 AS base
           FROM nodes),
-        r0 AS (SELECT id, is_seed, is_seed * ns.unit AS r FROM nodes, ns),
+        r0 AS MATERIALIZED (SELECT id, is_seed, is_seed * ns.unit AS r FROM nodes, ns),
         ${iter(1)},
         ${iter(2)},
         ${iter(3)}
@@ -359,12 +359,12 @@ object GraphOps {
   }
 
   private val copurchaseSymSql =
-    """pairs AS (
+    """pairs AS MATERIALIZED (
           SELECT l1.l_partkey AS a, l2.l_partkey AS b
           FROM lineitem l1 JOIN lineitem l2
             ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-        e0 AS (SELECT a AS src, b AS dst FROM pairs
+        e0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM pairs
                UNION ALL SELECT b AS src, a AS dst FROM pairs)"""
 
   /** Two broadcast-join min-label rounds (distance-2 community
@@ -415,13 +415,13 @@ object GraphOps {
 
   /** Oracle CTEs mirroring [[labelProp2]] (requires e0). */
   private val labelPropSql =
-    """l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM e0),
-        l1 AS (SELECT v, MIN(lbl) AS lbl FROM (
+    """l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS lbl FROM e0),
+        l1 AS MATERIALIZED (SELECT v, MIN(lbl) AS lbl FROM (
             SELECT v, lbl FROM l0
             UNION ALL
             SELECT e.dst AS v, l.lbl FROM e0 e JOIN l0 l ON e.src = l.v) u1
           GROUP BY v),
-        l2 AS (SELECT v, MIN(lbl) AS lbl FROM (
+        l2 AS MATERIALIZED (SELECT v, MIN(lbl) AS lbl FROM (
             SELECT v, lbl FROM l1
             UNION ALL
             SELECT e.dst AS v, l.lbl FROM e0 e JOIN l1 l ON e.src = l.v) u2
@@ -432,9 +432,9 @@ object GraphOps {
     // subgraph — unrolled four times (see gr_kcore's scaladoc for
     // why a fixed round count instead of a fixpoint).
     def round(i: Int) = s"""
-        d$i AS (SELECT src, COUNT(*) AS deg FROM e${i - 1} GROUP BY src),
-        k$i AS (SELECT src AS v FROM d$i WHERE deg >= 3),
-        e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
+        d$i AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM e${i - 1} GROUP BY src),
+        k$i AS MATERIALIZED (SELECT src AS v FROM d$i WHERE deg >= 3),
+        e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
                 JOIN k$i ka ON e.src = ka.v
                 JOIN k$i kb ON e.dst = kb.v)"""
     s"""WITH $copurchaseSymSql,
@@ -465,16 +465,16 @@ object GraphOps {
         import s.implicits._
         triangleCount(GraphIndex.copurchase(s, d).select($"a", $"b"))
       },
-      Some("""WITH pairs AS (
+      Some("""WITH pairs AS MATERIALIZED (
           SELECT l1.l_partkey AS a, l2.l_partkey AS b
           FROM lineitem l1 JOIN lineitem l2
             ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-        deg AS (
+        deg AS MATERIALIZED (
           SELECT v, COUNT(*) AS deg FROM (
             SELECT a AS v FROM pairs UNION ALL SELECT b AS v FROM pairs)
           GROUP BY v),
-        oriented AS (
+        oriented AS MATERIALIZED (
           SELECT CASE WHEN da.deg < db.deg
                         OR (da.deg = db.deg AND a < b) THEN a ELSE b END AS u,
                  CASE WHEN da.deg < db.deg
@@ -485,12 +485,12 @@ object GraphOps {
           FROM pairs
           JOIN deg da ON a = da.v
           JOIN deg db ON b = db.v),
-        wedges AS (
+        wedges AS MATERIALIZED (
           SELECT e1.w AS x, e2.w AS y
           FROM oriented e1 JOIN oriented e2
             ON e1.u = e2.u AND (e1.wdeg < e2.wdeg
               OR (e1.wdeg = e2.wdeg AND e1.w < e2.w))),
-        closed AS (
+        closed AS MATERIALIZED (
           SELECT 1 FROM wedges JOIN oriented e3
             ON x = e3.u AND y = e3.w)
         SELECT (SELECT COUNT(*) FROM closed) AS n_triangles,
@@ -597,10 +597,10 @@ object GraphOps {
           .limit(30)
       },
       Some(s"""WITH $copurchaseSymSql,
-        deg AS (SELECT src AS v, COUNT(*) AS deg FROM e0 GROUP BY src),
-        capped AS (SELECT e.src, e.dst FROM e0 e
+        deg AS MATERIALIZED (SELECT src AS v, COUNT(*) AS deg FROM e0 GROUP BY src),
+        capped AS MATERIALIZED (SELECT e.src, e.dst FROM e0 e
                    JOIN deg d ON e.src = d.v WHERE d.deg <= 64),
-        cand AS (
+        cand AS MATERIALIZED (
           SELECT e1.dst AS x, e2.dst AS y, COUNT(*) AS cn
           FROM capped e1 JOIN capped e2
             ON e1.src = e2.src AND e1.dst < e2.dst
@@ -631,12 +631,12 @@ object GraphOps {
           .agg(count(lit(1)).as("n_nodes"),
             min($"deg").as("min_deg"), max($"deg").as("max_deg"))
       },
-      Some("""WITH e0 AS (
+      Some("""WITH e0 AS MATERIALIZED (
           SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-        edges AS (SELECT src, dst FROM e0
+        edges AS MATERIALIZED (SELECT src, dst FROM e0
                   UNION ALL SELECT dst AS src, src AS dst FROM e0),
-        deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)
+        deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)
         SELECT length(bin(deg)) - 1 AS bucket, COUNT(*) AS n_nodes,
                MIN(deg) AS min_deg, MAX(deg) AS max_deg
         FROM deg GROUP BY 1""")),
@@ -693,19 +693,19 @@ object GraphOps {
         dist.groupBy($"dist").agg(count(lit(1)).as("n_nodes"))
       },
       Some(s"""WITH $copurchaseSymSql,
-        d0 AS (SELECT DISTINCT src AS v, CAST(0 AS BIGINT) AS dist
+        d0 AS MATERIALIZED (SELECT DISTINCT src AS v, CAST(0 AS BIGINT) AS dist
                FROM e0 WHERE src % 100 = 0),
-        d1 AS (SELECT v, MIN(dist) AS dist FROM (
+        d1 AS MATERIALIZED (SELECT v, MIN(dist) AS dist FROM (
             SELECT v, dist FROM d0
             UNION ALL
             SELECT e.dst AS v, p.dist + 1 FROM e0 e JOIN d0 p ON e.src = p.v)
           u GROUP BY v),
-        d2 AS (SELECT v, MIN(dist) AS dist FROM (
+        d2 AS MATERIALIZED (SELECT v, MIN(dist) AS dist FROM (
             SELECT v, dist FROM d1
             UNION ALL
             SELECT e.dst AS v, p.dist + 1 FROM e0 e JOIN d1 p ON e.src = p.v)
           u GROUP BY v),
-        d3 AS (SELECT v, MIN(dist) AS dist FROM (
+        d3 AS MATERIALIZED (SELECT v, MIN(dist) AS dist FROM (
             SELECT v, dist FROM d2
             UNION ALL
             SELECT e.dst AS v, p.dist + 1 FROM e0 e JOIN d2 p ON e.src = p.v)
@@ -792,7 +792,7 @@ object GraphOps {
               .as("assortativity"))
       },
       Some(s"""WITH $copurchaseSymSql,
-        deg AS (SELECT src AS v, COUNT(*) AS deg FROM e0 GROUP BY src),
+        deg AS MATERIALIZED (SELECT src AS v, COUNT(*) AS deg FROM e0 GROUP BY src),
         ann AS (
           SELECT dx.deg AS dx, dy.deg AS dy
           FROM e0 e
@@ -830,16 +830,16 @@ object GraphOps {
         import s.implicits._
         localClustering(GraphIndex.copurchase(s, d).select($"a", $"b"))
       },
-      Some("""WITH pairs AS (
+      Some("""WITH pairs AS MATERIALIZED (
           SELECT l1.l_partkey AS a, l2.l_partkey AS b
           FROM lineitem l1 JOIN lineitem l2
             ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-        deg AS (
+        deg AS MATERIALIZED (
           SELECT v, COUNT(*) AS deg FROM (
             SELECT a AS v FROM pairs UNION ALL SELECT b AS v FROM pairs)
           GROUP BY v),
-        oriented AS (
+        oriented AS MATERIALIZED (
           SELECT CASE WHEN da.deg < db.deg
                         OR (da.deg = db.deg AND a < b) THEN a ELSE b END AS u,
                  CASE WHEN da.deg < db.deg
@@ -850,12 +850,12 @@ object GraphOps {
           FROM pairs
           JOIN deg da ON a = da.v
           JOIN deg db ON b = db.v),
-        wedges AS (
+        wedges AS MATERIALIZED (
           SELECT e1.u AS c, e1.w AS x, e2.w AS y
           FROM oriented e1 JOIN oriented e2
             ON e1.u = e2.u AND (e1.wdeg < e2.wdeg
               OR (e1.wdeg = e2.wdeg AND e1.w < e2.w))),
-        closed AS (
+        closed AS MATERIALIZED (
           SELECT c, x, y FROM wedges JOIN oriented e3
             ON x = e3.u AND y = e3.w),
         tri_node AS (
@@ -946,24 +946,37 @@ object GraphOps {
           .orderBy($"score".desc, $"node_id").limit(15)
         topA.unionByName(topH)
       },
-      Some("""WITH e AS (
+      // Every CTE below is MATERIALIZED: each lInf-normalize stage
+      // references its input twice (value + MAX subquery), so under
+      // DuckDB 1.0's inline-by-default CTEs the edge build would
+      // re-evaluate ~2^stages times — observed 2400s+ with 13 GB of
+      // spill at sf1; materialized it is 5 s.
+      Some("""WITH e AS MATERIALIZED (
           SELECT DISTINCT o_custkey AS c, l_suppkey AS s
           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-        a1 AS (SELECT s, COUNT(*) * 1000000 AS a FROM e GROUP BY s),
-        a1n AS (SELECT s, a * 1000000 // (SELECT MAX(a) FROM a1) AS a
-                FROM a1),
-        h1 AS (SELECT c, CAST(SUM(a1n.a) AS BIGINT) AS h
-               FROM e JOIN a1n ON e.s = a1n.s GROUP BY c),
-        h1n AS (SELECT c, h * 1000000 // (SELECT MAX(h) FROM h1) AS h
-                FROM h1),
-        a2 AS (SELECT s, CAST(SUM(h1n.h) AS BIGINT) AS a
-               FROM e JOIN h1n ON e.c = h1n.c GROUP BY s),
-        a2n AS (SELECT s, a * 1000000 // (SELECT MAX(a) FROM a2) AS a
-                FROM a2),
-        h2 AS (SELECT c, CAST(SUM(a2n.a) AS BIGINT) AS h
-               FROM e JOIN a2n ON e.s = a2n.s GROUP BY c),
-        h2n AS (SELECT c, h * 1000000 // (SELECT MAX(h) FROM h2) AS h
-                FROM h2),
+        a1 AS MATERIALIZED (
+          SELECT s, COUNT(*) * 1000000 AS a FROM e GROUP BY s),
+        a1n AS MATERIALIZED (
+          SELECT s, a * 1000000 // (SELECT MAX(a) FROM a1) AS a
+          FROM a1),
+        h1 AS MATERIALIZED (
+          SELECT c, CAST(SUM(a1n.a) AS BIGINT) AS h
+          FROM e JOIN a1n ON e.s = a1n.s GROUP BY c),
+        h1n AS MATERIALIZED (
+          SELECT c, h * 1000000 // (SELECT MAX(h) FROM h1) AS h
+          FROM h1),
+        a2 AS MATERIALIZED (
+          SELECT s, CAST(SUM(h1n.h) AS BIGINT) AS a
+          FROM e JOIN h1n ON e.c = h1n.c GROUP BY s),
+        a2n AS MATERIALIZED (
+          SELECT s, a * 1000000 // (SELECT MAX(a) FROM a2) AS a
+          FROM a2),
+        h2 AS MATERIALIZED (
+          SELECT c, CAST(SUM(a2n.a) AS BIGINT) AS h
+          FROM e JOIN a2n ON e.s = a2n.s GROUP BY c),
+        h2n AS MATERIALIZED (
+          SELECT c, h * 1000000 // (SELECT MAX(h) FROM h2) AS h
+          FROM h2),
         ta AS (SELECT 'authority' AS role, s AS node_id,
                  CAST(a AS BIGINT) AS score
                FROM a2n ORDER BY score DESC, node_id LIMIT 15),
@@ -1024,10 +1037,10 @@ object GraphOps {
                       CAST(e.dst AS VARCHAR)), e.dst) AS rk
               FROM f${i - 1} f JOIN edges e ON e.src = f.node) t
             WHERE rk = 1)"""
-        s"""WITH e0 AS (
+        s"""WITH e0 AS MATERIALIZED (
             SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-          edges AS (
+          edges AS MATERIALIZED (
             SELECT src, dst FROM e0
             UNION ALL SELECT dst AS src, src AS dst FROM e0),
           f0 AS (
@@ -1071,13 +1084,13 @@ object GraphOps {
             expr("degsum * 1000000 div (n_nodes * (n_nodes - 1))")
               .as("density_ppm"))
       },
-      Some("""WITH e0 AS (
+      Some("""WITH e0 AS MATERIALIZED (
           SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-        edges AS (
+        edges AS MATERIALIZED (
           SELECT src, dst FROM e0
           UNION ALL SELECT dst AS src, src AS dst FROM e0),
-        deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)
+        deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)
         SELECT COUNT(*) AS n_nodes,
           CAST(SUM(deg) / 2 AS BIGINT) AS n_edges,
           CAST(MAX(deg) AS BIGINT) AS max_degree,
@@ -1131,10 +1144,10 @@ object GraphOps {
           .select($"x", $"y", $"cn", $"ra_nano")
       },
       Some(s"""WITH $copurchaseSymSql,
-        deg AS (SELECT src AS v, COUNT(*) AS deg FROM e0 GROUP BY src),
-        capped AS (SELECT e.src, e.dst, d.deg FROM e0 e
+        deg AS MATERIALIZED (SELECT src AS v, COUNT(*) AS deg FROM e0 GROUP BY src),
+        capped AS MATERIALIZED (SELECT e.src, e.dst, d.deg FROM e0 e
                    JOIN deg d ON e.src = d.v WHERE d.deg <= 64),
-        cand AS (
+        cand AS MATERIALIZED (
           SELECT e1.dst AS x, e2.dst AS y, COUNT(*) AS cn,
             CAST(SUM(1000000000 // e1.deg) AS BIGINT) AS ra_nano
           FROM capped e1 JOIN capped e2
@@ -1187,20 +1200,20 @@ object GraphOps {
         out
       },
       Some(s"""WITH $copurchaseSymSql,
-        ew AS (SELECT src, dst, (src + dst) % 7 + 1 AS w FROM e0),
-        d0 AS (SELECT DISTINCT src AS v, CAST(0 AS BIGINT) AS dist
+        ew AS MATERIALIZED (SELECT src, dst, (src + dst) % 7 + 1 AS w FROM e0),
+        d0 AS MATERIALIZED (SELECT DISTINCT src AS v, CAST(0 AS BIGINT) AS dist
                FROM e0 WHERE src % 100 = 0),
-        d1 AS (SELECT v, MIN(dist) AS dist FROM (
+        d1 AS MATERIALIZED (SELECT v, MIN(dist) AS dist FROM (
             SELECT v, dist FROM d0
             UNION ALL
             SELECT e.dst AS v, p.dist + e.w FROM ew e JOIN d0 p ON e.src = p.v)
           u GROUP BY v),
-        d2 AS (SELECT v, MIN(dist) AS dist FROM (
+        d2 AS MATERIALIZED (SELECT v, MIN(dist) AS dist FROM (
             SELECT v, dist FROM d1
             UNION ALL
             SELECT e.dst AS v, p.dist + e.w FROM ew e JOIN d1 p ON e.src = p.v)
           u GROUP BY v),
-        d3 AS (SELECT v, MIN(dist) AS dist FROM (
+        d3 AS MATERIALIZED (SELECT v, MIN(dist) AS dist FROM (
             SELECT v, dist FROM d2
             UNION ALL
             SELECT e.dst AS v, p.dist + e.w FROM ew e JOIN d2 p ON e.src = p.v)
@@ -1258,9 +1271,9 @@ object GraphOps {
           FROM lineitem l1 JOIN lineitem l2
             ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-        edges AS (SELECT a AS src, b AS dst, w FROM pw
+        edges AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM pw
                   UNION ALL SELECT b AS src, a AS dst, w FROM pw),
-        deg AS (SELECT src AS id, CAST(SUM(w) AS BIGINT) AS k
+        deg AS MATERIALIZED (SELECT src AS id, CAST(SUM(w) AS BIGINT) AS k
                 FROM edges GROUP BY 1),
         st AS (SELECT CAST(SUM(k) AS BIGINT) AS s_tot FROM deg),
         scored AS (
@@ -1330,10 +1343,10 @@ object GraphOps {
           .select($"x", $"y", $"cn", $"deg_x", $"deg_y", $"jacc_ppm")
       },
       Some(s"""WITH $copurchaseSymSql,
-        deg AS (SELECT src AS v, COUNT(*) AS deg FROM e0 GROUP BY src),
-        capped AS (SELECT e.src, e.dst FROM e0 e
+        deg AS MATERIALIZED (SELECT src AS v, COUNT(*) AS deg FROM e0 GROUP BY src),
+        capped AS MATERIALIZED (SELECT e.src, e.dst FROM e0 e
                    JOIN deg d ON e.src = d.v WHERE d.deg <= 64),
-        cand AS (
+        cand AS MATERIALIZED (
           SELECT e1.dst AS x, e2.dst AS y, COUNT(*) AS cn
           FROM capped e1 JOIN capped e2
             ON e1.src = e2.src AND e1.dst < e2.dst

@@ -1003,19 +1003,27 @@ object TextAnalysis {
           .orderBy($"lift_ppm".desc, $"w1", $"w2")
           .limit(30)
       },
+      // nab0 is MATERIALIZED and every margin derives from it by
+      // exact integer identity (n_a = Σ_w2 n_ab etc.): under DuckDB
+      // 1.0's inline-by-default CTEs the four consumers of `bg`
+      // would each re-tokenize the whole corpus — observed 2400s+
+      // at sf1; one materialized pair-count pass is 3 s.
       Some("""WITH base AS (
           SELECT string_split_regex(trim(lower(text)), '\s+') AS toks
           FROM documents
           WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 2),
-        bg AS (
-          SELECT toks[i] AS w1, toks[i + 1] AS w2
-          FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
-                FROM base) x),
-        nab AS (SELECT w1, w2, COUNT(*) AS n_ab FROM bg
-                GROUP BY 1, 2 HAVING COUNT(*) >= 5),
-        na AS (SELECT w1, COUNT(*) AS n_a FROM bg GROUP BY 1),
-        nb AS (SELECT w2, COUNT(*) AS n_b FROM bg GROUP BY 1),
-        nn AS (SELECT COUNT(*) AS n FROM bg)
+        nab0 AS MATERIALIZED (
+          SELECT w1, w2, COUNT(*) AS n_ab FROM (
+            SELECT toks[i] AS w1, toks[i + 1] AS w2
+            FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+                  FROM base) x) bg
+          GROUP BY 1, 2),
+        nab AS (SELECT w1, w2, n_ab FROM nab0 WHERE n_ab >= 5),
+        na AS MATERIALIZED (
+          SELECT w1, CAST(SUM(n_ab) AS BIGINT) AS n_a FROM nab0 GROUP BY 1),
+        nb AS MATERIALIZED (
+          SELECT w2, CAST(SUM(n_ab) AS BIGINT) AS n_b FROM nab0 GROUP BY 1),
+        nn AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n FROM nab0)
         SELECT w1, w2, n_ab, n_a, n_b,
           (n_ab * n * 1000000) // (n_a * n_b) AS lift_ppm
         FROM nab JOIN na USING (w1) JOIN nb USING (w2), nn
