@@ -29,35 +29,16 @@ SKIP_NOTES = {
                      "by check_closure_replays.py",
     "mm_dedup_verdict": "ORACLE-SKIPPED at sf1: closure oracle; "
                         "validated by check_closure_replays.py",
-    # Quadratic / OOM / stall oracle replays (engine dump completed;
-    # hash-gated at sf0.01/sf0.1 where the oracle is feasible).
-    "dedup_semdedup": "ORACLE-INFEASIBLE at sf1: oracle OOM; validated "
-                      "by check_semdedup_invariants.py",
-    "dedup_semdedup_recall": "ORACLE-INFEASIBLE at sf1: oracle "
-                             "spill-stall; validated by "
-                             "check_semdedup_invariants.py",
-    "gr_kcore": "ORACLE-INFEASIBLE at sf1: recursive peel replay OOM; "
-                "validated by check_graph_invariants.py",
-    "gr_local_clustering": "ORACLE-SKIPPED at sf1: wedge-join oracle "
-                           "spills past disk; validated row-for-row by "
-                           "check_graph_invariants.py",
-    "gr_modularity": "ORACLE-INFEASIBLE at sf1: label-propagation "
-                     "replay stall; validated by "
-                     "check_graph_invariants.py",
-    "gr_pagerank": "ORACLE-INFEASIBLE at sf1: unrolled-round replay "
-                   "OOM; validated by check_graph_invariants.py",
-    "gr_personalized_ppr": "ORACLE-INFEASIBLE at sf1: oracle stall; "
-                           "validated by check_graph_invariants.py",
-    "sim_embedding_neardup": "ORACLE-INFEASIBLE at sf1: block self-join "
-                             "stall; validated by check_sim_invariants.py",
-    "sim_hubness_audit": "ORACLE-SKIPPED at sf1: quadratic block "
-                         "oracle; validated by check_sim_invariants.py",
-    "sim_knn_graph": "ORACLE-SKIPPED at sf1: quadratic block oracle; "
-                     "validated by check_sim_invariants.py",
-    "sim_semantic_verdict": "ORACLE-INFEASIBLE at sf1: oracle stall; "
-                            "validated by check_sim_invariants.py",
-    "sim_threshold_sweep": "ORACLE-INFEASIBLE at sf1: oracle stall; "
-                           "validated by check_sim_invariants.py",
+    # NOTE (round 9): the 12 former "OOM / spill / stall" skips
+    # (gr_kcore, gr_local_clustering, gr_modularity, gr_pagerank,
+    # gr_personalized_ppr, dedup_semdedup, dedup_semdedup_recall,
+    # sim_embedding_neardup, sim_hubness_audit, sim_knn_graph,
+    # sim_semantic_verdict, sim_threshold_sweep) were artifacts of
+    # DuckDB 1.0's CTE inlining and the correlated-subquery dot
+    # product, both since rewritten (AS MATERIALIZED / native list
+    # functions). All 12 hash-PASS at sf1 in <5 min combined and are
+    # gated like any other oracle now. Only the WITH RECURSIVE
+    # transitive closures above remain structurally infeasible.
 }
 
 

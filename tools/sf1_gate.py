@@ -37,19 +37,15 @@ TOOLS = os.path.join(REPO, "tools")
 
 # Default per-oracle interrupt budget for the main pass.
 DEFAULT_TIMEOUT = 450
-# Known-slow oracle shapes get a named retry budget (seconds). These
-# are structural, not flaky: recursive frontier expansion (sssp/hits),
-# wedge enumeration (triangles), big window sorts over the 50k-doc
-# corpus (fusion/matryoshka rank replays), and the trigram-pair PMI
-# self-join. Anything that times out beyond its listed budget is a
-# real problem the gate must surface, not retry forever.
+# Known-slow oracle shapes get a named retry budget (seconds).
+# Round 9 cleared the former structural slowpokes (gr_hits / sssp /
+# triangle / pmi / fusion / matryoshka all run in seconds after the
+# AS MATERIALIZED and native-list-dot rewrites); the remaining heavy
+# shapes are the quantized-integer-dot blocked self-joins, which run
+# ~4 min quiet but can exceed the 450 s default under host load.
 RETRY_BUDGETS = {
-    "gr_hits": 1800,
-    "gr_sssp": 1800,
-    "gr_triangle_count": 2400,
-    "sim_fusion_shift": 1800,
-    "sim_matryoshka_recall": 1800,
-    "txt_pmi_collocations": 2400,
+    "sim_knn_graph": 1200,
+    "sim_hubness_audit": 1200,
 }
 FALLBACK_RETRY = 900  # one retry at 2x for anything not listed
 
