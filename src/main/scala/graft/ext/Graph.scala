@@ -1029,7 +1029,7 @@ object GraphOps {
       },
       Some {
         def hop(i: Int) = s"""
-          f$i AS (
+          f$i AS MATERIALIZED (
             SELECT walker_id, node FROM (
               SELECT f.walker_id, e.dst AS node,
                 ROW_NUMBER() OVER (PARTITION BY f.walker_id ORDER BY
@@ -1043,7 +1043,7 @@ object GraphOps {
           edges AS MATERIALIZED (
             SELECT src, dst FROM e0
             UNION ALL SELECT dst AS src, src AS dst FROM e0),
-          f0 AS (
+          f0 AS MATERIALIZED (
             SELECT DISTINCT c_custkey * 2 AS walker_id,
               c_custkey * 2 AS node
             FROM customer
@@ -1265,7 +1265,7 @@ object GraphOps {
             $"gain_num",
             when($"gain_num" > 0, 1L).otherwise(0L).as("would_move"))
       },
-      Some("""WITH pw AS (
+      Some("""WITH pw AS MATERIALIZED (
           SELECT l1.l_partkey AS a, l2.l_partkey AS b,
             CAST(COUNT(*) AS BIGINT) AS w
           FROM lineitem l1 JOIN lineitem l2

@@ -8,6 +8,7 @@ the documented skip annotation below — each names the replay checker
 that covers it at sf1 (all must PASS before this file is shipped).
 """
 import json
+import os
 import sys
 
 SKIP_NOTES = {
@@ -61,6 +62,21 @@ def main():
                             "hash_match": None, "spark_rows": None,
                             "oracle_rows": None, "err": note}
     merged = dict(sorted(merged.items()))
+    # Completeness backstop: every query in the dump's oracle map must
+    # have a row. A stale/partial Spark dump makes verify_local skip
+    # the missing parquet dirs without writing a JSON row, and before
+    # this check a CORRECTNESS file silently short of the registry
+    # could ship with exit 0.
+    oracle_map = os.path.join(os.path.dirname(os.path.abspath(outs[0])),
+                              "oracle_sql.json")
+    if os.path.isfile(oracle_map):
+        expected = set(json.load(open(oracle_map)))
+        missing = sorted(expected - set(merged))
+        if missing:
+            sys.exit(f"assemble: {len(missing)} queries have no verify row "
+                     f"and no skip annotation (stale dump?): {missing}")
+    else:
+        print(f"WARN: {oracle_map} not found — completeness unchecked")
     unresolved = [k for k, v in merged.items()
                   if v.get("err") and not (k in SKIP_NOTES
                                            and v["err"] == SKIP_NOTES[k])]
