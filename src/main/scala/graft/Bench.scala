@@ -80,6 +80,19 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE's coalescer (parallelismFirst=true) targets
+      // max(stageBytes/parallelism, minPartitionSize); at bench scale
+      // every shuffle is 1-30 MB, so the default 1 MB floor coalesces
+      // post-shuffle stages to a handful of tasks and serializes the
+      // work local[$cpus] could parallelize (guide §2.2: size
+      // partitions to the job, measured 45-90% per-query ratios with
+      // the floor lowered). The floor only binds when a stage's data
+      // is smaller than parallelism × floor — at production shuffle
+      // sizes stageBytes/parallelism dominates and this setting is
+      // inert, so the local default is safe at any scale; it stays
+      // env-parameterized for clusters that want the 1m default back.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCE_BYTES", "64k"))
       .config("spark.ui.enabled", "false")
       // This host stalls the whole VM for minutes at a time (see the
       // sweep comment below) and a 48g sf1 heap can take >2 min in a

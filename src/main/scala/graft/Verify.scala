@@ -42,6 +42,11 @@ object Verify {
       // the driver's dtype-sensitive hash then reds EVERY timestamp
       // column. Micros round-trips identically on both sides.
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // Same AQE coalesce floor as Bench (see there): keeps the
+      // correctness dump's post-shuffle stages parallel at the tiny
+      // oracle scales; inert at production shuffle sizes.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCE_BYTES", "64k"))
       .config("spark.ui.enabled", "false")
       // Same widening as Bench: host-wide stalls / large-heap full
       // GCs can starve the in-process heartbeater past 120 s and a
