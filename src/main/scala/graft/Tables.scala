@@ -55,9 +55,15 @@ object Tables {
     * time. Testdata dirs are immutable within a run, so a plain
     * per-path memo is safe.
     */
-  def rowCount(s: SparkSession, dir: String, name: String): Long =
+  def rowCount(s: SparkSession, dir: String, name: String): Long = {
+    // events.ts may be TIMESTAMP(NANOS) (see [[events]]) — the raw
+    // reader refuses that type at analysis unless the legacy conf is
+    // on, and a rowCount("events") can run before any events() call.
+    // Harmless for every other table.
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     rowCountCache.computeIfAbsent(
       s"$dir/$name.parquet", p => apply(s, dir, name).count())
+  }
 }
 
 /** One engine query: the Spark plan builder plus (when SQL-expressible)

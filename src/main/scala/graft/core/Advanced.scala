@@ -121,7 +121,13 @@ object Advanced {
     Q("rel_percentiles",
       (s, d) => {
         import s.implicits._
-        Tables.lineitem(s, d)
+        // Fan the single-split scan: the exact-percentile partials
+        // (value→count buffers) are the per-row cost and would fuse
+        // into the one scan task (guide §2.5; no-op on multi-split
+        // sources).
+        Par.fan(Tables.lineitem(s, d)
+            .select($"l_returnflag", $"l_quantity", $"l_extendedprice"),
+          $"l_quantity", $"l_extendedprice")
           .groupBy($"l_returnflag")
           .agg(
             expr("percentile(l_quantity, 0.5)").as("median_qty"),
@@ -183,8 +189,14 @@ object Advanced {
         // back together.
         def keep(c: String) = substring(
           md5(concat(lit("acd5|"), col(c).cast("string"))), 1, 1) === "0"
+        // Each arm fans its single-split scan keyed by the distinct
+        // column — the per-row md5 sampling hash plus the partial
+        // distinct are the map cost, and hashing by the key
+        // co-locates duplicates so partials collapse maximally
+        // (guide §2.5/§2.3; no-op on multi-split sources).
         def arm(c: String, exact: String, ok: String) =
-          Tables.lineitem(s, d)
+          Par.fan(Tables.lineitem(s, d).select($"l_returnflag", col(c)),
+            col(c))
             .groupBy($"l_returnflag")
             .agg(countDistinct(when(keep(c), col(c))).as(exact),
               approx_count_distinct(when(keep(c), col(c)), 0.02).as("a"))
@@ -226,7 +238,11 @@ object Advanced {
     Q("rel_approx_percentiles",
       (s, d) => {
         import s.implicits._
-        Tables.lineitem(s, d)
+        // Fan as in rel_percentiles — four percentile buffers fused
+        // over a one-row-group scan run on one core otherwise.
+        Par.fan(Tables.lineitem(s, d)
+            .select($"l_returnflag", $"l_quantity", $"l_extendedprice"),
+          $"l_quantity", $"l_extendedprice")
           .groupBy($"l_returnflag")
           .agg(
             expr("percentile(l_quantity, array(0.45D, 0.5D, 0.55D))")
@@ -378,7 +394,14 @@ object Advanced {
     Q("rel_profile_columns",
       (s, d) => {
         import s.implicits._
-        Tables.lineitem(s, d).agg(
+        // Fan the single-split scan: three countDistincts Expand the
+        // rows 4× before the partial aggregation, all fused into the
+        // one scan task otherwise (guide §2.5; no-op on multi-split
+        // sources).
+        Par.fan(Tables.lineitem(s, d)
+            .select($"l_orderkey", $"l_partkey", $"l_shipdate",
+              $"l_quantity", $"l_returnflag"),
+          $"l_orderkey", $"l_partkey").agg(
           count(lit(1)).as("n_rows"),
           countDistinct($"l_orderkey").as("nd_orderkey"),
           countDistinct($"l_partkey").as("nd_partkey"),
@@ -686,7 +709,12 @@ object Advanced {
         import s.implicits._
         def dbl(c: Column) = c.cast("double")
         val dec = DecimalType(27, 4)
-        val agg = Tables.lineitem(s, d)
+        // Fan the single-split scan before the five exact decimal
+        // sums — the dominant per-row cost (guide §2.5; no-op on
+        // multi-split sources).
+        val agg = Par.fan(Tables.lineitem(s, d)
+            .select($"l_returnflag", $"l_quantity", $"l_extendedprice"),
+          $"l_quantity", $"l_extendedprice")
           .groupBy($"l_returnflag")
           .agg(count(lit(1)).as("n"),
             sum($"l_quantity".cast(dec)).as("sx"),
@@ -1001,7 +1029,7 @@ object Advanced {
         // threshold the cut comes from 9 broadcast approx-percentile
         // spend boundaries + comparisons (exact per-bucket sums,
         // approximate bucket EDGES). Oracle scales use the exact path.
-        val bigFrame = Tables.orders(s, d).count() > 50000000L
+        val bigFrame = Tables.rowCount(s, d, "orders") > 50000000L
         val bucketed =
           if (!bigFrame) {
             // small-regime branch only (WindowAuditSpec allowlist)

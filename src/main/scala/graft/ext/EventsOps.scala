@@ -711,7 +711,7 @@ object EventsOps {
         // trading only bucket-BOUNDARY exactness. The oracle always
         // exercises the exact path (sf dirs are far below the
         // threshold).
-        val bigFrame = Tables.events(s, d).count() > 50000000L
+        val bigFrame = Tables.rowCount(s, d, "events") > 50000000L
         val scored =
           if (!bigFrame) {
             // threshold-bounded branch (small regime only): the

@@ -55,23 +55,20 @@ object GraphOps {
     cut
   }
 
-  /** [[pin]] + eager materialization (count — the frames here are
-    * node- or frontier-sized), then release the superseded round's
-    * cache: iterative builders hold ONE round frame plus the pinned
-    * scaffolds instead of accreting one cached frame per round per
-    * invocation across Bench's repeated sweeps. Unpersist only
-    * drops cache — lineage stays valid for any later recompute. */
-  private def pinStep(df: DataFrame, prev: DataFrame): DataFrame = {
-    val cut = pin(df)
-    cut.count()
-    prev.unpersist(false)
-    cut
-  }
-
-  /** Drop scaffold caches (edge/node frames) once the loop's final
-    * frame has been materialized by [[pinStep]]. */
-  private def release(dfs: DataFrame*): Unit =
-    dfs.foreach(_.unpersist(false))
+  /** [[pin]] for one loop round — LAZY: no eager count, no early
+    * unpersist. The lineage cut bounds the unrolled plan and the
+    * persist makes each round compute once when the caller's single
+    * action finally runs (both references of round i inside round
+    * i+1 read the same cached RDD), so the per-round count barrier
+    * the earlier version paid — one full sequential job per round,
+    * measured ~40% of gr_pagerank at sf0.1 — buys nothing. All round
+    * frames stay cached until the action completes (they are node-
+    * or frontier-sized — trivial next to the pinned edge scaffold
+    * that must stay cached anyway); Bench/Verify drop every pin
+    * after each query, and unpersisting a round early would
+    * re-introduce the 2^rounds recompute the pin exists to prevent. */
+  private def pinStep(df: DataFrame, prev: DataFrame): DataFrame =
+    pin(df)
 
   /** Undirected bipartite interaction graph from the testdata star
     * schema: customer ↔ supplier whenever a lineitem links them.
@@ -208,7 +205,6 @@ object GraphOps {
           (lit(base) + expr("(85 * coalesce(c, 0L)) div 100")).as("r")),
         prev = ranks)
     }
-    release(edges, em)
     ranks
   }
 
@@ -264,7 +260,6 @@ object GraphOps {
             .as("r")),
         prev = ranks)
     }
-    release(edges, em, nodes)
     ranks
   }
 
@@ -1013,9 +1008,19 @@ object GraphOps {
         var frontier = pinned(seeds.select($"walker_id",
           $"walker_id".as("node"), lit(0L).as("step")))
         var walks = frontier
+        // The frontier is walker-sized (one row per seed, bounded by
+        // the customer table) — broadcast it so the pinned edge frame
+        // is scanned in place each hop instead of re-shuffled (the
+        // SHUFFLE_HASH hint on edges was shuffling BOTH sides every
+        // round). Regime switch on the memoized customer row count:
+        // beyond broadcastable seed counts the hop joins go
+        // SHUFFLE_HASH with the hash built on the walker side.
+        val bcastOk = Tables.rowCount(s, d, "customer") <= 10000000L
+        def maybeB(df: DataFrame): DataFrame =
+          if (bcastOk) broadcast(df) else df.hint("SHUFFLE_HASH")
         for (i <- 1 to 3) {
-          val next = frontier
-            .join(edges.hint("SHUFFLE_HASH"), $"node" === $"src")
+          val next = edges
+            .join(maybeB(frontier), $"node" === $"src")
             .withColumn("h", md5(concat_ws("_",
               $"node".cast("string"), lit(i), $"dst".cast("string"))))
             .groupBy($"walker_id")
@@ -1196,7 +1201,6 @@ object GraphOps {
             .groupBy($"v").agg(min($"dist").as("dist")), prev = dist)
         }
         val out = dist.groupBy($"dist").agg(count(lit(1)).as("n_nodes"))
-        release(edges)
         out
       },
       Some(s"""WITH $copurchaseSymSql,

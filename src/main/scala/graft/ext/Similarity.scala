@@ -1114,17 +1114,17 @@ object Similarity {
       (s, d) => {
         import s.implicits._
         val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
-        // Pin-and-release: the new centers frame is MATERIALIZED
-        // (count — ≤4 rows) before the previous round's cache is
-        // dropped, so each invocation holds at most one cached
-        // intermediate at a time instead of accreting three per call
-        // across Bench's repeated sweeps. The final frame is left
-        // cached for the consumer's single action; Verify/Bench
-        // clearCache() between queries bounds the session.
+        // LAZY pin (lineage cut + persist, no count): the per-round
+        // eager count was one full sequential job per round charged
+        // to the query for nothing — the caller's single action
+        // computes each round once through the persist anyway. All
+        // ≤4-row round frames stay cached until that action finishes
+        // (unpersisting early would recompute the chain per
+        // reference); Verify/Bench clearCache() between queries
+        // bounds the session.
         def pinned(df: DataFrame, prev: DataFrame = null): DataFrame = {
           val c = s.createDataFrame(df.rdd, df.schema)
-          c.persist(); c.count()
-          if (prev != null) prev.unpersist(false)
+          c.persist()
           c
         }
         var centers = pinned(emb.orderBy($"vec_id").limit(1)

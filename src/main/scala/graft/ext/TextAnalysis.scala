@@ -2238,8 +2238,17 @@ object TextAnalysis {
     import s.implicits._
     // Strict bigrams from the persisted TextIndex (w2 IS NOT NULL ≡
     // the size >= 2 filter + i <= n-1 explode of the inline form).
+    // ONE exchange serves the doc-bigram rollup and BOTH model
+    // windows (guide §2.4): hash partitioning on (lang, w1) satisfies
+    // the clustered distribution of the (doc,lang,w1,w2) groupBy and
+    // of the (lang,w1,w2) / (lang,w1) windows — all three keys are
+    // supersets of (lang, w1) or equal to it — so what used to plan
+    // four exchanges (groupBy + two windows + final rollup) plans
+    // two. Keyless `repartition($"lang", $"w1")` (no explicit N)
+    // stays AQE-coalescible.
     val dbg = TextIndex.bigrams(s, d)
       .filter($"w2".isNotNull)
+      .repartition($"lang", $"w1")
       .groupBy($"doc_id", $"lang", $"w1", $"w2")
       .agg(count(lit(1)).as("c_doc"))
     val wBigram = Window.partitionBy($"lang", $"w1", $"w2")
