@@ -586,14 +586,23 @@ object Relational {
       (s, d) => {
         import s.implicits._
         val late = $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS")
+        // Collapse per (orderkey, suppkey) FIRST, then count flags —
+        // the two countDistincts planned an Expand (3× the joined
+        // rows through the aggregation). Both aggregations reuse the
+        // join's orderkey partitioning ([l_orderkey] ⊆ both key
+        // sets), so no exchange is added and the Expand disappears.
+        // Identical results: n_supp = row count of the collapsed
+        // frame, a distinct suppkey is late iff ANY of its rows is.
         Tables.lineitem(s, d)
           .join(Tables.orders(s, d).filter($"o_orderstatus" === "F")
               .select($"o_orderkey", $"o_orderdate"),
             $"l_orderkey" === $"o_orderkey")
+          .groupBy($"l_orderkey", $"l_suppkey")
+          .agg(max(late).as("is_late"))
           .groupBy($"l_orderkey")
-          .agg(countDistinct($"l_suppkey").as("n_supp"),
-            countDistinct(when(late, $"l_suppkey")).as("n_late_supp"),
-            max(when(late, $"l_suppkey")).as("late_supp"))
+          .agg(count(lit(1)).as("n_supp"),
+            count(when($"is_late", 1)).as("n_late_supp"),
+            max(when($"is_late", $"l_suppkey")).as("late_supp"))
           .filter($"n_supp" > 1 && $"n_late_supp" === 1)
           .groupBy($"late_supp")
           .agg(count(lit(1)).as("numwait"))

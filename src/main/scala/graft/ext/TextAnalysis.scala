@@ -216,8 +216,14 @@ object TextAnalysis {
         // (concat_ws skips the NULL w2 exactly like the inline
         // element_at past the end), and the scalar profile carries
         // the integer counts the ratios divide.
+        // One doc_id exchange serves both rollups (guide §2.4):
+        // partitioning by doc_id satisfies the (doc,bg) and (doc)
+        // groupBys alike, collapsing two exchanges to one. Shuffled
+        // bytes are unchanged at any scale — per-doc bigrams are
+        // near-unique, so the dropped partial agg compressed ~nothing.
         val rep = TextIndex.bigrams(s, d)
           .select($"doc_id", concat_ws(" ", $"w1", $"w2").as("bg"))
+          .repartition($"doc_id")
           .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
           .groupBy($"doc_id")
           .agg(max($"c").as("top_bg"), sum($"c").as("n_bg"))
@@ -1305,7 +1311,13 @@ object TextAnalysis {
             .filter($"w2".isNotNull)
             .select($"doc_id", $"n_toks", lit("bi").as("kind"),
               concat_ws(" ", $"w1", $"w2").as("key")))
+        // One doc_id exchange serves both rollups (guide §2.4, the
+        // txt_gopher_quality device): total shuffled bytes match the
+        // old two-exchange plan (the first partial agg compressed
+        // ~2× but its output re-shuffled once more), with one fewer
+        // barrier and sort.
         keyed
+          .repartition($"doc_id")
           .groupBy($"doc_id", $"n_toks", $"kind", $"key")
           .agg(count(lit(1)).as("c"))
           .groupBy($"doc_id", $"n_toks")

@@ -719,15 +719,23 @@ class PlanSpec extends AnyFunSuite {
   test("rrf fusion: dense arm broadcasts the query slice, lexical arm " +
        "broadcasts query bigrams — the corpus side never re-shuffles " +
        "for the probe") {
-    for (name <- Seq("sim_rrf_fusion", "sim_fusion_shift")) {
-      val p = plan(name)
-      assert(p.contains("BroadcastNestedLoopJoin"),
-        s"$name: dense query attach must broadcast\n" + p.take(600))
-      assert(p.contains("BroadcastHashJoin"),
-        s"$name: lexical bigram probe must broadcast the query side\n" +
-          p.take(600))
-      assert(!p.contains("CartesianProduct"), p.take(600))
-    }
+    // sim_rrf_fusion pins the arm shape for BOTH fusion queries (they
+    // share denseRanks/lexRanks/fusedRanks verbatim).
+    val p = plan("sim_rrf_fusion")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "dense query attach must broadcast\n" + p.take(600))
+    assert(p.contains("BroadcastHashJoin"),
+      "lexical bigram probe must broadcast the query side\n" + p.take(600))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    // sim_fusion_shift consumes the arms through lineage-cut pins
+    // (dense is referenced 3×, fused10 2× — unpinned, Catalyst would
+    // replay the corpus passes per reference). Its top-level plan
+    // therefore reads the pinned RDDs; assert that and the absence
+    // of any cartesian in what remains.
+    val ps = plan("sim_fusion_shift")
+    assert(ps.contains("Scan ExistingRDD") || ps.contains("InMemoryTableScan"),
+      "fusion-shift must consume the pinned arm frames\n" + ps.take(600))
+    assert(!ps.contains("CartesianProduct"), ps.take(600))
   }
 
   test("dsir weights broadcast the 64-row feature table back onto the " +
