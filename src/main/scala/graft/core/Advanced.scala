@@ -189,14 +189,14 @@ object Advanced {
         // back together.
         def keep(c: String) = substring(
           md5(concat(lit("acd5|"), col(c).cast("string"))), 1, 1) === "0"
-        // Each arm fans its single-split scan keyed by the distinct
-        // column — the per-row md5 sampling hash plus the partial
-        // distinct are the map cost, and hashing by the key
-        // co-locates duplicates so partials collapse maximally
-        // (guide §2.5/§2.3; no-op on multi-split sources).
+        // NOT fanned: the partial distinct agg in the scan task
+        // compresses duplicate keys ~4× before the shuffle — a
+        // Par.fan here ships raw rows instead and measured a wash
+        // locally while shuffling more bytes at scale (guide §2.3
+        // "aggregate before you shuffle" wins) — left in the
+        // partial-agg-first shape.
         def arm(c: String, exact: String, ok: String) =
-          Par.fan(Tables.lineitem(s, d).select($"l_returnflag", col(c)),
-            col(c))
+          Tables.lineitem(s, d)
             .groupBy($"l_returnflag")
             .agg(countDistinct(when(keep(c), col(c))).as(exact),
               approx_count_distinct(when(keep(c), col(c)), 0.02).as("a"))

@@ -1389,13 +1389,11 @@ object Dedup {
         val grpHash = md5(($"doc_id" % 100000).cast("string"))
         val sampled = substring(grpHash, 1, 1) === "0" &&
           substring(grpHash, 2, 1) < "8"
-        // Fan the sampled docs (a few hundred rows) before the k=4/6
-        // RollingHashAll explodes — the per-char shingling otherwise
-        // fuses into the single-split documents scan and runs on one
-        // core (guide §2.5; no-op on multi-split sources). Both arms
-        // share the one fanned exchange via AQE stage reuse.
-        val base = graft.core.Par.fan(
-          corpus(s, d).filter(sampled), $"doc_id")
+        // NOT fanned: a Par.fan of the sampled docs before the k=4/6
+        // shingling explodes measured +1.1 s in a back-to-back
+        // worktree A/B (the arms' gram self-joins dominate and the
+        // extra exchange only delayed them) — reverted.
+        val base = corpus(s, d).filter(sampled)
         def jaccards(k: Int): DataFrame = {
           // k = 5 is EXACTLY the persisted DedupIndex shingle
           // universe (per-doc distinct rolling hashes): read it and
