@@ -93,6 +93,16 @@ object Bench {
       // env-parameterized for clusters that want the 1m default back.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
         sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCE_BYTES", "64k"))
+      // Whole-stage-codegen compile cache (static conf, default 100
+      // entries): a 294-query sweep generates thousands of distinct
+      // codegen units, so at the default size every unit is evicted
+      // before its second sweep and janino recompiles the entire
+      // suite per sweep — pure fixed overhead in every measured
+      // sample. Sized to hold the whole suite's units; this caches
+      // COMPILED CODE keyed by generated source, never data or
+      // results.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
       .config("spark.ui.enabled", "false")
       // This host stalls the whole VM for minutes at a time (see the
       // sweep comment below) and a 48g sf1 heap can take >2 min in a

@@ -47,6 +47,9 @@ object Verify {
       // oracle scales; inert at production shuffle sizes.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
         sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCE_BYTES", "64k"))
+      // Codegen compile cache sized for the full suite — see Bench.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
       .config("spark.ui.enabled", "false")
       // Same widening as Bench: host-wide stalls / large-heap full
       // GCs can starve the in-process heartbeater past 120 s and a
